@@ -1,0 +1,284 @@
+"""SparkWebEngine — the crawl-and-extract orchestrator.
+
+API surface mirrors the reference's AsyncWebCrawler
+(/root/reference/crawl4ai/async_webcrawler.py:204,665 + DeepCrawlStrategy
+deep_crawling/base_strategy.py:99-105), DataFrame-in/DataFrame-out:
+
+    engine = SparkWebEngine(spark, store_root)
+    results = engine.run(pages, seeds, robots=robots, config=CrawlConfig(...))
+
+One *generation* = one deterministic Spark job:
+    scheduled ← frontier.filter(status='QUEUED')         (+ policy ORDER BY,
+                per-host quota via salted rank window, robots broadcast gate)
+    fetched   ← scheduled ⋈ pages (equi-join on url — the "fetch")
+    results   ← fetched.mapInPandas(scrape+markdown+extract)   one Arrow stage
+    newlinks  ← explode(links) → normalize → URL-seen dedup (anti-join or
+                partitioned Bloom) → enqueue depth+1
+    frontier' ← status updates ∪ new rows  → snapshot commit (checkpoint)
+
+The driver loop crosses the driver↔executor boundary once per generation
+(one count()); everything else is lazy DataFrame lineage. Resumable: pass
+``resume=True`` and the loop continues from the latest committed snapshots.
+Per-generation metrics (urls scheduled/fetched/failed, per-host counts) land
+in a ``metrics`` snapshot table — the CrawlerTaskResult analog
+(ref models.py:22-37).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.udfs import process_pages
+from crawl4ai_spark.operators import frontier as FR
+from crawl4ai_spark.operators import politeness as POL
+from crawl4ai_spark.operators.bloom import build_bloom, filter_unseen, merge_blooms
+from crawl4ai_spark.sources.snapshots import SnapshotStore
+
+
+@dataclass
+class CrawlConfig:
+    """Subset of the reference's CrawlerRunConfig that matters on Spark."""
+    max_depth: int = 3                 # ref bfs_strategy.py max_depth
+    max_pages: int = 1_000             # ref max_pages cap
+    policy: str = "bfs"                # bfs | dfs | best_first
+    per_host_quota: int = 10           # politeness budget per generation
+    batch_size: int | None = None      # global cap per generation (best_first: 10)
+    score_threshold: float | None = None
+    include_external: bool = False
+    check_robots_txt: bool = True
+    user_agent: str = "*"
+    use_bloom: bool = False            # F5 fast path (exact anti-join is default)
+    bloom_shards: int = 16
+    bloom_capacity_per_shard: int = 1_000_000
+    bloom_fp_rate: float = 0.01
+    word_count_threshold: int = 1
+    excluded_tags: list | None = None
+    extraction_schema: dict | None = None
+    content_filter: str = "pruning"    # pruning | bm25
+    bm25_query: str | None = None
+    n_salts: int = 8
+    extra: dict = field(default_factory=dict)
+
+
+class SparkWebEngine:
+    def __init__(self, spark: SparkSession, store_root: str):
+        self.spark = spark
+        self.store = SnapshotStore(store_root)
+
+    # ------------------------------------------------------------------ run
+    def run(self, pages: DataFrame, seeds: DataFrame, *,
+            robots: DataFrame | None = None,
+            config: CrawlConfig | None = None,
+            resume: bool = False,
+            max_generations: int | None = None) -> DataFrame:
+        cfg = config or CrawlConfig()
+        spark = self.spark
+
+        if resume and self.store.latest_id("frontier") is not None:
+            frontier = self.store.read(spark, "frontier")
+            start_gen = int(self.store.meta("frontier").get("generation", 0)) + 1
+            pages_done = int(self.store.meta("frontier").get("pages_done", 0))
+        else:
+            frontier = FR.seeds_to_frontier(seeds)
+            self.store.commit("frontier", frontier, meta={"generation": -1, "pages_done": 0})
+            frontier = self.store.read(spark, "frontier")
+            start_gen = 0
+            pages_done = 0
+
+        gen = start_gen
+        max_gens = max_generations if max_generations is not None else cfg.max_depth + 1
+
+        while gen < start_gen + max_gens and pages_done < cfg.max_pages:
+            t0 = time.time()
+            batch = self._schedule(frontier, robots, cfg, pages_budget=cfg.max_pages - pages_done)
+            n_sched = batch.count()  # the one driver-side action per generation
+            if n_sched == 0:
+                break
+
+            results = self._fetch_and_process(batch, pages, cfg, gen)
+            self.store.commit("results", results, mode="append",
+                              meta={"generation": gen})
+            results = self.store.read(spark, "results").filter(F.col("generation") == gen)
+
+            frontier = self._advance_frontier(frontier, batch, results, cfg, gen)
+            self.store.commit("frontier", frontier,
+                              meta={"generation": gen,
+                                    "pages_done": pages_done + n_sched})
+            frontier = self.store.read(spark, "frontier")
+
+            if robots is not None or True:
+                prev_hs = self.store.read(spark, "host_state")
+                hs = POL.update_host_state(
+                    prev_hs, results.select("host", "status_code"), gen
+                )
+                self.store.commit("host_state", hs, meta={"generation": gen})
+
+            self._commit_metrics(gen, n_sched, results, time.time() - t0)
+            pages_done += n_sched
+            gen += 1
+
+        out = self.store.read(spark, "results")
+        return out if out is not None else spark.createDataFrame(
+            [], FR.FRONTIER_SCHEMA
+        )
+
+    # ----------------------------------------------------------- internals
+    def _schedule(self, frontier: DataFrame, robots: DataFrame | None,
+                  cfg: CrawlConfig, pages_budget: int) -> DataFrame:
+        cand = frontier.filter(F.col("status") == "QUEUED") \
+                       .filter(F.col("retry_count") <= POL.MAX_RETRIES)
+        if cfg.score_threshold is not None:
+            cand = cand.filter(
+                (F.col("depth") == 0) | (F.col("score") >= cfg.score_threshold)
+            )
+        if cfg.policy == "bfs":
+            # level-synchronous: only the shallowest queued depth runs
+            min_depth = cand.agg(F.min("depth")).collect()[0][0]
+            if min_depth is None:
+                return cand.limit(0)
+            cand = cand.filter(F.col("depth") == min_depth)
+        elif cfg.policy == "dfs":
+            max_depth = cand.agg(F.max("depth")).collect()[0][0]
+            if max_depth is None:
+                return cand.limit(0)
+            cand = cand.filter(F.col("depth") == max_depth)
+        # best_first: no depth gate — global (score, depth, url) order
+
+        global_limit = min(
+            pages_budget,
+            cfg.batch_size if cfg.batch_size is not None else pages_budget,
+        )
+        batch = POL.schedule_batch(
+            cand, per_host_quota=cfg.per_host_quota,
+            global_limit=global_limit, n_salts=cfg.n_salts,
+        )
+        if cfg.check_robots_txt and robots is not None:
+            batch = POL.robots_allowed_col(
+                batch, robots, user_agent=cfg.user_agent
+            )
+        else:
+            batch = batch.withColumn("robots_allowed", F.lit(True))
+        return batch
+
+    def _fetch_and_process(self, batch: DataFrame, pages: DataFrame,
+                           cfg: CrawlConfig, gen: int) -> DataFrame:
+        allowed = batch.filter(F.col("robots_allowed"))
+        blocked = batch.filter(~F.col("robots_allowed"))
+
+        # the "fetch": equi-join the scheduled batch against the pages table.
+        # batch is small (quota-bounded) → broadcast it to avoid shuffling
+        # the page bodies (at 100 TB the html column must never shuffle).
+        fetched = pages.join(
+            F.broadcast(allowed.select("url", "host", "depth")), on="url", how="inner"
+        )
+        processed = process_pages(
+            fetched,
+            extraction_schema=cfg.extraction_schema,
+            content_filter=cfg.content_filter,
+            bm25_query=cfg.bm25_query,
+            word_count_threshold=cfg.word_count_threshold,
+            excluded_tags=cfg.excluded_tags,
+        )
+        # re-attach host/depth (processed keeps url) + 404s for scheduled
+        # urls missing from pages
+        meta_cols = allowed.select("url", "host", "depth")
+        processed = processed.join(meta_cols, on="url", how="inner")
+
+        missing = (
+            allowed.select("url", "host", "depth")
+            .join(pages.select("url"), on="url", how="left_anti")
+            .withColumn("status_code", F.lit(404))
+            .withColumn("success", F.lit(False))
+            .withColumn("error_message", F.lit("not in pages table"))
+        )
+        blocked403 = blocked.select("url", "host", "depth") \
+            .withColumn("status_code", F.lit(403)) \
+            .withColumn("success", F.lit(False)) \
+            .withColumn("error_message", F.lit("Access denied by robots.txt"))
+            # parity: ref async_webcrawler.py:318-331
+
+        base = processed.withColumn("generation", F.lit(gen))
+        extras = missing.unionByName(blocked403) \
+                        .withColumn("generation", F.lit(gen))
+        return base.unionByName(extras, allowMissingColumns=True)
+
+    def _advance_frontier(self, frontier: DataFrame, batch: DataFrame,
+                          results: DataFrame, cfg: CrawlConfig, gen: int) -> DataFrame:
+        # 1. mark scheduled rows COMPLETED/FAILED
+        outcome = results.select(
+            "url",
+            F.when(F.col("success"), "COMPLETED").otherwise("FAILED").alias("__new_status"),
+        )
+        updated = (
+            frontier.join(outcome, on="url", how="left")
+            .withColumn("status", F.coalesce(F.col("__new_status"), F.col("status")))
+            .drop("__new_status")
+        )
+
+        # 2. discover + enqueue new links from successful pages
+        ok = results.filter(F.col("success"))
+        links = FR.explode_links(ok, include_external=cfg.include_external)
+        cand = FR.normalize_candidates(links)
+        if cfg.score_threshold is not None:
+            cand = cand.filter(F.col("score") >= cfg.score_threshold)
+
+        if cfg.use_bloom:
+            prev_bloom = self.store.read(self.spark, "url_seen")
+            new_bloom = build_bloom(
+                frontier.select("url"), n_shards=cfg.bloom_shards,
+                capacity_per_shard=cfg.bloom_capacity_per_shard,
+                fp_rate=cfg.bloom_fp_rate,
+            )
+            bloom = merge_blooms(prev_bloom, new_bloom) if prev_bloom is not None else new_bloom
+            self.store.commit("url_seen", bloom, meta={"generation": gen})
+            bloom = self.store.read(self.spark, "url_seen")
+            fresh = filter_unseen(
+                cand, bloom, n_shards=cfg.bloom_shards,
+                capacity_per_shard=cfg.bloom_capacity_per_shard,
+                fp_rate=cfg.bloom_fp_rate,
+            ).dropDuplicates(["url"])
+        else:
+            fresh = FR.dedup_new_candidates(cand, updated)
+
+        # depth bookkeeping: children of this generation's pages
+        parent_depth = results.select(F.col("url").alias("parent_url"),
+                                      F.col("depth").alias("__pd"))
+        fresh = (
+            fresh.join(parent_depth, on="parent_url", how="left")
+            .withColumn("__pd", F.coalesce(F.col("__pd"), F.lit(gen)))
+        )
+        new_rows = (
+            fresh.filter(F.col("__pd") + 1 <= cfg.max_depth)
+            .withColumn("depth", (F.col("__pd") + 1).cast("int"))
+            .drop("__pd")
+            .withColumn("status", F.lit("QUEUED"))
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("generation", F.lit(gen + 1))
+            .select([f.name for f in FR.FRONTIER_SCHEMA.fields])
+        )
+        return updated.unionByName(new_rows)
+
+    def _commit_metrics(self, gen: int, n_sched: int, results: DataFrame,
+                        wall_secs: float) -> None:
+        m = results.groupBy("host").agg(
+            F.count("*").alias("n_urls"),
+            F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("n_failed"),
+        ).withColumn("generation", F.lit(gen)) \
+         .withColumn("n_scheduled", F.lit(n_sched)) \
+         .withColumn("wall_secs", F.lit(float(wall_secs)))
+        self.store.commit("metrics", m, mode="append", meta={"generation": gen})
+
+    # convenience accessors ------------------------------------------------
+    def results(self) -> DataFrame | None:
+        return self.store.read(self.spark, "results")
+
+    def frontier(self) -> DataFrame | None:
+        return self.store.read(self.spark, "frontier")
+
+    def metrics(self) -> DataFrame | None:
+        return self.store.read(self.spark, "metrics")

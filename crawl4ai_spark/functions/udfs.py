@@ -1,0 +1,159 @@
+"""Arrow-batched pandas UDF stages wrapping the pure HTML stack.
+
+The whole per-URL pipeline of the reference (scrape → cleaned_html →
+markdown+citations → fit_markdown → structured extraction; see
+/root/reference/crawl4ai/async_webcrawler.py:435-663 ``aprocess_html``)
+collapses into ONE ``mapInPandas`` stage here: no cross-row dependencies, so
+Catalyst pipelines it with the scan and the downstream link explosion.
+Per input_hint: vectorized Arrow batches only — no per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from crawl4ai_spark.html.content_filter import BM25ContentFilter, PruningContentFilter, fit_markdown
+from crawl4ai_spark.html.extraction import extract_json_css_str
+from crawl4ai_spark.html.markdown import add_citations, html_to_markdown
+from crawl4ai_spark.html.scraper import scrape
+
+_LINK_STRUCT = T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("base_domain", T.StringType()),
+    T.StructField("intrinsic_score", T.DoubleType()),
+]))
+_MEDIA_STRUCT = T.ArrayType(T.StructType([
+    T.StructField("src", T.StringType()),
+    T.StructField("alt", T.StringType()),
+    T.StructField("desc", T.StringType()),
+    T.StructField("score", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.StringType()),
+]))
+
+RESULTS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("status_code", T.IntegerType()),
+    T.StructField("success", T.BooleanType()),
+    T.StructField("cleaned_html", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("markdown", T.StructType([
+        T.StructField("raw_markdown", T.StringType()),
+        T.StructField("markdown_with_citations", T.StringType()),
+        T.StructField("references_markdown", T.StringType()),
+        T.StructField("fit_markdown", T.StringType()),
+        T.StructField("fit_html", T.StringType()),
+    ])),
+    T.StructField("extracted_content", T.StringType()),
+    T.StructField("links", T.StructType([
+        T.StructField("internal", _LINK_STRUCT),
+        T.StructField("external", _LINK_STRUCT),
+    ])),
+    T.StructField("media", T.StructType([
+        T.StructField("images", _MEDIA_STRUCT),
+        T.StructField("videos", _MEDIA_STRUCT),
+        T.StructField("audios", _MEDIA_STRUCT),
+    ])),
+    T.StructField("tables", T.ArrayType(T.StructType([
+        T.StructField("headers", T.ArrayType(T.StringType())),
+        T.StructField("rows", T.ArrayType(T.ArrayType(T.StringType()))),
+        T.StructField("caption", T.StringType()),
+        T.StructField("summary", T.StringType()),
+    ]))),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("error_message", T.StringType()),
+])
+
+
+def process_page(url: str, html: str, *, extraction_schema_json: str | None = None,
+                 content_filter: str = "pruning", bm25_query: str | None = None,
+                 word_count_threshold: int = 1,
+                 excluded_tags: list[str] | None = None) -> dict:
+    """Pure single-page pipeline — THE golden oracle for byte-identity tests."""
+    try:
+        s = scrape(url, html, word_count_threshold=word_count_threshold,
+                   excluded_tags=excluded_tags)
+        raw_md = html_to_markdown(s["cleaned_html"], url)
+        cited, refs = add_citations(raw_md, url)
+        if content_filter == "bm25":
+            filt = BM25ContentFilter(user_query=bm25_query)
+        else:
+            filt = PruningContentFilter()
+        fmd, fhtml = fit_markdown(html, filter_obj=filt, base_url=url)
+        extracted = (
+            extract_json_css_str(html, extraction_schema_json)
+            if extraction_schema_json else None
+        )
+        return {
+            "url": url,
+            "status_code": 200,
+            "success": True,
+            "cleaned_html": s["cleaned_html"],
+            "text": s["text"],
+            "markdown": {
+                "raw_markdown": raw_md,
+                "markdown_with_citations": cited,
+                "references_markdown": refs,
+                "fit_markdown": fmd,
+                "fit_html": fhtml,
+            },
+            "extracted_content": extracted,
+            "links": s["links"],
+            "media": s["media"],
+            "tables": s["tables"],
+            "metadata": s["metadata"],
+            "error_message": None,
+        }
+    except Exception as e:  # one bad page must not kill the Arrow batch
+        return {
+            "url": url, "status_code": 500, "success": False,
+            "cleaned_html": "", "text": "",
+            "markdown": {"raw_markdown": "", "markdown_with_citations": "",
+                         "references_markdown": "", "fit_markdown": "", "fit_html": ""},
+            "extracted_content": None,
+            "links": {"internal": [], "external": []},
+            "media": {"images": [], "videos": [], "audios": []},
+            "tables": [], "metadata": {},
+            "error_message": f"{type(e).__name__}: {e}",
+        }
+
+
+def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = None,
+                  content_filter: str = "pruning", bm25_query: str | None = None,
+                  word_count_threshold: int = 1,
+                  excluded_tags: list[str] | None = None) -> DataFrame:
+    """pages(url, html binary, ...) → results (RESULTS_SCHEMA), one Arrow stage."""
+    schema_json = (
+        json.dumps(extraction_schema) if isinstance(extraction_schema, dict)
+        else extraction_schema
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    h = ""
+                elif isinstance(html, (bytes, bytearray)):
+                    h = bytes(html).decode("utf-8", errors="replace")
+                else:
+                    h = str(html)
+                rows.append(process_page(
+                    url, h, extraction_schema_json=schema_json,
+                    content_filter=content_filter, bm25_query=bm25_query,
+                    word_count_threshold=word_count_threshold,
+                    excluded_tags=excluded_tags,
+                ))
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(run, RESULTS_SCHEMA)

@@ -1,0 +1,188 @@
+"""Per-host politeness + robots.txt gate (F12, F15, F16).
+
+Parity targets:
+- RateLimiter (/root/reference/crawl4ai/async_dispatcher.py:28-85): per-host
+  base delay U(1,3)s, exponential backoff ×2×jitter(0.75–1.25) on 429/503
+  capped at 60s, decay ×0.75 on success, 3 retries. The reference keeps this
+  as an in-process dict; here it is a ``host_state`` snapshot table updated
+  per generation with ``applyInPandas`` per host group.
+- robots gate (utils.py:313-365 + async_webcrawler.py:318-331): stdlib
+  ``urllib.robotparser`` over cached rules, fail-open when no rules row;
+  blocked rows get status_code=403 + 'Access denied by robots.txt'.
+
+Scale design (the north rule's skew clause): the per-host quota is a
+two-stage ranked window — stage 1 ranks within SALTED buckets
+``(host, xxhash64(url) % n_salts)`` so one hot host cannot serialize a
+partition, stage 2 re-ranks the ≤ quota·n_salts survivors per host. Both
+windows shuffle only candidate keys, never page bodies.
+
+Jitter is seeded-deterministic (md5 of host+generation) so two runs of the
+same crawl schedule identical batches — the reproducibility rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import urllib.robotparser
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HOST_STATE_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("current_delay", T.DoubleType()),
+    T.StructField("fail_count", T.IntegerType()),
+    T.StructField("last_request_ts", T.DoubleType()),
+    T.StructField("next_allowed_ts", T.DoubleType()),
+])
+
+MAX_DELAY = 60.0   # ref async_dispatcher.py:36
+MAX_RETRIES = 3    # ref :37
+
+
+def det_uniform(key: str, lo: float, hi: float) -> float:
+    """Deterministic stand-in for random.uniform(lo, hi), keyed by md5."""
+    h = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+    return lo + (hi - lo) * (h / 2**64)
+
+
+def base_delay(host: str, generation: int = 0) -> float:
+    """U(1,3) seconds, deterministic per (host, generation) — ref :31."""
+    return det_uniform(f"{host}#{generation}", 1.0, 3.0)
+
+
+# ---------------------------------------------------------------------------
+# scheduling window: per-host quota with salting (F12 + F8)
+# ---------------------------------------------------------------------------
+
+def schedule_batch(candidates: DataFrame, *, per_host_quota: int = 10,
+                   global_limit: int | None = None, n_salts: int = 8) -> DataFrame:
+    """Pick ≤ quota URLs per host (highest score first, stable ties), then
+    optionally cap the global batch by the same priority order.
+
+    Two-stage top-k: salted local rank (kills host skew) → exact host rank.
+    Ordering key = (score DESC, depth ASC, url ASC) — the best-first priority
+    tuple of the reference (bff_strategy.py:19,130-215: (-score, depth, url)).
+    """
+    order = [F.col("score").desc(), F.col("depth").asc(), F.col("url").asc()]
+
+    salted = candidates.withColumn(
+        "__salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    stage1 = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= per_host_quota)   # ≤ quota per salt bucket
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = stage1.withColumn("__rk", F.row_number().over(w2)) \
+                   .filter(F.col("__rk") <= per_host_quota).drop("__rk")
+
+    if global_limit is not None:
+        wg = Window.orderBy(*order)
+        ranked = ranked.withColumn("__g", F.row_number().over(wg)) \
+                       .filter(F.col("__g") <= global_limit).drop("__g")
+    return ranked
+
+
+# ---------------------------------------------------------------------------
+# robots gate (F15)
+# ---------------------------------------------------------------------------
+
+def robots_allowed_col(df: DataFrame, robots: DataFrame, *,
+                       user_agent: str = "*", url_col: str = "url",
+                       host_col: str = "host") -> DataFrame:
+    """Broadcast-join robots rules on host; evaluate stdlib robotparser in an
+    Arrow batch (parser built once per distinct host within the batch).
+    No rules row → allowed (fail-open, ref utils.py:348-355). Adds a boolean
+    ``robots_allowed`` column."""
+    joined = df.join(
+        F.broadcast(robots.select(F.col("host").alias(host_col), "rules")),
+        on=host_col, how="left",
+    )
+    cols = df.columns + ["robots_allowed"]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("robots_allowed", T.BooleanType())]
+    )
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsers: dict[str, urllib.robotparser.RobotFileParser | None] = {}
+            allowed = []
+            for u, h, rules in zip(pdf[url_col], pdf[host_col], pdf["rules"]):
+                if rules is None or (isinstance(rules, float) and pd.isna(rules)):
+                    allowed.append(True)  # fail-open
+                    continue
+                rp = parsers.get(h)
+                if rp is None:
+                    rp = urllib.robotparser.RobotFileParser()
+                    rp.parse(str(rules).splitlines())
+                    parsers[h] = rp
+                try:
+                    allowed.append(bool(rp.can_fetch(user_agent, u)))
+                except Exception:
+                    allowed.append(True)  # fail-open on parse weirdness
+            pdf = pdf.copy()
+            pdf["robots_allowed"] = allowed
+            yield pdf[cols]
+
+    return joined.mapInPandas(gate, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# host state update (F12 backoff/decay, F16 retries)
+# ---------------------------------------------------------------------------
+
+def update_host_state(prev_state: DataFrame | None, batch_results: DataFrame,
+                      generation: int) -> DataFrame:
+    """Fold one generation's per-host outcomes into host_state.
+
+    batch_results needs (host, status_code). Backoff semantics per ref
+    async_dispatcher.py:65-85: 429/503 → delay = min(delay·2·jitter, 60),
+    fail_count+1; success → delay = max(base, delay·0.75)."""
+    agg = batch_results.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("status_code").isin(429, 503), 1).otherwise(0)).alias("n_limited"),
+    )
+    if prev_state is not None:
+        merged = agg.join(prev_state, on="host", how="full")
+    else:
+        merged = (
+            agg.withColumn("current_delay", F.lit(None).cast("double"))
+            .withColumn("fail_count", F.lit(None).cast("int"))
+            .withColumn("last_request_ts", F.lit(None).cast("double"))
+            .withColumn("next_allowed_ts", F.lit(None).cast("double"))
+        )
+
+    gen = generation
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            host = r.host
+            delay = r.current_delay if pd.notna(r.current_delay) else base_delay(host, gen)
+            fails = int(r.fail_count) if pd.notna(r.fail_count) else 0
+            last = r.last_request_ts if pd.notna(r.last_request_ts) else 0.0
+            n = int(r.n) if pd.notna(r.n) else 0
+            n_limited = int(r.n_limited) if pd.notna(r.n_limited) else 0
+            if n > 0:
+                if n_limited > 0:
+                    jitter = det_uniform(f"{host}#bk#{gen}", 0.75, 1.25)
+                    delay = min(delay * 2.0 * jitter, MAX_DELAY)
+                    fails += n_limited
+                else:
+                    delay = max(base_delay(host, gen), delay * 0.75)
+                last = float(gen)
+            out.append((host, float(delay), fails, last, last + delay))
+        return pd.DataFrame(out, columns=[f.name for f in HOST_STATE_SCHEMA.fields])
+
+    return merged.groupBy("host").applyInPandas(
+        lambda pdf: fold(pdf), HOST_STATE_SCHEMA
+    )

@@ -1,0 +1,210 @@
+"""Deterministic synthetic Common-Crawl-style `pages` table generator.
+
+Shape per BASELINE.json input_hint:
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Generated fully distributed — ``spark.range(n).mapInPandas(...)`` — so the
+same generator scales from 1k test rows to bench millions without any driver
+data. Everything derives from the row id via md5, no RNG state (mirrors the
+reference's hermetic dummy-site generator,
+/root/reference/tests/general/generate_dummy_site.py, in spirit).
+
+Site model (FIXTURES.md §3): per host a binary link tree (page p → children
+2p+1, 2p+2), 10% cross-host edges, duplicate edges (to exercise URL-seen),
+tracking-param variants of the same target (to exercise canonicalization
+collapsing), and robots-disallowed branches (/p3 subtree on every 3rd host;
+last host fully disallowed).
+
+The ``text`` column is the byte-identity oracle: it is computed at generation
+time by the same pure ``scrape()`` that the Spark pipeline runs, so pytest can
+assert pipeline-output == stored-text per url.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from crawl4ai_spark.html.scraper import scrape
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+_WORDS = (
+    "spark crawl frontier engine parquet shuffle partition broadcast window "
+    "markdown extract schema robots politeness bloom filter snapshot lineage "
+    "throughput executor arrow pandas vector batch catalyst codegen prune "
+    "quality content article heading paragraph tutorial guide data table"
+).split()
+
+
+def _h(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def host_name(h: int) -> str:
+    # distinct registrable domain per host so cross-host links classify as
+    # external (is_external suffix-matches the base domain)
+    return f"www.host{h}.com"
+
+
+def page_url(h: int, p: int) -> str:
+    return f"https://{host_name(h)}/p{p}"
+
+
+def _para(h: int, p: int, k: int, n: int = 30) -> str:
+    words = [_WORDS[_h(f"{h}/{p}/{k}/{i}") % len(_WORDS)] for i in range(n)]
+    return " ".join(words)
+
+
+def child_links(h: int, p: int, n_hosts: int, pages_per_host: int) -> list[str]:
+    """The raw (messy, pre-normalization) hrefs embedded in page (h, p)."""
+    links: list[str] = []
+    for c in (2 * p + 1, 2 * p + 2):
+        if c < pages_per_host:
+            if c % 3 == 0:
+                links.append(f"/p{c}?utm_source=feed&utm_campaign=x")  # tracking variant
+            elif c % 3 == 1:
+                links.append(f"p{c}")                              # relative
+            else:
+                links.append(page_url(h, c) + "/")                 # trailing slash
+    # duplicate edge: also link to own sibling (same target discovered twice)
+    if p > 0:
+        sib = p - 1 if p % 2 == 0 else p + 1
+        if sib < pages_per_host:
+            links.append(f"/p{sib}#section")                       # fragment variant
+    # 10% cross-host edge
+    if p % 10 == 0 and n_hosts > 1:
+        links.append(page_url((h + 1) % n_hosts, 0))
+    return links
+
+
+def build_html(h: int, p: int, n_hosts: int, pages_per_host: int) -> str:
+    """One deterministic page; template rotates by p % 8 (FIXTURES.md §1)."""
+    t = p % 8
+    title = f"host{h} page{p} {_WORDS[_h(f't{h}/{p}') % len(_WORDS)]}"
+    anchors = "".join(
+        f'<a href="{href}">link to {href.split("?")[0].split("#")[0].split("/")[-1] or "home"}</a> '
+        for href in child_links(h, p, n_hosts, pages_per_host)
+    )
+    head = (
+        f"<head><title>{title}</title>"
+        f'<meta name="description" content="{_para(h, p, 9, 8)}">'
+        f'<meta property="og:title" content="{title}"></head>'
+    )
+    if t == 0:  # article
+        body = (
+            f"<article><h1>{title}</h1><p>{_para(h, p, 0)}</p><p>{_para(h, p, 1)}</p>"
+            f'<div class="sidebar">{anchors}</div></article>'
+        )
+    elif t == 1:  # link farm
+        body = f"<nav>{anchors}</nav><p>{_para(h, p, 0, 12)}</p>"
+    elif t == 2:  # media
+        body = (
+            f'<h1>{title}</h1><img src="img{p}.jpg" alt="image {p}" width="640">'
+            f'<img src="icon.png" width="16"><p>{_para(h, p, 0)}</p><div>{anchors}</div>'
+        )
+    elif t == 3:  # table
+        rows = "".join(
+            f"<tr><td>r{i}</td><td>{_h(f'{h}/{p}/cell{i}') % 1000}</td></tr>" for i in range(4)
+        )
+        body = (
+            f"<h1>{title}</h1><table><caption>data {p}</caption>"
+            f"<tr><th>key</th><th>value</th></tr>{rows}</table>"
+            f"<p>{_para(h, p, 0)}</p><div>{anchors}</div>"
+        )
+    elif t == 4:  # product list
+        prods = "".join(
+            f'<div class="product"><h2 class="title">item {p}-{i}</h2>'
+            f'<span class="price">${(_h(f"{h}/{p}/pr{i}") % 9000) / 100 + 10:.2f}</span>'
+            f'<a href="/p{p}/item{i}">view</a></div>'
+            for i in range(3)
+        )
+        body = f"<h1>{title}</h1>{prods}<p>{_para(h, p, 0)}</p><div>{anchors}</div>"
+    elif t == 5:  # head-metadata heavy
+        body = f"<main><h1>{title}</h1><p>{_para(h, p, 0)}</p><div>{anchors}</div></main>"
+    elif t == 6:  # code page
+        body = (
+            f"<h1>{title}</h1><pre><code>def f_{p}():\n    return {p}</code></pre>"
+            f"<p>{_para(h, p, 0)}</p><div>{anchors}</div>"
+        )
+    else:  # edge: shallow page, malformed-ish
+        body = f"<div><p>{_para(h, p, 0, 10)}<div>{anchors}"
+    return f"<html>{head}<body>{body}</body></html>"
+
+
+def gen_page(h: int, p: int, n_hosts: int, pages_per_host: int) -> dict:
+    url = page_url(h, p)
+    html = build_html(h, p, n_hosts, pages_per_host)
+    text = scrape(url, html)["text"]
+    lang = "de" if p % 13 == 5 else ("fr" if p % 29 == 7 else "en")
+    ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+        seconds=_h(url) % (86400 * 300)
+    )
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+
+
+def generate_pages(
+    spark: SparkSession, n_hosts: int = 10, pages_per_host: int = 31,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed generation: one row per (host, page) id."""
+    total = n_hosts * pages_per_host
+    rng = spark.range(total, numPartitions=partitions or min(32, max(2, total // 256)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                gen_page(int(i) // pages_per_host, int(i) % pages_per_host,
+                         n_hosts, pages_per_host)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    return rng.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def generate_seeds(spark: SparkSession, n_hosts: int = 10) -> DataFrame:
+    """Seed list: root page of each host, priority 0 (FIXTURES.md §2)."""
+    return spark.createDataFrame(
+        [(page_url(h, 0), 0.0) for h in range(n_hosts)], ["url", "priority"]
+    )
+
+
+def robots_rules(h: int, n_hosts: int) -> str:
+    if h == n_hosts - 1 and n_hosts > 1:
+        return "User-agent: *\nDisallow: /\n"
+    if h % 3 == 0:
+        return "User-agent: *\nDisallow: /p3\n"
+    return "User-agent: *\nDisallow:\n"
+
+
+def generate_robots(spark: SparkSession, n_hosts: int = 10,
+                    fetch_time: int = 1735689600) -> DataFrame:
+    """robots table (host, rules, fetch_time, hash) — FIXTURES.md §4.
+    One host (h≡1 mod 7, h>0) gets NO row at all → fail-open path."""
+    rows = []
+    for h in range(n_hosts):
+        if h % 7 == 1 and h > 0:
+            continue  # missing robots → fail-open (ref utils.py:348-355)
+        rules = robots_rules(h, n_hosts)
+        rows.append((host_name(h), rules, fetch_time,
+                     hashlib.md5(rules.encode()).hexdigest()))
+    return spark.createDataFrame(rows, ["host", "rules", "fetch_time", "hash"])

@@ -1,0 +1,93 @@
+"""Snapshot-versioned table store (Iceberg-style semantics over parquet).
+
+The north rule calls for Iceberg tables; no Iceberg runtime jar ships in this
+sandbox, so this module provides the same *operational contract* behind one
+small API that an Iceberg catalog could replace 1:1:
+
+- every commit is atomic (data files written first, then a manifest JSON
+  renamed into place — readers never see partial data);
+- every table keeps its full snapshot history → time travel + resume from any
+  snapshot id (the reference's CacheMode/CrawlState.save-load analog,
+  /root/reference/crawl4ai/adaptive_crawler.py:53-131);
+- append commits reference prior data files instead of rewriting them.
+
+A crawl generation commits frontier/results/host_state/url_seen snapshots
+with the same ``generation`` number — that tuple is the checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- helpers -------------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_dir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_snapshots")
+
+    def _manifest_path(self, table: str, sid: int) -> str:
+        return os.path.join(self._manifest_dir(table), f"{sid:08d}.json")
+
+    def snapshot_ids(self, table: str) -> list[int]:
+        d = self._manifest_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def latest_id(self, table: str) -> int | None:
+        ids = self.snapshot_ids(table)
+        return ids[-1] if ids else None
+
+    def _read_manifest(self, table: str, sid: int) -> dict:
+        with open(self._manifest_path(table, sid)) as f:
+            return json.load(f)
+
+    # -- write ----------------------------------------------------------------
+    def commit(self, table: str, df: DataFrame, *, mode: str = "overwrite",
+               snapshot_id: int | None = None, meta: dict | None = None) -> int:
+        """Write ``df`` as a new snapshot of ``table``. ``mode='append'``
+        carries forward the previous snapshot's data dirs."""
+        prev = self.latest_id(table)
+        sid = snapshot_id if snapshot_id is not None else (0 if prev is None else prev + 1)
+        data_dir = os.path.join(self._tdir(table), "data", f"s{sid:08d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(data_dir)
+
+        dirs = [data_dir]
+        if mode == "append" and prev is not None:
+            dirs = self._read_manifest(table, prev)["dirs"] + dirs
+
+        os.makedirs(self._manifest_dir(table), exist_ok=True)
+        manifest = {"id": sid, "dirs": dirs, "meta": meta or {}}
+        tmp = self._manifest_path(table, sid) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table, sid))  # atomic publish
+        return sid
+
+    # -- read ------------------------------------------------------------------
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: int | None = None) -> DataFrame | None:
+        sid = snapshot_id if snapshot_id is not None else self.latest_id(table)
+        if sid is None:
+            return None
+        dirs = self._read_manifest(table, sid)["dirs"]
+        return spark.read.parquet(*dirs)
+
+    def meta(self, table: str, snapshot_id: int | None = None) -> dict:
+        sid = snapshot_id if snapshot_id is not None else self.latest_id(table)
+        if sid is None:
+            return {}
+        return self._read_manifest(table, sid).get("meta", {})
