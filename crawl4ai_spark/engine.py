@@ -90,7 +90,9 @@ class SparkWebEngine:
             pages_done = 0
 
         gen = start_gen
-        max_gens = max_generations if max_generations is not None else cfg.max_depth + 1
+        # run until the frontier drains (max_depth/max_pages bound the loop);
+        # max_generations is for tests / partial runs
+        max_gens = max_generations if max_generations is not None else 1 << 20
 
         while gen < start_gen + max_gens and pages_done < cfg.max_pages:
             t0 = time.time()

@@ -79,7 +79,7 @@ def _extract_field(el: Node, field: dict):
         sel = field.get("selector")
         cands = select(el, sel) if sel else []
         sub = field.get("fields", [])
-        if ftype == "list" and len(sub) == 1 and sub[0].get("type") in (None, "text"):
+        if not sub:  # bare list → text values
             return [c.text(strip=True) for c in cands]
         return [
             {f["name"]: _extract_field(c, f) for f in sub} for c in cands

@@ -342,7 +342,11 @@ def scrape(
     base_url = url
     base_el = root.find("base")
     if base_el is not None and base_el.get("href"):
-        base_url = U.normalize_url(base_el.get("href"), url) or url
+        # plain urljoin — must keep the trailing slash, it changes how
+        # relative hrefs resolve
+        from urllib.parse import urljoin
+
+        base_url = urljoin(url, base_el.get("href").strip())
 
     metadata = extract_metadata(root)
     body = root.find("body") or root

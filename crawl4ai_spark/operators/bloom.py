@@ -64,7 +64,9 @@ def _set_bits(bits: np.ndarray, urls, m: int, k: int) -> int:
         if u is None:
             continue
         pos = _positions(u, m, k)
-        bits[pos >> 3] |= np.left_shift(1, (pos & 7)).astype(np.uint8)
+        # bitwise_or.at: fancy-indexed |= silently drops duplicate byte
+        # indices (two hash positions in one byte) — .at accumulates
+        np.bitwise_or.at(bits, pos >> 3, np.left_shift(1, (pos & 7)).astype(np.uint8))
         n += 1
     return n
 

@@ -1,0 +1,190 @@
+"""Spark integration tests: byte-identity (T1), BFS ordering parity vs the
+single-process oracle (T2), Bloom FP-safety (T3), snapshot resume (T4),
+politeness quota + robots gate."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+from crawl4ai_spark.functions.udfs import process_page, process_pages
+from crawl4ai_spark.operators.bloom import build_bloom, filter_unseen, merge_blooms
+from crawl4ai_spark.operators.politeness import schedule_batch
+from crawl4ai_spark.sources.pagesgen import (
+    gen_page,
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+)
+from crawl4ai_spark.sources.snapshots import SnapshotStore
+
+from oracle_crawler import oracle_bfs
+
+N_HOSTS, PPH = 4, 15
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages(spark, n_hosts=N_HOSTS, pages_per_host=PPH).cache()
+    df.count()
+    return df
+
+
+# ---------------------------------------------------------------- T1 --------
+def test_byte_identity_text_column(spark, pages):
+    """Spark pipeline text == the oracle text stored at generation time."""
+    res = process_pages(pages)
+    bad = (
+        res.alias("r").join(pages.alias("p"), "url")
+        .filter("r.text != p.text").count()
+    )
+    assert bad == 0
+
+
+def test_byte_identity_full_record(spark, pages):
+    """Every output column byte-equal to the pure single-process pipeline."""
+    rows = process_pages(pages).orderBy("url").limit(10).collect()
+    for r in rows:
+        h, p = r.url.split("host")[1].split(".com/p")
+        golden = process_page(r.url, bytes(
+            gen_page(int(h), int(p), N_HOSTS, PPH)["html"]).decode())
+        assert r.cleaned_html == golden["cleaned_html"]
+        assert r.markdown.raw_markdown == golden["markdown"]["raw_markdown"]
+        assert r.markdown.markdown_with_citations == golden["markdown"]["markdown_with_citations"]
+        assert r.markdown.fit_markdown == golden["markdown"]["fit_markdown"]
+        assert r.metadata == golden["metadata"]
+        assert [l.href for l in r.links.internal] == [l["href"] for l in golden["links"]["internal"]]
+
+
+# ---------------------------------------------------------------- T2 --------
+def test_bfs_parity_with_oracle(spark, pages, tmp_store):
+    cfg = CrawlConfig(max_depth=3, max_pages=500, per_host_quota=10, policy="bfs")
+    eng = SparkWebEngine(spark, tmp_store)
+    robots = generate_robots(spark, n_hosts=N_HOSTS)
+    res = eng.run(pages, generate_seeds(spark, n_hosts=N_HOSTS),
+                  robots=robots, config=cfg)
+
+    oracle = oracle_bfs(N_HOSTS, PPH, max_depth=3, max_pages=500, per_host_quota=10)
+    got = {
+        int(r["generation"]): set(r["urls"])
+        for r in res.groupBy("generation")
+        .agg(F.collect_set("url").alias("urls")).collect()
+    }
+    assert len(got) == len(oracle), (sorted(got), len(oracle))
+    for g in oracle:
+        assert got[g["generation"]] == g["scheduled"], f"gen {g['generation']}"
+
+    # completed/blocked split matches too
+    comp = {
+        int(r["generation"]): set(r["urls"])
+        for r in res.filter("success").groupBy("generation")
+        .agg(F.collect_set("url").alias("urls")).collect()
+    }
+    for g in oracle:
+        assert comp.get(g["generation"], set()) == g["completed"]
+
+
+# ---------------------------------------------------------------- T3 --------
+def test_bloom_no_false_negatives(spark):
+    seen = spark.range(5000).selectExpr("concat('https://h', id % 50, '.com/p', id) as url")
+    bloom = build_bloom(seen, n_shards=8, capacity_per_shard=2000, fp_rate=0.01).cache()
+    # every seen url must be filtered out (no false negatives)
+    out = filter_unseen(seen, bloom, n_shards=8, capacity_per_shard=2000, fp_rate=0.01)
+    assert out.count() == 0
+    # fresh urls: FP rate bounded (generous 5x margin on 1%)
+    fresh = spark.range(5000).selectExpr(
+        "concat('https://fresh', id % 50, '.org/q', id) as url")
+    kept = filter_unseen(fresh, bloom, n_shards=8, capacity_per_shard=2000, fp_rate=0.01)
+    fp = 5000 - kept.count()
+    assert fp <= 5000 * 0.05, f"false positive rate too high: {fp}/5000"
+
+
+def test_bloom_merge(spark):
+    a = spark.range(100).selectExpr("concat('https://a.com/', id) as url")
+    b = spark.range(100, 200).selectExpr("concat('https://a.com/', id) as url")
+    ba = build_bloom(a, n_shards=4, capacity_per_shard=1000)
+    bb = build_bloom(b, n_shards=4, capacity_per_shard=1000)
+    merged = merge_blooms(ba, bb).cache()
+    both = a.union(b)
+    assert filter_unseen(both, merged, n_shards=4, capacity_per_shard=1000).count() == 0
+    assert merged.agg(F.sum("n_items")).collect()[0][0] == 200
+
+
+# ---------------------------------------------------------------- T4 --------
+def test_resume_equals_uninterrupted(spark, pages, tmp_store):
+    import os
+
+    robots = generate_robots(spark, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, n_hosts=N_HOSTS)
+    cfg = CrawlConfig(max_depth=3, max_pages=500, per_host_quota=10)
+
+    full_root = os.path.join(tmp_store, "full")
+    res_full = SparkWebEngine(spark, full_root).run(pages, seeds, robots=robots, config=cfg)
+    full = {(r.url, r.generation, r.status_code) for r in res_full.collect()}
+
+    part_root = os.path.join(tmp_store, "part")
+    eng = SparkWebEngine(spark, part_root)
+    eng.run(pages, seeds, robots=robots, config=cfg, max_generations=2)
+    eng2 = SparkWebEngine(spark, part_root)  # "crash", new engine, same store
+    res2 = eng2.run(pages, seeds, robots=robots, config=cfg, resume=True)
+    resumed = {(r.url, r.generation, r.status_code) for r in res2.collect()}
+    assert resumed == full
+
+
+# ----------------------------------------------------- politeness/robots ----
+def test_per_host_quota_enforced(spark):
+    cand = spark.range(1000).selectExpr(
+        "concat('https://h', id % 3, '.com/p', id) as url",
+        "concat('h', id % 3, '.com') as host",
+        "cast(id % 7 as double) as score",
+        "cast(1 as int) as depth",
+    )
+    out = schedule_batch(cand, per_host_quota=5, n_salts=4)
+    counts = out.groupBy("host").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+    # picks the highest scores per host
+    top = out.filter("host = 'h0.com'").agg(F.min("score")).collect()[0][0]
+    assert top == 6.0  # all five picked rows have the max score 6
+
+
+def test_schedule_deterministic(spark):
+    cand = spark.range(500).selectExpr(
+        "concat('https://h', id % 5, '.com/p', id) as url",
+        "concat('h', id % 5, '.com') as host",
+        "cast(id % 3 as double) as score",
+        "cast(1 as int) as depth",
+    )
+    a = sorted(r.url for r in schedule_batch(cand, per_host_quota=4).collect())
+    b = sorted(r.url for r in schedule_batch(cand, per_host_quota=4).collect())
+    assert a == b
+
+
+def test_robots_gate_blocks_and_fails_open(spark, pages, tmp_store):
+    robots = generate_robots(spark, n_hosts=N_HOSTS)
+    eng = SparkWebEngine(spark, tmp_store)
+    res = eng.run(pages, generate_seeds(spark, n_hosts=N_HOSTS), robots=robots,
+                  config=CrawlConfig(max_depth=2, max_pages=300, per_host_quota=30))
+    # host3 (last) fully disallowed → all its rows 403
+    h3 = res.filter(F.col("url").contains("host3.com")).select("status_code").collect()
+    assert h3 and all(r.status_code == 403 for r in h3)
+    # host1 ≡ 1 mod 7 → no robots row → fail-open, pages crawl fine
+    h1_ok = res.filter(F.col("url").contains("host1.com") & F.col("success")).count()
+    assert h1_ok > 0
+    # host0 (0 mod 3): /p3 subtree blocked
+    blocked = res.filter(F.col("url") == "https://www.host0.com/p3").collect()
+    if blocked:
+        assert blocked[0].status_code == 403
+
+
+# ----------------------------------------------------------- snapshots ------
+def test_snapshot_store_time_travel(spark, tmp_store):
+    store = SnapshotStore(tmp_store)
+    df1 = spark.range(3).selectExpr("id as x")
+    df2 = spark.range(10, 15).selectExpr("id as x")
+    s0 = store.commit("t", df1, meta={"k": 1})
+    s1 = store.commit("t", df2, mode="append")
+    assert store.read(spark, "t", s0).count() == 3
+    assert store.read(spark, "t", s1).count() == 8
+    assert store.read(spark, "t").count() == 8
+    assert store.latest_id("t") == s1
+    assert store.meta("t", s0) == {"k": 1}
