@@ -1,0 +1,192 @@
+"""Relational-core operators (SURVEY.md §2.4): aggregation, broadcast join,
+window top-k, and event sessionization (the batch expression of the
+streaming-style session analysis; the Structured Streaming variant lives in
+crawl4ai_spark/streaming/).
+
+These mirror the reference's aggregation surface (FilterStats/ScoringStats/
+TraversalStats — /root/reference/crawl4ai/deep_crawling/filters.py:19-37,
+scorers.py:26-62) generalized to the star-schema testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawl4ai_spark.ops.common import e6, tbl
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style map-side-combinable aggregation over lineitem.
+    Partial aggregation (map-side combine) keeps the shuffle tiny at 100 TB."""
+    li = tbl(spark, sf_dir, "lineitem")
+    # determinism: quantize per row to bigint, THEN sum — double-sum order
+    # differs between engines/partitions and would shift the last digits
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(e6(F.col("l_quantity"))).cast("long").alias("sum_qty_e6"),
+            F.sum(e6(F.col("l_extendedprice"))).cast("long").alias("sum_base_price_e6"),
+            F.sum(e6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long").alias("sum_disc_price_e6"),
+            F.round(F.sum(e6(F.col("l_quantity"))).cast("double") / F.count("*"))
+            .cast("long").alias("avg_qty_e6"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) AS BIGINT) AS sum_qty_e6,
+       CAST(sum(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_base_price_e6,
+       CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) AS BIGINT) AS sum_disc_price_e6,
+       CAST(ROUND(CAST(sum(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) AS avg_qty_e6,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer+nation: fact×dim joins with the dims broadcast
+    (customer/nation are small dims — never shuffle the fact table on them)."""
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(e6(F.col("o_totalprice"))).cast("long").alias("revenue_e6"),
+             F.count("*").cast("long").alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("revenue_e6"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+SQL_JOIN_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(sum(CAST(ROUND(o.o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS revenue_e6,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY revenue_e6 DESC, c_custkey ASC) AS BIGINT) AS rk
+  FROM rev
+) WHERE rk <= 20
+"""
+
+
+def q_window_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice — the same window-rank pattern
+    that implements best-first frontier scheduling (SURVEY.md §2 F8)."""
+    orders = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", e6(F.col("o_totalprice")).alias("totalprice_e6"), "rk")
+    )
+
+
+SQL_WINDOW_ORDER_RANKS = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 1e6) AS BIGINT) AS totalprice_e6, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch equivalent of a session window over the event stream."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("epoch", F.unix_timestamp("ts").cast("long"))
+        .withColumn("prev", F.lag("epoch").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(F.col("prev").isNull() | (F.col("epoch") - F.col("prev") > 1800), 1).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("epoch") - F.min("epoch")).cast("long").alias("duration_s"),
+        F.sum(e6(F.col("value"))).cast("long").alias("sum_value_e6"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH e AS (
+  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, event_id, value, epoch,
+         CASE WHEN prev IS NULL OR epoch - prev > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), n AS (
+  SELECT user_id, event_id, value, epoch,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM s
+)
+SELECT user_id, session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(epoch) - min(epoch) AS BIGINT) AS duration_s,
+       CAST(sum(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM n GROUP BY user_id, session_no
+"""
+
+
+def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window counts per event type (batch expression of
+    the streaming windowed aggregation in crawl4ai_spark/streaming/)."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", (F.unix_timestamp("ts") / 600).cast("long"))
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(e6(F.col("value"))).cast("long").alias("sum_value_e6"))
+    )
+
+
+SQL_EVENTS_WINDOWED_COUNTS = """
+SELECT CAST(floor(floor(epoch(ts)) / 600) AS BIGINT) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_top_customers": q_join_top_customers,
+    "window_order_ranks": q_window_order_ranks,
+    "sessionize_events": q_sessionize_events,
+    "events_windowed_counts": q_events_windowed_counts,
+}
+ORACLES = {
+    "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
+    "join_top_customers": SQL_JOIN_TOP_CUSTOMERS,
+    "window_order_ranks": SQL_WINDOW_ORDER_RANKS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
+}

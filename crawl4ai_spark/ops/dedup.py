@@ -1,0 +1,309 @@
+"""Deduplication operators over the ``documents`` table — the training-data
+pipeline layer (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design (100 TB): every variant is shuffle-bounded by the *shingle* or
+*signature* key, never by document pairs — candidate pairs only materialize
+after a bucket join (LSH bands / shared shingles), which is the standard
+web-scale near-dup pipeline (the reference's per-crawl content hash,
+/root/reference/crawl4ai/utils.py:2825-2828, generalized to corpus-level).
+
+Determinism: hashes are md5 hex (lower in both engines); min-hashes compare
+lexicographically on hex strings, so no int conversion is needed anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawl4ai_spark.ops.common import e6, tbl
+
+N_PERMS = 16        # minhash permutations
+N_BANDS = 4         # LSH bands (4 rows per band)
+SHINGLE_K = 12      # char-shingle length
+SHINGLE_STRIDE = 4
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct char 12-gram shingle hashes per doc (stride 4)."""
+    d = tbl(spark, sf_dir, "documents")
+    pos = spark.range(0, 256).select(F.col("id").alias("i"))
+    return (
+        d.select("doc_id", F.lower("text").alias("t"))
+        .join(pos, F.lit(SHINGLE_STRIDE) * F.col("i") + SHINGLE_K <= F.length("t"))
+        .select(
+            "doc_id",
+            F.md5(F.substring(
+                F.col("t"),
+                (F.lit(SHINGLE_STRIDE) * F.col("i") + 1).cast("int"),
+                SHINGLE_K,
+            )).alias("h"),
+        )
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT d.doc_id,
+         md5(substr(lower(d.text), CAST({SHINGLE_STRIDE} * p.i + 1 AS INT), {SHINGLE_K})) AS h
+  FROM documents d, range(256) p(i)
+  WHERE {SHINGLE_STRIDE} * p.i + {SHINGLE_K} <= length(d.text)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text normalization: hash-groupBy, keep min doc_id
+    (maps to a single shuffle on the 16-byte content hash at any scale)."""
+    d = tbl(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " "))
+    return (
+        d.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("keep_doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 near-dup candidate pairs by exact shingle-set Jaccard.
+    Pairs come from a join on the shingle key (not a cross join) — at scale
+    only docs sharing a shingle ever meet."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "s1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "s2"), "d2")
+        .withColumn("jaccard_e6",
+                    e6(F.col("n_inter") / (F.col("s1") + F.col("s2") - F.col("n_inter"))))
+    )
+    w = Window.orderBy(F.desc("jaccard_e6"), F.asc("d1"), F.asc("d2"))
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("d1").cast("long"), F.col("d2").cast("long"),
+                F.col("n_inter").cast("long"), "jaccard_e6", "rk")
+    )
+
+
+SQL_DEDUP_NGRAM_PAIRS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT i.d1, i.d2, i.n_inter,
+         CAST(ROUND(CAST(i.n_inter AS DOUBLE) / (s1.sz + s2.sz - i.n_inter) * 1e6) AS BIGINT) AS jaccard_e6
+  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(n_inter AS BIGINT) AS n_inter, jaccard_e6, rk
+FROM (SELECT *, CAST(row_number() OVER (ORDER BY jaccard_e6 DESC, d1 ASC, d2 ASC) AS BIGINT) AS rk FROM j)
+WHERE rk <= 20
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: perm p's hash of shingle s is md5(p_hex:s); the
+    signature element is the lexicographic min. One shuffle (doc_id)."""
+    sh = _shingles(spark, sf_dir)
+    perms = spark.range(0, N_PERMS).select(
+        F.substring(F.lit("0123456789abcdef"), (F.col("id") + 1).cast("int"), 1).alias("p")
+    )
+    mh = (
+        sh.crossJoin(perms)
+        .groupBy("doc_id", "p")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("p"), F.col("h")))).alias("mh"))
+    )
+    return mh.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.concat_ws("=", "p", "mh"))), "|"))
+        .alias("sig_digest"),
+        F.count("*").cast("long").alias("n_perms"),
+    )
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+perms AS (SELECT substr('0123456789abcdef', CAST(i + 1 AS INT), 1) AS p FROM range({N_PERMS}) t(i)),
+mh AS (
+  SELECT doc_id, p, min(md5(p || ':' || h)) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, p
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list(p || '=' || mh)), '|')) AS sig_digest,
+       CAST(count(*) AS BIGINT) AS n_perms
+FROM mh GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: band key = md5 of the band's sorted (perm, minhash) rows;
+    candidate pairs = docs sharing a band key. The only shuffle keys are
+    (doc_id, band) then band_key — no quadratic stage before the bucket join."""
+    sh = _shingles(spark, sf_dir)
+    perms = spark.range(0, N_PERMS).select(
+        F.col("id").alias("pi"),
+        F.substring(F.lit("0123456789abcdef"), (F.col("id") + 1).cast("int"), 1).alias("p"),
+    )
+    mh = (
+        sh.crossJoin(perms)
+        .groupBy("doc_id", "pi", "p")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("p"), F.col("h")))).alias("mh"))
+        .withColumn("band", (F.col("pi") % N_BANDS).cast("long"))
+    )
+    bands = mh.groupBy("doc_id", "band").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.concat_ws("=", "p", "mh"))), "|"))
+        .alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+        .select(F.col("d1").cast("long"), F.col("d2").cast("long"), "n_shared_bands")
+    )
+
+
+SQL_DEDUP_MINHASH_BANDS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+perms AS (SELECT i AS pi, substr('0123456789abcdef', CAST(i + 1 AS INT), 1) AS p
+          FROM range({N_PERMS}) t(i)),
+mh AS (
+  SELECT doc_id, pi, p, min(md5(p || ':' || h)) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, pi, p
+),
+bands AS (
+  SELECT doc_id, CAST(pi % {N_BANDS} AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(p || '=' || mh)), '|')) AS band_key
+  FROM mh GROUP BY doc_id, pi % {N_BANDS}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS d1, CAST(b.doc_id AS BIGINT) AS d2,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+# 60-bit SimHash: 15 hex chars of each token's md5 → 4 bits each
+_N_HEX = 15
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency-weighted 60-bit SimHash per doc, all in native column
+    expressions (explode tokens × bit positions → signed sum → sign bits)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias("tok"),
+    ).withColumn("m", F.md5("tok"))
+    bits = spark.range(0, _N_HEX * 4).select(
+        (F.col("id") / 4).cast("int").alias("pos"),
+        (F.col("id") % 4).cast("int").alias("b"),
+        F.col("id").cast("int").alias("bi"),
+    )
+    contrib = (
+        toks.crossJoin(bits)
+        .withColumn("v", F.instr(F.lit("0123456789abcdef"),
+                                 F.substring(F.col("m"), (F.col("pos") + 1).cast("int"), 1)) - 1)
+        .withColumn("bit", F.expr("shiftright(v, b) & 1"))
+        .groupBy("doc_id", "bi")
+        .agg(F.sum(F.lit(2) * F.col("bit") - 1).alias("s"))
+    )
+    return (
+        contrib.withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("shiftleft(bitval, cast(bi as int))")).cast("long").alias("simhash60"))
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, md5(t.tok) AS m
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+),
+bits AS (
+  SELECT CAST(i // 4 AS INT) AS pos, CAST(i % 4 AS INT) AS b, CAST(i AS INT) AS bi
+  FROM range({_N_HEX * 4}) r(i)
+),
+contrib AS (
+  SELECT doc_id, bi,
+         sum(2 * ((instr('0123456789abcdef', substr(m, pos + 1, 1)) - 1 >> b) & 1) - 1) AS s
+  FROM toks CROSS JOIN bits GROUP BY doc_id, bi
+)
+SELECT doc_id,
+       CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END)::BIGINT << bi) AS BIGINT) AS simhash60
+FROM contrib GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar pairs by SimHash hamming distance (for the oracle
+    this is the all-pairs check; the scale path buckets on signature prefixes
+    the same way the minhash bands do)."""
+    sig = q_dedup_simhash(spark, sf_dir).cache()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").cast("long").alias("d1"),
+            F.col("b.doc_id").cast("long").alias("d2"),
+            F.bit_count(F.col("a.simhash60").bitwiseXOR(F.col("b.simhash60")))
+            .cast("long").alias("hamming"),
+        )
+    )
+    w = Window.orderBy(F.asc("hamming"), F.asc("d1"), F.asc("d2"))
+    return pairs.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= 20)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH sig AS ({SQL_DEDUP_SIMHASH}),
+pairs AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS d1, CAST(b.doc_id AS BIGINT) AS d2,
+         CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY hamming ASC, d1 ASC, d2 ASC) AS BIGINT) AS rk
+  FROM pairs
+) WHERE rk <= 20
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_bands": q_dedup_minhash_bands,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+}
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
+    "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
+    "dedup_minhash_bands": SQL_DEDUP_MINHASH_BANDS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+}

@@ -1,0 +1,221 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline counterparts of the reference's text utilities
+(token estimation /root/reference/crawl4ai/utils.py:76-160 word_token_rate,
+BM25 tokenization content_filter_strategy.py:161-271, language/quality
+heuristics): language-ID by stopword n-gram hits, quality scoring by
+length/punct/stopword ratios, token counting (whitespace + BPE-ish regex),
+and document fingerprinting (shingle bottom-k sketch — the scalable analog of
+utils.py:2825-2828 generate_content_hash).
+
+All expressed as native column expressions (JVM-side, whole-stage codegen) —
+no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawl4ai_spark.ops.common import e6, tbl
+
+# language → stopword alternation (regex), checked as whole words
+LANG_STOPWORDS = {
+    "en": "the|and|of|to|in|is|a",
+    "de": "der|die|und|das|ist|ein",
+    "fr": "le|la|et|les|des|un",
+    "es": "el|los|y|que|un|una",
+}
+_EN_STOP = "the|and|of|to|in|is|a|for|on|with"
+
+
+def _hits(col, words: str):
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(rf"\b({words})\b"), F.lit(0)))
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+(?:'[a-z]+)?"), F.lit(0)))
+        .cast("long").alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+(?:''[a-z]+)?')) AS BIGINT) AS n_re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    cols = {k: _hits(F.col("text"), v) for k, v in LANG_STOPWORDS.items()}
+    best = F.greatest(*[cols[k] for k in LANG_STOPWORDS])
+    # deterministic tie-break: first language (en > de > fr > es) wins
+    pred = F.when(cols["en"] == best, "en")
+    for k in ["de", "fr", "es"]:
+        pred = pred.when(cols[k] == best, k)
+    return d.select(
+        "doc_id",
+        *[cols[k].cast("long").alias(f"hits_{k}") for k in LANG_STOPWORDS],
+        pred.otherwise("und").alias("pred_lang"),
+        (pred.otherwise("und") == F.col("lang")).alias("matches_label"),
+    )
+
+
+def _sql_hits(x: str, words: str) -> str:
+    return rf"len(regexp_extract_all(lower({x}), '\b({words})\b'))"
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_sql_hits('text', LANG_STOPWORDS['en'])} AS hits_en,
+         {_sql_hits('text', LANG_STOPWORDS['de'])} AS hits_de,
+         {_sql_hits('text', LANG_STOPWORDS['fr'])} AS hits_fr,
+         {_sql_hits('text', LANG_STOPWORDS['es'])} AS hits_es
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hits_en AS BIGINT) AS hits_en, CAST(hits_de AS BIGINT) AS hits_de,
+       CAST(hits_fr AS BIGINT) AS hits_fr, CAST(hits_es AS BIGINT) AS hits_es,
+       CASE WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+            WHEN hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+            ELSE 'und' END AS pred_lang,
+       (CASE WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+             WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+             WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+             WHEN hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+             ELSE 'und' END) = lang AS matches_label
+FROM h
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length / punctuation / stopword /
+    digit ratios (mirrors the quality axes of ref SEOFilter
+    deep_crawling/filters.py:588-698 and PruningContentFilter text_density,
+    content_filter_strategy.py:533-777)."""
+    d = tbl(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    words = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+    n_words = words.cast("double")
+    n_stop = _hits(F.col("text"), _EN_STOP).cast("double")
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))).cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), F.lit(0))
+    ).cast("double")
+    avg_wl = F.when(words > 0, (n_chars - n_words + 1) / n_words).otherwise(F.lit(0.0))
+    stop_ratio = F.when(words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio * 10, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return d.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        e6(stop_ratio).alias("stop_ratio_e6"),
+        e6(digit_ratio).alias("digit_ratio_e6"),
+        e6(avg_wl).alias("avg_word_len_e6"),
+        e6(score).alias("quality_e6"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n_words,
+         CAST({_sql_hits('text', _EN_STOP)} AS DOUBLE) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN (n_chars - n_words + 1) / n_words ELSE 0.0 END AS avg_wl,
+         least(n_words / 50.0, 1.0) AS len_score
+  FROM b
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(ROUND(stop_ratio * 1e6) AS BIGINT) AS stop_ratio_e6,
+       CAST(ROUND(digit_ratio * 1e6) AS BIGINT) AS digit_ratio_e6,
+       CAST(ROUND(avg_wl * 1e6) AS BIGINT) AS avg_word_len_e6,
+       CAST(ROUND((0.4 * len_score + 0.3 * least(stop_ratio * 4, 1.0)
+             + 0.2 * (1.0 - least(digit_ratio * 10, 1.0))
+             + 0.1 * (1.0 - least(punct_ratio * 10, 1.0))) * 1e6) AS BIGINT) AS quality_e6
+FROM r
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k shingle-sketch fingerprint per document.
+
+    Char 12-gram shingles at stride 4 (rolling-hash analog of ref
+    utils.py:2825-2828 xxhash content hash, made scalable: identical docs →
+    identical fingerprint; near-identical docs share most shingle hashes).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    pos = spark.range(0, 256).select(F.col("id").alias("i"))
+    sh = (
+        d.select("doc_id", F.lower("text").alias("t"))
+        .join(pos, F.lit(4) * F.col("i") + 12 <= F.length("t"))
+        .select(
+            "doc_id",
+            F.md5(F.substring(F.col("t"), (F.lit(4) * F.col("i") + 1).cast("int"), 12).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    bottom = sh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 8)
+    return bottom.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("h")), "|")).alias("fingerprint"),
+        F.count("*").cast("long").alias("n_sketch"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+WITH sh AS (
+  SELECT DISTINCT d.doc_id, md5(substr(lower(d.text), CAST(4 * p.i + 1 AS INT), 12)) AS h
+  FROM documents d, range(256) p(i)
+  WHERE 4 * p.i + 12 <= length(d.text)
+), bottom AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+  FROM sh
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list(h)), '|')) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_sketch
+FROM bottom WHERE rk <= 8
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_count": q_text_token_count,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+}
+ORACLES = {
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+}

@@ -1,0 +1,102 @@
+"""Local emulation of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB over the same parquet dir,
+compare row count + schema (column names) + order-insensitive values.
+
+Usage: python scripts/paritycheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def duck_run(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    from crawl4ai_spark.ops.common import TABLES
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        else:
+            df[c] = df[c].astype("string")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    errs = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        errs.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return errs
+    if len(sdf) != len(odf):
+        errs.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
+    a, b = normalize(sdf), normalize(odf)
+    if len(a) == len(b):
+        neq = (a.fillna("\x00") != b.fillna("\x00")).any(axis=1)
+        if neq.any():
+            i = neq.idxmax()
+            errs.append(
+                f"values: {int(neq.sum())}/{len(a)} rows differ; first at {i}:\n"
+                f"  spark : {a.loc[i].to_dict()}\n  oracle: {b.loc[i].to_dict()}"
+            )
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    sys.path.insert(0, "/root/repo")
+    from crawl4ai_spark.ops import registry
+    from crawl4ai_spark.session import get_spark
+
+    queries, oracles = registry()
+    spark = get_spark("paritycheck", master="local[8]", shuffle_partitions=8)
+    failed = []
+    for name, fn in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = duck_run(sf_dir, oracles[name])
+        except Exception as e:
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        errs = compare(name, sdf, odf)
+        if errs:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            for e in errs:
+                print("  " + e.replace("\n", "\n  "))
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failed)} failed" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
