@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship frontier-scheduling query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline suite (dedup / similarity / text-analysis /
+multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+(rows-only entries — the end-to-end crawl loop, the byte-identity extraction
+stage, and the multimodal decode stub — are intentionally absent there; their
+oracles are the pytest parity suites).
+
+Parity discipline (see crawl4ai_spark/ops/common.py): float outputs are
+quantized per row to ``*_e6`` BIGINT before any aggregation so value hashes
+cannot diverge on summation order; hashes are md5 hex; hex→int goes through
+``instr('0123456789abcdef', c) - 1`` in both engines.
 """
 
 from __future__ import annotations
@@ -13,26 +20,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from crawl4ai_spark.ops import registry
+
+_QUERIES, _ORACLES = registry()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one frontier scheduling generation (canonicalize → dedup →
+    per-host politeness quota → global priority budget) at sf0.001."""
+    return _QUERIES["frontier_schedule"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

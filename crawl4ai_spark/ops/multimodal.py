@@ -1,0 +1,111 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+The container has no image/audio libraries, so the decode step is a
+clearly-marked deterministic STUB (see ``fake_decode``) — but the Spark-side
+plumbing is real and tested: binary columns, Arrow-batched ``mapInPandas``
+with a typed output schema, and partition-friendly batch shapes. Swapping
+``fake_decode`` for PIL/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawl4ai_spark.ops.common import tbl
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary payload column (here: utf-8 bytes of
+    documents.text standing in for an image blob): byte length, sha256
+    content id, magic-prefix hex — all native, no Python."""
+    d = tbl(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.substring(F.lower(F.hex(blob)), 1, 8).alias("prefix_hex"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256,
+       substr(lower(hex(encode(text))), 1, 8) AS prefix_hex
+FROM documents
+"""
+
+
+DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def fake_decode(payload: bytes) -> dict:
+    """STUB decoder — image/audio libs are not in this container.
+
+    Deterministic fake derived from the payload hash so tests are stable;
+    replace with e.g. ``PIL.Image.open(io.BytesIO(payload))`` +
+    feature extraction in a real deployment. The Spark plumbing around it
+    (binary column → Arrow batch → typed rows) is the real deliverable.
+    """
+    h = hashlib.md5(payload).digest()
+    return {
+        "width": 16 * (1 + h[0] % 64),
+        "height": 16 * (1 + h[1] % 64),
+        "n_frames": 1 + h[2] % 8,
+        "feature": [round((b - 128) / 128.0, 6) for b in h[:8]],
+    }
+
+
+def decode_binary(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode/feature-extract over an opaque binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                meta = fake_decode(b)
+                rows.append({"doc_id": int(i), "n_bytes": len(b), **meta})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, DECODE_SCHEMA)
+
+
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only check: binary → decode-stub → typed features pipeline."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = decode_binary(d)
+    return out.select(
+        "doc_id", "n_bytes", "width", "height", "n_frames",
+        F.round(F.element_at("feature", 1) * 1e6).cast("long").alias("feat0_e6"),
+    )
+
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode_stub": q_multimodal_decode_stub,
+}
+ORACLES = {
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    # multimodal_decode_stub: rows-only (decode stub is not SQL-expressible)
+}

@@ -1,0 +1,147 @@
+"""Corpus-level ranking operators: BM25 (ref seed ranking,
+async_url_seeder.py:645-677 BM25Okapi, and BM25ContentFilter
+content_filter_strategy.py:381-530) and the adaptive-crawler coverage
+aggregate (adaptive_crawler.py:330-369) — global document-frequency
+statistics as two-pass DataFrame aggregation, no per-row Python.
+
+Scale notes: df/avgdl are one map-side-combinable aggregation each; the
+scoring join broadcasts the (tiny) per-term idf table against the tf table,
+so the only full shuffle is the explode→groupBy(doc, term) tf pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawl4ai_spark.ops.common import e6, tbl
+
+QUERY_TERMS = ["spark", "join", "filter"]
+K1 = 1.2
+B = 0.75
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias("tok"),
+    )
+
+
+_SQL_TOKS = """
+  SELECT doc_id, t.tok FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+"""
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-Okapi top-20 docs for the fixed query 'spark join filter'."""
+    toks = _toks(spark, sf_dir).cache()
+    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], ["term"])
+    n_docs = tbl(spark, sf_dir, "documents").count()
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.join(F.broadcast(terms), toks.tok == terms.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "part",
+            F.col("idf") * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        # per-term parts quantized before the cross-term sum (determinism)
+        .agg(F.sum(e6(F.col("part"))).cast("long").alias("score_e6"))
+    )
+    w = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("doc_id").cast("long"), "score_e6", "rk")
+    )
+
+
+_TERMS_SQL = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+
+SQL_BM25_RANK = f"""
+WITH toks AS ({_SQL_TOKS}),
+terms(term) AS (VALUES {_TERMS_SQL}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks JOIN terms ON toks.tok = terms.term GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, ln((nd.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), nd
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(ROUND(idf.idf * (tf.tf * ({K1} + 1))
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) * 1e6) AS BIGINT)) AS BIGINT) AS score_e6
+  FROM tf JOIN idf ON tf.term = idf.term JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score_e6, rk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 20
+"""
+
+
+def q_adaptive_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-crawler coverage metric per query term (simplified from ref
+    adaptive_crawler.py:330-369: df-weighted term presence with a saturating
+    tf factor): term_score = (df/N) * least(1, ln(1+tf_total)/ln(1+N))."""
+    toks = _toks(spark, sf_dir)
+    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], ["term"])
+    n_docs = tbl(spark, sf_dir, "documents").count()
+    agg = (
+        toks.join(F.broadcast(terms), toks.tok == terms.term)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"),
+             F.count("*").cast("long").alias("tf_total"))
+    )
+    score = (F.col("df") / F.lit(float(n_docs))) * F.least(
+        F.lit(1.0), F.log(F.col("tf_total") + 1.0) / F.log(F.lit(float(n_docs)) + 1.0)
+    )
+    return agg.select("term", "df", "tf_total", e6(score).alias("term_score_e6"))
+
+
+SQL_ADAPTIVE_COVERAGE = f"""
+WITH toks AS ({_SQL_TOKS}),
+terms(term) AS (VALUES {_TERMS_SQL}),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+agg AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS tf_total
+  FROM toks JOIN terms ON toks.tok = terms.term GROUP BY term
+)
+SELECT term, df, tf_total,
+       CAST(ROUND((df / nd.n_docs) * least(1.0, ln(tf_total + 1.0) / ln(nd.n_docs + 1.0)) * 1e6) AS BIGINT) AS term_score_e6
+FROM agg, nd
+"""
+
+
+QUERIES = {
+    "bm25_rank": q_bm25_rank,
+    "adaptive_coverage": q_adaptive_coverage,
+}
+ORACLES = {
+    "bm25_rank": SQL_BM25_RANK,
+    "adaptive_coverage": SQL_ADAPTIVE_COVERAGE,
+}

@@ -1,0 +1,487 @@
+"""Crawl-semantics operators expressed over the driver testdata, each with a
+DuckDB oracle: URL canonicalization (ref normalize_url, utils.py:2229-2386),
+frontier scheduling windows (bff_strategy.py:130-215), per-host politeness
+quota + backoff (async_dispatcher.py:28-85), robots prefix gate
+(utils.py:313-365), URL scorers (deep_crawling/scorers.py), URL filter chain
+(deep_crawling/filters.py), URL-seen anti-join (bfs_strategy.py:111-127) and
+level-synchronous BFS reachability (bfs_strategy.py:148-198 — oracle'd by a
+recursive CTE).
+
+URLs are synthesized deterministically from the ``events`` table (same
+expression in both engines): messy scheme/host case, tracking params,
+unsorted query keys, trailing slashes and fragments — exactly the mess
+normalize_url exists to collapse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawl4ai_spark.ops.common import e6, tbl
+
+TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|ref|ref_src)="
+
+
+# ---------------------------------------------------------------- url synth
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    hid = F.col("user_id") % 20
+    m6 = F.col("event_id") % 6
+    url = F.concat(
+        F.when(F.col("event_id") % 5 == 0,
+               F.concat(F.lit("HTTPS://WWW.Host"), hid, F.lit(".COM")))
+        .otherwise(F.concat(F.lit("https://www.host"), hid, F.lit(".com"))),
+        F.lit("/"), F.lit(2018) + F.col("event_id") % 8,
+        F.lit("/"), F.col("event_type"),
+        F.lit("/p"), F.col("event_id") % 97,
+        F.when(m6 == 0, ".html").when(m6 == 1, ".pdf").when(m6 == 2, ".jpg")
+        .when(m6 == 3, "").when(m6 == 4, "/index.php").otherwise(".xml"),
+        F.when(F.col("event_id") % 7 == 0, "/").otherwise(""),
+        F.when(F.col("event_id") % 3 == 0, "?utm_source=feed&b=2&a=1")
+        .when(F.col("event_id") % 3 == 1, "?z=9&a=1&utm_campaign=x&gclid=abc")
+        .otherwise(""),
+        F.when(F.col("event_id") % 4 == 0, "#frag").otherwise(""),
+    )
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.concat(F.lit("www.host"), hid, F.lit(".com")).alias("host"),
+        url.alias("url"),
+    )
+
+
+_SQL_URLS = """
+  SELECT event_id, user_id, event_type, value,
+         'www.host' || (user_id % 20) || '.com' AS host,
+         (CASE WHEN event_id % 5 = 0
+               THEN 'HTTPS://WWW.Host' || (user_id % 20) || '.COM'
+               ELSE 'https://www.host' || (user_id % 20) || '.com' END)
+         || '/' || (2018 + event_id % 8) || '/' || event_type || '/p' || (event_id % 97)
+         || (CASE event_id % 6 WHEN 0 THEN '.html' WHEN 1 THEN '.pdf' WHEN 2 THEN '.jpg'
+                               WHEN 3 THEN '' WHEN 4 THEN '/index.php' ELSE '.xml' END)
+         || (CASE WHEN event_id % 7 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN event_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+                  WHEN event_id % 3 = 1 THEN '?z=9&a=1&utm_campaign=x&gclid=abc'
+                  ELSE '' END)
+         || (CASE WHEN event_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM events
+"""
+
+
+# ----------------------------------------------------------- normalization
+def _normalize(df: DataFrame) -> DataFrame:
+    """RFC-3986-style canonicalization, all native expressions (parity target:
+    ref normalize_url_for_deep_crawl utils.py:2330-2386 — lowercase
+    scheme+host, strip fragment, drop tracking params, sort query keys,
+    strip trailing slash)."""
+    return (
+        df.withColumn("__nofrag", F.expr("regexp_replace(url, '#.*$', '')"))
+        .withColumn("__q", F.expr(
+            "CASE WHEN instr(__nofrag, '?') > 0"
+            " THEN substring(__nofrag, instr(__nofrag, '?') + 1)"
+            " ELSE '' END"))
+        .withColumn("__base", F.expr(
+            "CASE WHEN instr(__nofrag, '?') > 0"
+            " THEN substring(__nofrag, 1, instr(__nofrag, '?') - 1)"
+            " ELSE __nofrag END"))
+        .withColumn("__sh", F.expr("regexp_extract(__base, '^([A-Za-z]+://[^/]+)', 1)"))
+        .withColumn("__path", F.expr("substring(__base, length(__sh) + 1)"))
+        .withColumn("__path2", F.expr(
+            "CASE WHEN __path = '' THEN '/'"
+            " WHEN __path <> '/' AND __path LIKE '%/'"
+            " THEN substring(__path, 1, length(__path) - 1)"
+            " ELSE __path END"))
+        .withColumn("__params", F.expr(
+            f"array_sort(filter(split(__q, '&'),"
+            f" x -> x <> '' AND NOT x rlike '{TRACKING_RE}'))"))
+        .withColumn("url_norm", F.expr(
+            "concat(lower(__sh), __path2,"
+            " CASE WHEN size(__params) > 0"
+            " THEN concat('?', array_join(__params, '&')) ELSE '' END)"))
+        .withColumn("path", F.col("__path2"))
+        .drop("__nofrag", "__q", "__base", "__sh", "__path", "__path2", "__params")
+    )
+
+
+_SQL_NORM = f"""
+  SELECT u.*, lower(sh) || path2 ||
+         (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_norm,
+         path2 AS path
+  FROM (
+    SELECT *,
+      CASE WHEN pth = '' THEN '/'
+           WHEN pth <> '/' AND pth LIKE '%/' THEN substr(pth, 1, length(pth) - 1)
+           ELSE pth END AS path2,
+      list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_RE}'))) AS params
+    FROM (
+      SELECT *,
+        regexp_extract(base, '^([A-Za-z]+://[^/]+)', 1) AS sh,
+        substr(base, length(regexp_extract(base, '^([A-Za-z]+://[^/]+)', 1)) + 1) AS pth
+      FROM (
+        SELECT *,
+          CASE WHEN instr(nofrag, '?') > 0 THEN substr(nofrag, 1, instr(nofrag, '?') - 1) ELSE nofrag END AS base,
+          CASE WHEN instr(nofrag, '?') > 0 THEN substr(nofrag, instr(nofrag, '?') + 1) ELSE '' END AS q
+        FROM (SELECT *, regexp_replace(url, '#.*$', '') AS nofrag FROM ({_SQL_URLS}) ) t0
+      ) t1
+    ) t2
+  ) u
+"""
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _normalize(_urls(spark, sf_dir)).select("event_id", "url", "url_norm")
+
+
+SQL_URL_NORMALIZE = f"SELECT event_id, url, url_norm FROM ({_SQL_NORM})"
+
+
+def q_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization collapse rate: distinct raw urls per canonical url."""
+    n = _normalize(_urls(spark, sf_dir))
+    return n.groupBy("url_norm").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.countDistinct("url").cast("long").alias("n_distinct_raw"),
+    )
+
+
+SQL_URL_CANONICAL_GROUPS = f"""
+SELECT url_norm, CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+FROM ({_SQL_NORM}) GROUP BY url_norm
+"""
+
+
+# ------------------------------------------------------- frontier candidates
+def _frontier(df_norm: DataFrame) -> DataFrame:
+    """Distinct canonical candidates with deterministic score/depth."""
+    return df_norm.groupBy("host", "url_norm").agg(
+        F.sum(e6(F.col("value"))).cast("long").alias("score_e6"),
+        F.min("event_id").cast("long").alias("first_event"),
+        (F.min("event_id") % 4).cast("int").alias("depth"),
+    )
+
+
+_SQL_FRONTIER = f"""
+  SELECT host, url_norm,
+         CAST(sum(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS score_e6,
+         CAST(min(event_id) AS BIGINT) AS first_event,
+         CAST(min(event_id) % 4 AS INT) AS depth
+  FROM ({_SQL_NORM}) GROUP BY host, url_norm
+"""
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scheduling generation: per-host politeness quota (3/host) via a
+    rank window, then global budget 100 by priority — the window-ranked
+    snapshot that realizes the reference's PriorityQueue (F8+F12)."""
+    fr = _frontier(_normalize(_urls(spark, sf_dir)))
+    wh = Window.partitionBy("host").orderBy(F.desc("score_e6"), F.asc("url_norm"))
+    picked = fr.withColumn("host_rank", F.row_number().over(wh).cast("long")) \
+               .filter(F.col("host_rank") <= 3)
+    wg = Window.orderBy(F.desc("score_e6"), F.asc("url_norm"))
+    return (
+        picked.withColumn("global_rank", F.row_number().over(wg).cast("long"))
+        .filter(F.col("global_rank") <= 100)
+        .select("host", "url_norm", "score_e6", "host_rank", "global_rank")
+    )
+
+
+SQL_FRONTIER_SCHEDULE = f"""
+WITH fr AS ({_SQL_FRONTIER}),
+picked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY host ORDER BY score_e6 DESC, url_norm ASC) AS BIGINT) AS host_rank
+  FROM fr
+)
+SELECT host, url_norm, score_e6, host_rank, global_rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score_e6 DESC, url_norm ASC) AS BIGINT) AS global_rank
+  FROM picked WHERE host_rank <= 3
+) WHERE global_rank <= 100
+"""
+
+
+def q_politeness_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host rate-limiter state: exponential backoff on failures, capped
+    at 60 s (ref RateLimiter async_dispatcher.py:28-85, deterministic —
+    jitter elided)."""
+    u = _urls(spark, sf_dir)
+    agg = u.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_requests"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long").alias("n_fails"),
+    )
+    delay = F.least(F.lit(1.5) * F.pow(F.lit(2.0), F.least(F.col("n_fails"), F.lit(6)).cast("double")), F.lit(60.0))
+    return agg.select(
+        "host", "n_requests", "n_fails",
+        e6(delay).alias("delay_e6"),
+        F.least(F.lit(10), F.greatest(F.lit(1), F.lit(10) - F.expr("n_fails div 4")))
+        .cast("long").alias("quota"),
+    )
+
+
+SQL_POLITENESS_BACKOFF = f"""
+WITH agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_requests,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_fails
+  FROM ({_SQL_URLS}) GROUP BY host
+)
+SELECT host, n_requests, n_fails,
+       CAST(ROUND(least(1.5 * pow(2.0, CAST(least(n_fails, 6) AS DOUBLE)), 60.0) * 1e6) AS BIGINT) AS delay_e6,
+       CAST(least(10, greatest(1, 10 - n_fails // 4)) AS BIGINT) AS quota
+FROM agg
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-rule robots gate: blocked rows get 403 exactly like the
+    reference (async_webcrawler.py:318-331). Rules derive from the host id;
+    the frontier joins rules broadcast on host."""
+    fr = _frontier(_normalize(_urls(spark, sf_dir))).withColumn(
+        "path", F.expr("substring(url_norm, length(regexp_extract(url_norm, '^([a-z]+://[^/]+)', 1)) + 1)")
+    )
+    hid = F.regexp_extract("host", r"www\.host(\d+)\.com", 1).cast("int")
+    rules = fr.select("host").distinct().withColumn(
+        "disallow",
+        F.when(hid % 3 == 0, "/2018").when(hid % 3 == 1, "/2019").otherwise(""),
+    )
+    out = fr.join(F.broadcast(rules), "host").withColumn(
+        "allowed",
+        (F.col("disallow") == "") | ~F.col("path").startswith(F.col("disallow")),
+    )
+    return out.select(
+        "host", "url_norm", "allowed",
+        F.when(F.col("allowed"), 200).otherwise(403).cast("int").alias("status_code"),
+    )
+
+
+SQL_ROBOTS_GATE = f"""
+WITH fr AS ({_SQL_FRONTIER}),
+p AS (
+  SELECT *, substr(url_norm, length(regexp_extract(url_norm, '^([a-z]+://[^/]+)', 1)) + 1) AS path,
+         CAST(regexp_extract(host, 'www\\.host(\\d+)\\.com', 1) AS INT) AS hid
+  FROM fr
+),
+rules AS (
+  SELECT host, CASE WHEN hid % 3 = 0 THEN '/2018' WHEN hid % 3 = 1 THEN '/2019' ELSE '' END AS disallow
+  FROM (SELECT DISTINCT host, hid FROM p)
+)
+SELECT p.host, p.url_norm,
+       (rules.disallow = '' OR NOT starts_with(p.path, rules.disallow)) AS allowed,
+       CAST(CASE WHEN rules.disallow = '' OR NOT starts_with(p.path, rules.disallow)
+                 THEN 200 ELSE 403 END AS INT) AS status_code
+FROM p JOIN rules ON p.host = rules.host
+"""
+
+
+def q_url_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite URL scorer (ref deep_crawling/scorers.py): freshness year,
+    path-depth optimum, content-type weight, keyword fraction — weighted sum,
+    as pure column expressions."""
+    n = _normalize(_urls(spark, sf_dir)).select("url_norm", "path").distinct()
+    year = F.regexp_extract("url_norm", r"/(20[0-9]{2})/", 1)
+    age = F.lit(2024) - year.cast("int")
+    fresh = (
+        F.when(year == "", 0.5)
+        .when(age <= 0, 1.0).when(age == 1, 0.9).when(age == 2, 0.8)
+        .when(age == 3, 0.7).when(age == 4, 0.6).when(age == 5, 0.5)
+        .otherwise(0.3)
+    )
+    depth = F.length(F.regexp_replace("path", "[^/]", "")).cast("int")
+    depth_score = F.lit(1.0) / (F.lit(1.0) + F.abs(depth - F.lit(3)))
+    ctype = (
+        F.when(F.col("path").endswith(".html"), 1.0)
+        .when(F.col("path").endswith(".php"), 0.8)
+        .when(F.col("path").endswith(".xml"), 0.6)
+        .when(F.col("path").endswith(".pdf"), 0.4)
+        .when(F.col("path").endswith(".jpg"), 0.2)
+        .otherwise(0.7)
+    )
+    kw = (
+        F.when(F.col("url_norm").contains("purchase"), 1).otherwise(0)
+        + F.when(F.col("url_norm").contains("signup"), 1).otherwise(0)
+    ).cast("double") / 2
+    comp = F.lit(0.3) * fresh + F.lit(0.2) * depth_score + F.lit(0.2) * ctype + F.lit(0.3) * kw
+    return n.select(
+        "url_norm",
+        e6(fresh).alias("freshness_e6"),
+        e6(depth_score).alias("depth_score_e6"),
+        e6(ctype).alias("ctype_score_e6"),
+        e6(kw).alias("keyword_score_e6"),
+        e6(comp).alias("composite_e6"),
+    )
+
+
+SQL_URL_SCORERS = f"""
+WITH n AS (SELECT DISTINCT url_norm, path FROM ({_SQL_NORM})),
+s AS (
+  SELECT url_norm,
+    CASE WHEN regexp_extract(url_norm, '/(20[0-9]{{2}})/', 1) = '' THEN 0.5
+         WHEN 2024 - CAST(regexp_extract(url_norm, '/(20[0-9]{{2}})/', 1) AS INT) <= 0 THEN 1.0
+         WHEN 2024 - CAST(regexp_extract(url_norm, '/(20[0-9]{{2}})/', 1) AS INT) = 1 THEN 0.9
+         WHEN 2024 - CAST(regexp_extract(url_norm, '/(20[0-9]{{2}})/', 1) AS INT) = 2 THEN 0.8
+         WHEN 2024 - CAST(regexp_extract(url_norm, '/(20[0-9]{{2}})/', 1) AS INT) = 3 THEN 0.7
+         WHEN 2024 - CAST(regexp_extract(url_norm, '/(20[0-9]{{2}})/', 1) AS INT) = 4 THEN 0.6
+         WHEN 2024 - CAST(regexp_extract(url_norm, '/(20[0-9]{{2}})/', 1) AS INT) = 5 THEN 0.5
+         ELSE 0.3 END AS fresh,
+    1.0 / (1.0 + abs(length(regexp_replace(path, '[^/]', '', 'g')) - 3)) AS depth_score,
+    CASE WHEN path LIKE '%.html' THEN 1.0 WHEN path LIKE '%.php' THEN 0.8
+         WHEN path LIKE '%.xml' THEN 0.6 WHEN path LIKE '%.pdf' THEN 0.4
+         WHEN path LIKE '%.jpg' THEN 0.2 ELSE 0.7 END AS ctype,
+    (CAST(contains(url_norm, 'purchase') AS INT) + CAST(contains(url_norm, 'signup') AS INT)) / 2.0 AS kw
+  FROM n
+)
+SELECT url_norm,
+       CAST(ROUND(fresh * 1e6) AS BIGINT) AS freshness_e6,
+       CAST(ROUND(depth_score * 1e6) AS BIGINT) AS depth_score_e6,
+       CAST(ROUND(ctype * 1e6) AS BIGINT) AS ctype_score_e6,
+       CAST(ROUND(kw * 1e6) AS BIGINT) AS keyword_score_e6,
+       CAST(ROUND((0.3 * fresh + 0.2 * depth_score + 0.2 * ctype + 0.3 * kw) * 1e6) AS BIGINT) AS composite_e6
+FROM s
+"""
+
+
+def q_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-exit AND filter chain (ref FilterChain filters.py:69-116):
+    URL pattern + domain allowlist + content-type — cheap predicates first,
+    all pushable to the scan."""
+    n = _normalize(_urls(spark, sf_dir)).select("host", "url_norm", "path").distinct()
+    hid = F.regexp_extract("host", r"www\.host(\d+)\.com", 1).cast("int")
+    return (
+        n.filter(hid < 15)                                   # DomainFilter allowlist
+        .filter(~F.col("path").rlike(r"\.(jpg|pdf)$"))       # ContentTypeFilter
+        .filter(F.col("path").rlike("/(purchase|view|click|signup)/"))  # URLPatternFilter
+        .select("host", "url_norm")
+    )
+
+
+SQL_URL_FILTERS = f"""
+SELECT host, url_norm FROM (
+  SELECT DISTINCT host, url_norm, path,
+         CAST(regexp_extract(host, 'www\\.host(\\d+)\\.com', 1) AS INT) AS hid
+  FROM ({_SQL_NORM})
+)
+WHERE hid < 15 AND NOT regexp_matches(path, '\\.(jpg|pdf)$')
+  AND regexp_matches(path, '/(purchase|view|click|signup)/')
+"""
+
+
+def q_bestfirst_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first global ordering: rank by (-score, depth, url) and take the
+    top 50 — the reference's PriorityQueue tuple (bff_strategy.py:19,130-215)
+    as one window."""
+    fr = _frontier(_normalize(_urls(spark, sf_dir)))
+    w = Window.orderBy(F.desc("score_e6"), F.asc("depth"), F.asc("url_norm"))
+    return (
+        fr.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 50)
+        .select("url_norm", "score_e6", "depth", "rk")
+    )
+
+
+SQL_BESTFIRST_ORDER = f"""
+WITH fr AS ({_SQL_FRONTIER})
+SELECT url_norm, score_e6, depth, rk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score_e6 DESC, depth ASC, url_norm ASC) AS BIGINT) AS rk
+  FROM fr
+) WHERE rk <= 50
+"""
+
+
+def q_url_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen exact path: candidates anti-joined against the seen set
+    (ref visited-set check bfs_strategy.py:111-127; the Bloom fast path is
+    exercised in pytest, this is its correctness oracle)."""
+    n = _normalize(_urls(spark, sf_dir))
+    cand = n.select("url_norm").distinct()
+    seen = n.filter(F.col("event_id") % 2 == 0).select("url_norm").distinct()
+    return cand.join(seen, "url_norm", "left_anti")
+
+
+SQL_URL_SEEN_ANTIJOIN = f"""
+WITH n AS ({_SQL_NORM}),
+cand AS (SELECT DISTINCT url_norm FROM n),
+seen AS (SELECT DISTINCT url_norm FROM n WHERE event_id % 2 = 0)
+SELECT url_norm FROM cand WHERE url_norm NOT IN (SELECT url_norm FROM seen)
+"""
+
+
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS min-depth over a deterministic link graph built
+    on documents doc_ids (tree edges i→2i+1, 2i+2 plus cross edges
+    i→(7i+3) mod N for i≡0 mod 10), from seed 0, max depth 6 — the Spark
+    side runs the real frontier iteration (one job per level, new-URLs-only
+    like the engine's dedup_new_candidates); the oracle is a recursive CTE."""
+    d = tbl(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    n_docs = d.count()
+    e1 = d.select("node", (F.col("node") * 2 + 1).alias("dst"))
+    e2 = d.select("node", (F.col("node") * 2 + 2).alias("dst"))
+    e3 = d.filter(F.col("node") % 10 == 0).select(
+        "node", ((F.col("node") * 7 + 3) % n_docs).alias("dst"))
+    edges = (
+        e1.unionByName(e2).unionByName(e3)
+        .filter(F.col("dst") < n_docs)
+        .withColumnRenamed("node", "src")
+    ).cache()
+
+    dist = d.sparkSession.createDataFrame([(0, 0)], ["node", "min_depth"])
+    frontier = dist
+    for depth in range(6):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(depth + 1).alias("min_depth"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+        )
+        nxt = nxt.cache()
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist.select(F.col("node").cast("long"), F.col("min_depth").cast("long"))
+
+
+SQL_BFS_REACHABILITY = """
+WITH RECURSIVE
+n AS (SELECT count(*) AS c FROM documents),
+edges AS (
+  SELECT doc_id AS src, doc_id * 2 + 1 AS dst FROM documents
+  UNION ALL SELECT doc_id, doc_id * 2 + 2 FROM documents
+  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM n) FROM documents WHERE doc_id % 10 = 0
+),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 6 AND e.dst < (SELECT c FROM n)
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS min_depth
+FROM walk GROUP BY node
+"""
+
+
+QUERIES = {
+    "url_normalize": q_url_normalize,
+    "url_canonical_groups": q_url_canonical_groups,
+    "frontier_schedule": q_frontier_schedule,
+    "politeness_backoff": q_politeness_backoff,
+    "robots_gate": q_robots_gate,
+    "url_scorers": q_url_scorers,
+    "url_filters": q_url_filters,
+    "bestfirst_order": q_bestfirst_order,
+    "url_seen_antijoin": q_url_seen_antijoin,
+    "bfs_reachability": q_bfs_reachability,
+}
+ORACLES = {
+    "url_normalize": SQL_URL_NORMALIZE,
+    "url_canonical_groups": SQL_URL_CANONICAL_GROUPS,
+    "frontier_schedule": SQL_FRONTIER_SCHEDULE,
+    "politeness_backoff": SQL_POLITENESS_BACKOFF,
+    "robots_gate": SQL_ROBOTS_GATE,
+    "url_scorers": SQL_URL_SCORERS,
+    "url_filters": SQL_URL_FILTERS,
+    "bestfirst_order": SQL_BESTFIRST_ORDER,
+    "url_seen_antijoin": SQL_URL_SEEN_ANTIJOIN,
+    "bfs_reachability": SQL_BFS_REACHABILITY,
+}

