@@ -1,0 +1,250 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Three sections:
+1. headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
+   each timed with a noop-sink write (computes every column, no collect);
+2. the crawl hot loop: one full frontier *generation* over a synthetic
+   Common-Crawl-style pages table (schedule → robots → fetch-join →
+   extract pUDF → link discovery → normalize → URL-seen anti-join) —
+   headline number = frontier URLs scheduled+extracted per second;
+3. scaling evidence for the north rule: the identical generation job at
+   local[8] and local[32] (N vs 4N cores, fresh JVM each) on the same
+   parquet input → throughput at both + efficiency = (thru_4N/thru_N)/4.
+
+Usage:  python bench.py            # full suite → one JSON line
+        python bench.py --worker K # internal: run scaling job on local[K]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROOT = "/tmp/spark_graft_bench"
+SCALE_HOSTS = 5120          # 5120 hosts × 31 pages = 158 720 pages
+SCALE_PPH = 31
+E2E_HOSTS = 48
+E2E_PPH = 15
+
+HEADLINE_QUERIES = [
+    "agg_pricing_summary", "join_top_customers", "window_order_ranks",
+    "sessionize_events", "events_windowed_counts",
+    "url_normalize", "frontier_schedule", "bestfirst_order", "robots_gate",
+    "dedup_exact", "dedup_minhash_bands", "dedup_simhash",
+    "sim_ann_topk_pandas", "sim_lsh_buckets",
+    "text_quality", "text_fingerprint", "bm25_rank", "bfs_reachability",
+]
+
+
+def ensure_pages(spark, tag: str, n_hosts: int, pph: int) -> str:
+    """Deterministic synthetic pages table, cached on disk across rounds."""
+    path = os.path.join(BENCH_ROOT, f"pages_{tag}_{n_hosts}x{pph}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from crawl4ai_spark.sources.pagesgen import generate_pages
+        generate_pages(spark, n_hosts, pph, partitions=32) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def generation_job(spark, pages_path: str, n_hosts: int) -> int:
+    """One frontier generation over every page: the engine's hot loop as a
+    single lineage (no snapshot I/O — pure compute path)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.udfs import process_pages
+    from crawl4ai_spark.operators import frontier as FR
+    from crawl4ai_spark.operators.politeness import robots_allowed_col, schedule_batch
+    from crawl4ai_spark.sources.pagesgen import generate_robots
+
+    pages = spark.read.parquet(pages_path)
+    cand = pages.select(
+        "url",
+        F.regexp_extract("url", "^https?://([^/]+)", 1).alias("host"),
+        F.lit(0).alias("depth"),
+        (F.pmod(F.xxhash64("url"), F.lit(1000)) / 1000.0).alias("score"),
+    )
+    batch = schedule_batch(cand, per_host_quota=SCALE_PPH, n_salts=8)
+    robots = generate_robots(spark, n_hosts)
+    batch = robots_allowed_col(batch, robots).filter(F.col("robots_allowed")).cache()
+
+    # the page bodies NEVER shuffle: the scheduled url list is tiny, so it
+    # broadcasts into a hash join that preserves the scan partitioning.
+    # pUDF parallelism comes from the scan itself (the worker session reads
+    # with a small files.maxPartitionBytes — partitions sized by CPU cost,
+    # not bytes).
+    fetched = pages.join(F.broadcast(batch.select("url")), on="url", how="inner")
+    # persist results once (the engine appends them to the results table);
+    # downstream link discovery reads the materialized stage, not a recompute
+    results = process_pages(fetched).cache()
+    n_results = results.count()
+
+    links = FR.explode_links(results.filter(F.col("success")))
+    cand2 = FR.normalize_candidates(links)
+    fresh = cand2.join(batch.select("url"), on="url", how="left_anti") \
+                 .dropDuplicates(["url"])
+    fresh.count()
+    results.unpersist()
+    batch.unpersist()
+    return n_results
+
+
+def run_worker(k: int) -> None:
+    from crawl4ai_spark.session import get_spark
+    spark = get_spark(f"bench_worker_{k}", master=f"local[{k}]",
+                      shuffle_partitions=max(k, 8),
+                      extra_conf={
+                          # CPU-heavy pUDF scan stage: split the input finer
+                          # than the 128 MB byte default so every core works
+                          "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+                          "spark.sql.files.openCostInBytes": str(1024 * 1024),
+                      })
+    path = ensure_pages(spark, "scale", SCALE_HOSTS, SCALE_PPH)
+    n_pages = spark.read.parquet(path).count()
+    # warmup: spin up python workers so the timed run measures compute;
+    # then best-of-2 to report warm steady-state throughput
+    generation_job(spark, ensure_pages(spark, "warm", 16, 15), 16)
+    best = 9e9
+    for _ in range(1 if k <= 2 else 2):   # local[2] is long; single trial
+        t0 = time.time()
+        generation_job(spark, path, SCALE_HOSTS)
+        best = min(best, time.time() - t0)
+    print(json.dumps({"cores": k, "seconds": round(best, 2), "n_pages": n_pages,
+                      "urls_per_sec": round(n_pages / best, 1)}))
+
+
+def crawl_e2e(spark) -> dict:
+    """Multi-generation engine run (snapshot commits included)."""
+    import tempfile
+
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+    from crawl4ai_spark.sources.pagesgen import (
+        generate_pages, generate_robots, generate_seeds)
+
+    pages = generate_pages(spark, E2E_HOSTS, E2E_PPH).cache()
+    pages.count()
+    seeds = generate_seeds(spark, E2E_HOSTS)
+    robots = generate_robots(spark, E2E_HOSTS)
+    t0 = time.time()
+    engine = SparkWebEngine(spark, tempfile.mkdtemp(dir=BENCH_ROOT, prefix="e2e_"))
+    res = engine.run(pages, seeds, robots=robots,
+                     config=CrawlConfig(max_depth=4, max_pages=700, per_host_quota=16))
+    n = res.count()
+    dt = time.time() - t0
+    pages.unpersist()
+    return {"seconds": round(dt, 2), "n_urls": n,
+            "urls_per_sec": round(n / dt, 1)}
+
+
+def _extract_ctrl(args) -> float:
+    h, pph = args
+    from crawl4ai_spark.functions.udfs import process_page
+    from crawl4ai_spark.sources.pagesgen import build_html
+    htmls = [build_html(h, p, 9999, pph) for p in range(pph)]
+    t0 = time.time()
+    for p, html in enumerate(htmls):
+        process_page(f"https://www.host{h}.com/p{p}", html)
+    return time.time() - t0
+
+
+def hw_scaling_control(n: int, m: int) -> dict:
+    """Same-box REAL-WORKLOAD control: the extraction pipeline itself (pure
+    multiprocessing, no Spark) with fixed work per process at n and 4n procs.
+    The per-core slowdown it measures (DRAM bandwidth + all-core turbo on one
+    shared box) is a sandbox artifact a real multi-machine cluster does not
+    have; the Spark job's efficiency should be read against this ceiling."""
+    import multiprocessing as mp
+
+    PPH = 200
+    walls = {}
+    for k in (n, m):
+        with mp.Pool(k) as pool:
+            pool.map(_extract_ctrl, [(0, 5)] * k)  # warm imports
+            best = 9e9
+            for _ in range(2):
+                t0 = time.time()
+                pool.map(_extract_ctrl, [(h, PPH) for h in range(k)])
+                best = min(best, time.time() - t0)
+        walls[k] = best
+    return {"ceiling_efficiency": round(walls[n] / walls[m], 3),
+            "wall_n": round(walls[n], 2), "wall_4n": round(walls[m], 2)}
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        run_worker(int(sys.argv[2]))
+        return
+
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from crawl4ai_spark.ops import registry
+    from crawl4ai_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    queries, _ = registry()
+
+    t_suite0 = time.time()
+    q_times: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        q_times[name] = round(time.time() - t0, 2)
+
+    e2e = crawl_e2e(spark)
+
+    # scaling: same job, fresh JVM, two N-vs-4N pairs (2→8 and 8→32 cores)
+    scaling = {}
+    ensure_pages(spark, "scale", SCALE_HOSTS, SCALE_PPH)  # build once, shared
+    for k in (2, 8, 32):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(k)],
+                capture_output=True, text=True, timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            scaling[f"local[{k}]"] = json.loads(line)
+        except Exception as e:  # never lose the JSON line over one worker
+            scaling[f"local[{k}]"] = {"error": f"{type(e).__name__}: {e}",
+                                      "urls_per_sec": None}
+    thru_2 = scaling["local[2]"].get("urls_per_sec")
+    thru_n = scaling["local[8]"].get("urls_per_sec")
+    thru_4n = scaling["local[32]"].get("urls_per_sec")
+    eff_2_8 = round((thru_n / thru_2) / 4.0, 3) if thru_2 and thru_n else None
+    eff = round((thru_4n / thru_n) / 4.0, 3) if thru_n and thru_4n else None
+    ctrl = hw_scaling_control(8, 32)
+
+    total = round(time.time() - t_suite0, 2)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "frontier URLs scheduled+extracted per second (one generation, local[32])",
+        "value": thru_4n or 0.0,
+        "unit": "urls/sec",
+        "queries": q_times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "suite_seconds": total,
+        "crawl_e2e": e2e,
+        "scaling": {
+            "job": f"one frontier generation over {SCALE_HOSTS * SCALE_PPH} pages "
+                   "(schedule→robots→extract→links→normalize→seen-antijoin)",
+            "local[2]": scaling["local[2]"],
+            "local[8]": scaling["local[8]"],
+            "local[32]": scaling["local[32]"],
+            "efficiency_2_to_8": eff_2_8,
+            "efficiency_8_to_32": eff,
+            "hw_extract_control_8_to_32": ctrl,
+            "efficiency_8_to_32_vs_hw_ceiling":
+                round(eff / ctrl["ceiling_efficiency"], 3) if eff else None,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

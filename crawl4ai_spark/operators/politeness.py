@@ -84,9 +84,9 @@ def schedule_batch(candidates: DataFrame, *, per_host_quota: int = 10,
                    .filter(F.col("__rk") <= per_host_quota).drop("__rk")
 
     if global_limit is not None:
-        wg = Window.orderBy(*order)
-        ranked = ranked.withColumn("__g", F.row_number().over(wg)) \
-                       .filter(F.col("__g") <= global_limit).drop("__g")
+        # distributed TakeOrdered — never a single-partition rank window
+        # over the whole frontier (that plan collapses at 10^10 URLs)
+        ranked = ranked.orderBy(*order).limit(global_limit)
     return ranked
 
 

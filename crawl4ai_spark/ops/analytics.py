@@ -64,11 +64,9 @@ def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(e6(F.col("o_totalprice"))).cast("long").alias("revenue_e6"),
              F.count("*").cast("long").alias("n_orders"))
     )
+    top = rev.orderBy(F.desc("revenue_e6"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue_e6"), F.asc("c_custkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
-    )
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
 
 
 SQL_JOIN_TOP_CUSTOMERS = """

@@ -92,10 +92,10 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard_e6",
                     e6(F.col("n_inter") / (F.col("s1") + F.col("s2") - F.col("n_inter"))))
     )
+    top = j.orderBy(F.desc("jaccard_e6"), F.asc("d1"), F.asc("d2")).limit(20)
     w = Window.orderBy(F.desc("jaccard_e6"), F.asc("d1"), F.asc("d2"))
     return (
-        j.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
         .select(F.col("d1").cast("long"), F.col("d2").cast("long"),
                 F.col("n_inter").cast("long"), "jaccard_e6", "rk")
     )
@@ -273,8 +273,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("hamming"),
         )
     )
+    top = pairs.orderBy(F.asc("hamming"), F.asc("d1"), F.asc("d2")).limit(20)
     w = Window.orderBy(F.asc("hamming"), F.asc("d1"), F.asc("d2"))
-    return pairs.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= 20)
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
 
 
 SQL_DEDUP_SIMHASH_PAIRS = f"""

@@ -65,10 +65,10 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-term parts quantized before the cross-term sum (determinism)
         .agg(F.sum(e6(F.col("part"))).cast("long").alias("score_e6"))
     )
+    top = scored.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
         .select(F.col("doc_id").cast("long"), "score_e6", "rk")
     )
 

@@ -180,10 +180,12 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Window.partitionBy("host").orderBy(F.desc("score_e6"), F.asc("url_norm"))
     picked = fr.withColumn("host_rank", F.row_number().over(wh).cast("long")) \
                .filter(F.col("host_rank") <= 3)
+    # global budget: distributed TakeOrdered (orderBy+limit), THEN rank the
+    # tiny survivor set — never a single-partition window over the frontier
+    top = picked.orderBy(F.desc("score_e6"), F.asc("url_norm")).limit(100)
     wg = Window.orderBy(F.desc("score_e6"), F.asc("url_norm"))
     return (
-        picked.withColumn("global_rank", F.row_number().over(wg).cast("long"))
-        .filter(F.col("global_rank") <= 100)
+        top.withColumn("global_rank", F.row_number().over(wg).cast("long"))
         .select("host", "url_norm", "score_e6", "host_rank", "global_rank")
     )
 
@@ -372,10 +374,10 @@ def q_bestfirst_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 50 — the reference's PriorityQueue tuple (bff_strategy.py:19,130-215)
     as one window."""
     fr = _frontier(_normalize(_urls(spark, sf_dir)))
+    top = fr.orderBy(F.desc("score_e6"), F.asc("depth"), F.asc("url_norm")).limit(50)
     w = Window.orderBy(F.desc("score_e6"), F.asc("depth"), F.asc("url_norm"))
     return (
-        fr.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 50)
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
         .select("url_norm", "score_e6", "depth", "rk")
     )
 

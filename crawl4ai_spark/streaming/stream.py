@@ -1,0 +1,102 @@
+"""Structured Streaming surface.
+
+The reference's "stream mode" is result streaming over asyncio generators
+(/root/reference/crawl4ai/models.py:308-311 RunManyReturn;
+deep_crawling/base_strategy.py:99-105) — no event-time semantics. Here the
+same capabilities are expressed Spark-natively:
+
+- :func:`stream_process_pages` — continuous extraction: a file stream of
+  ``pages`` parquet drops runs the SAME one-Arrow-stage pipeline as batch
+  (results stream out per micro-batch, the arun_many(stream=True) analog);
+- :func:`stream_windowed_events` — watermarked tumbling-window aggregation
+  over an event stream (late data handled by the watermark);
+- :func:`run_frontier_stream` — the frontier loop as a ``foreachBatch``
+  consumer: each seed-batch triggers one crawl generation through the engine
+  (micro-batch per frontier generation, resumable via the snapshot store).
+
+All entry points accept ``trigger=availableNow`` so tests are hermetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.udfs import process_pages
+from crawl4ai_spark.sources.pagesgen import PAGES_SCHEMA
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def stream_process_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """readStream(pages parquet) → the extraction pipeline, unchanged.
+    The pUDF stage is identical to batch — one code path, two execution
+    modes (the point of building on DataFrames)."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+    return process_pages(stream)
+
+
+def stream_windowed_events(spark: SparkSession, events_dir: str,
+                           window: str = "10 minutes",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+                "event_type", "n", "sum_value_e6")
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, *, complete: bool = False):
+    """Drain a stream into an in-memory table with availableNow (hermetic)."""
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_frontier_stream(spark: SparkSession, seeds_dir: str, pages: DataFrame,
+                        store_root: str, *, config=None, robots: DataFrame | None = None):
+    """foreachBatch frontier consumer: every micro-batch of newly arriving
+    seed files runs crawl generations through the engine — the streaming
+    realization of the generation loop (state lives in the snapshot store,
+    so the stream is restartable)."""
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+
+    cfg = config or CrawlConfig(max_depth=1, max_pages=200)
+    engine = SparkWebEngine(spark, store_root)
+
+    seeds_stream = (
+        spark.readStream.schema("url string, priority double")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(seeds_dir)
+    )
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.run(pages, batch_df, robots=robots, config=cfg, resume=batch_id > 0)
+
+    q = (
+        seeds_stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", f"{store_root}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return engine

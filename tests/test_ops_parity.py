@@ -1,0 +1,58 @@
+"""Driver-gate emulation: every oracle-checked queries() entry must match its
+DuckDB oracle_sql() on row count, column names, and order-insensitive values
+(floats pre-quantized to *_e6 bigints by construction) at sf0.001.
+
+This is the same comparison scripts/paritycheck.py runs standalone; the
+driver runs the real gate at sf0.01.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from paritycheck import compare, duck_run  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _registry():
+    from crawl4ai_spark.ops import registry
+    return registry()
+
+
+_QUERIES, _ORACLES = _registry()
+ORACLE_CHECKED = sorted(n for n in _QUERIES if n in _ORACLES)
+ROWS_ONLY = sorted(n for n in _QUERIES if n not in _ORACLES)
+# the heavy end-to-end crawl queries are covered by test_engine_spark
+_SKIP_ROWS_ONLY = {"crawl_bfs_e2e"}
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, name):
+    sdf = _QUERIES[name](spark, SF_DIR).toPandas()
+    odf = duck_run(SF_DIR, _ORACLES[name])
+    errs = compare(name, sdf, odf)
+    assert not errs, f"{name}: " + "; ".join(errs)
+
+
+@pytest.mark.parametrize("name", [n for n in ROWS_ONLY if n not in _SKIP_ROWS_ONLY])
+def test_rows_only_runs(spark, name):
+    sdf = _QUERIES[name](spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_contract(spark):
+    """__spark_entry__ contract: entry() returns rows; every oracle key has a
+    matching query; column aliasing discipline holds."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    df = entrymod.entry(spark)
+    assert df.count() > 0
