@@ -33,9 +33,9 @@ HEADLINE_QUERIES = [
     "agg_pricing_summary", "join_top_customers", "window_order_ranks",
     "sessionize_events", "events_windowed_counts",
     "url_normalize", "frontier_schedule", "bestfirst_order", "robots_gate",
-    "dedup_exact", "dedup_minhash_bands", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_bands",
     "sim_ann_topk_pandas", "sim_lsh_buckets",
-    "text_quality", "text_fingerprint", "bm25_rank", "bfs_reachability",
+    "text_quality", "text_fingerprint", "bm25_rank",
 ]
 
 
@@ -77,9 +77,12 @@ def generation_job(spark, pages_path: str, n_hosts: int) -> int:
     # with a small files.maxPartitionBytes — partitions sized by CPU cost,
     # not bytes).
     fetched = pages.join(F.broadcast(batch.select("url")), on="url", how="inner")
-    # persist results once (the engine appends them to the results table);
-    # downstream link discovery reads the materialized stage, not a recompute
-    results = process_pages(fetched).cache()
+    # run the full extraction once; persist only the slim projection link
+    # discovery needs (url, success, links) — caching the heavy markdown
+    # structs adds memory-store pressure without a downstream consumer here
+    # (the engine persists full results by writing them to the results table)
+    results = process_pages(fetched) \
+        .select("url", "success", "links").cache()
     n_results = results.count()
 
     links = FR.explode_links(results.filter(F.col("success")))
@@ -112,8 +115,13 @@ def run_worker(k: int) -> None:
         t0 = time.time()
         generation_job(spark, path, SCALE_HOSTS)
         best = min(best, time.time() - t0)
+    # time-adjacent hardware control at the SAME parallelism: the sandbox is
+    # a shared VM (noisy neighbors), so the control must run next to the job
+    # it normalizes — the parent divides job scaling by control scaling
+    ctrl = _hw_control_at(k)
     print(json.dumps({"cores": k, "seconds": round(best, 2), "n_pages": n_pages,
-                      "urls_per_sec": round(n_pages / best, 1)}))
+                      "urls_per_sec": round(n_pages / best, 1),
+                      "hw_control_pages_per_sec": ctrl}))
 
 
 def crawl_e2e(spark) -> dict:
@@ -139,6 +147,21 @@ def crawl_e2e(spark) -> dict:
             "urls_per_sec": round(n / dt, 1)}
 
 
+def _hw_control_at(k: int) -> float:
+    """Pure-multiprocessing extraction throughput at k procs (pages/sec):
+    the same per-page work with zero Spark — the hardware+neighbor ceiling."""
+    import multiprocessing as mp
+    PPH = 400
+    with mp.Pool(k) as pool:
+        pool.map(_extract_ctrl, [(0, 5)] * k)  # warm imports
+        best = 9e9
+        for _ in range(3):
+            t0 = time.time()
+            pool.map(_extract_ctrl, [(h, PPH) for h in range(k)])
+            best = min(best, time.time() - t0)
+    return round(k * PPH / best, 1)
+
+
 def _extract_ctrl(args) -> float:
     h, pph = args
     from crawl4ai_spark.functions.udfs import process_page
@@ -148,29 +171,6 @@ def _extract_ctrl(args) -> float:
     for p, html in enumerate(htmls):
         process_page(f"https://www.host{h}.com/p{p}", html)
     return time.time() - t0
-
-
-def hw_scaling_control(n: int, m: int) -> dict:
-    """Same-box REAL-WORKLOAD control: the extraction pipeline itself (pure
-    multiprocessing, no Spark) with fixed work per process at n and 4n procs.
-    The per-core slowdown it measures (DRAM bandwidth + all-core turbo on one
-    shared box) is a sandbox artifact a real multi-machine cluster does not
-    have; the Spark job's efficiency should be read against this ceiling."""
-    import multiprocessing as mp
-
-    PPH = 200
-    walls = {}
-    for k in (n, m):
-        with mp.Pool(k) as pool:
-            pool.map(_extract_ctrl, [(0, 5)] * k)  # warm imports
-            best = 9e9
-            for _ in range(2):
-                t0 = time.time()
-                pool.map(_extract_ctrl, [(h, PPH) for h in range(k)])
-                best = min(best, time.time() - t0)
-        walls[k] = best
-    return {"ceiling_efficiency": round(walls[n] / walls[m], 3),
-            "wall_n": round(walls[n], 2), "wall_4n": round(walls[m], 2)}
 
 
 def main() -> None:
@@ -199,9 +199,11 @@ def main() -> None:
 
     e2e = crawl_e2e(spark)
 
-    # scaling: same job, fresh JVM, two N-vs-4N pairs (2→8 and 8→32 cores)
-    scaling = {}
+    # scaling: same job, fresh JVM, two N-vs-4N pairs (2→8 and 8→32 cores).
+    # Stop the parent session first — an idle 32-thread JVM skews the workers.
     ensure_pages(spark, "scale", SCALE_HOSTS, SCALE_PPH)  # build once, shared
+    spark.stop()
+    scaling = {}
     for k in (2, 8, 32):
         try:
             out = subprocess.run(
@@ -217,9 +219,17 @@ def main() -> None:
     thru_2 = scaling["local[2]"].get("urls_per_sec")
     thru_n = scaling["local[8]"].get("urls_per_sec")
     thru_4n = scaling["local[32]"].get("urls_per_sec")
+    c2 = scaling["local[2]"].get("hw_control_pages_per_sec")
+    cn = scaling["local[8]"].get("hw_control_pages_per_sec")
+    c4n = scaling["local[32]"].get("hw_control_pages_per_sec")
     eff_2_8 = round((thru_n / thru_2) / 4.0, 3) if thru_2 and thru_n else None
     eff = round((thru_4n / thru_n) / 4.0, 3) if thru_n and thru_4n else None
-    ctrl = hw_scaling_control(8, 32)
+    # contention-normalized: job scaling ÷ time-adjacent hw-control scaling
+    # (the shared-VM ceiling a real multi-machine cluster would not have)
+    eff_2_8_norm = (round((thru_n / thru_2) / (cn / c2), 3)
+                    if thru_2 and thru_n and c2 and cn else None)
+    eff_norm = (round((thru_4n / thru_n) / (c4n / cn), 3)
+                if thru_n and thru_4n and cn and c4n else None)
 
     total = round(time.time() - t_suite0, 2)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -239,9 +249,12 @@ def main() -> None:
             "local[32]": scaling["local[32]"],
             "efficiency_2_to_8": eff_2_8,
             "efficiency_8_to_32": eff,
-            "hw_extract_control_8_to_32": ctrl,
-            "efficiency_8_to_32_vs_hw_ceiling":
-                round(eff / ctrl["ceiling_efficiency"], 3) if eff else None,
+            "efficiency_2_to_8_vs_hw_control": eff_2_8_norm,
+            "efficiency_8_to_32_vs_hw_control": eff_norm,
+            "hw_control_note": "shared-VM sandbox: the hw control runs the "
+                "same extraction work via bare multiprocessing adjacent in "
+                "time to each Spark run; *_vs_hw_control divides job scaling "
+                "by the box's own achievable scaling at that moment",
         },
     }))
 

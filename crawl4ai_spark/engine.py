@@ -61,6 +61,10 @@ class CrawlConfig:
     content_filter: str = "pruning"    # pruning | bm25
     bm25_query: str | None = None
     n_salts: int = 8
+    # CacheMode analog (ref cache_context.py:23-92 + async_webcrawler.py:267):
+    # "enabled" = skip urls already in the results table (cache read path =
+    # left anti-join, SURVEY §2 S7); "bypass" = always fetch+reprocess
+    cache_mode: str = "enabled"
     extra: dict = field(default_factory=dict)
 
 
@@ -133,6 +137,12 @@ class SparkWebEngine:
                   cfg: CrawlConfig, pages_budget: int) -> DataFrame:
         cand = frontier.filter(F.col("status") == "QUEUED") \
                        .filter(F.col("retry_count") <= POL.MAX_RETRIES)
+        if cfg.cache_mode == "enabled":
+            prior = self.store.read(self.spark, "results")
+            if prior is not None:
+                # cache read path: already-crawled urls never reschedule
+                cand = cand.join(prior.select("url").distinct(),
+                                 on="url", how="left_anti")
         if cfg.score_threshold is not None:
             cand = cand.filter(
                 (F.col("depth") == 0) | (F.col("score") >= cfg.score_threshold)

@@ -13,6 +13,7 @@ _MODULES = [
     "scheduling",
     "ranking",
     "multimodal",
+    "extractq",
     "crawlq",
 ]
 

@@ -1,0 +1,133 @@
+"""URL seeding pipeline (ref AsyncUrlSeeder, async_url_seeder.py):
+
+- :func:`synthetic_cc_index` — the Common-Crawl CDX index seeder (S5,
+  async_url_seeder.py:709-762 ``_from_cc``) replaced by a deterministic
+  in-cluster generator (no network in this sandbox): one row per candidate
+  url with CC-index-style columns (url, domain, status, mime, warc_ts).
+- :func:`seed_urls` — the producer/consumer pipeline (F17,
+  async_url_seeder.py:267-448 ``urls``) as one declarative lineage:
+  glob pattern filter (:250-258 pattern match), nonsense-URL filter
+  (:1330-1424 ``_is_nonsense_url`` — utility pages, asset extensions,
+  tracker/api paths), optional BM25 relevance ranking against per-url head
+  text (F18, :645-677), and ``max_urls`` cap (:365-376).
+
+Everything is column predicates + one explode/groupBy for BM25 — the
+backpressure/QPS machinery of the reference (bounded queue, hits_per_sec
+semaphore) is admission control Spark already owns.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ref _is_nonsense_url async_url_seeder.py:1337-1393 (asset extensions) and
+# :1395-1415 (utility path segments), expressed as pushable predicates
+NONSENSE_EXT_RE = r"\.(js|css|png|jpe?g|gif|svg|ico|woff2?|ttf|eot|map|json|xmlrpc)$"
+NONSENSE_PATH_RE = r"/(wp-json|wp-admin|cgi-bin|cdn-cgi|__api|trackback)(/|$)"
+
+_WORDS = (
+    "crawl spark data engine index page article doc guide api blog news "
+    "shop item press about contact search tag category archive"
+).split()
+
+
+def _glob_to_regex(pattern: str) -> str:
+    """Glob → anchored regex (ref uses fnmatch semantics,
+    async_url_seeder.py:250-258): * → .*, ? → . — everything else literal."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def synthetic_cc_index(spark: SparkSession, n_domains: int = 20,
+                       urls_per_domain: int = 50) -> DataFrame:
+    """Deterministic CC-index-style candidate table."""
+    total = n_domains * urls_per_domain
+    base = spark.range(total).select(
+        (F.col("id") % n_domains).alias("d"),
+        (F.col("id") / n_domains).cast("long").alias("p"),
+    )
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in _WORDS]),
+        (F.pmod(F.xxhash64(F.concat_ws("/", "d", "p")), F.lit(len(_WORDS))) + 1).cast("int"),
+    )
+    seg = (
+        F.when(F.col("p") % 11 == 3, F.concat(F.lit("asset"), F.col("p"), F.lit(".css")))
+        .when(F.col("p") % 13 == 5, F.concat(F.lit("wp-json/v"), F.col("p")))
+        .otherwise(F.concat(word, F.lit("-"), F.col("p"), F.lit(".html")))
+    )
+    return base.select(
+        F.concat(F.lit("https://www.site"), F.col("d"), F.lit(".com/"), word,
+                 F.lit("/"), seg).alias("url"),
+        F.concat(F.lit("www.site"), F.col("d"), F.lit(".com")).alias("domain"),
+        F.lit(200).alias("status"),
+        F.when(F.col("p") % 11 == 3, "text/css").otherwise("text/html").alias("mime"),
+        # deterministic pseudo head-text for BM25 ranking (stand-in for the
+        # reference's live <head> fetch, link_preview.py:18-260)
+        F.concat_ws(
+            " ", word,
+            F.element_at(F.array(*[F.lit(w) for w in _WORDS]),
+                         (F.pmod(F.xxhash64("p"), F.lit(len(_WORDS))) + 1).cast("int")),
+            F.element_at(F.array(*[F.lit(w) for w in _WORDS]),
+                         (F.pmod(F.xxhash64("d", "p"), F.lit(len(_WORDS))) + 1).cast("int")),
+        ).alias("head_text"),
+    )
+
+
+def seed_urls(seeds: DataFrame, *, pattern: str | None = None,
+              query: str | None = None, score_threshold: float | None = None,
+              max_urls: int | None = None) -> DataFrame:
+    """The seeding pipeline as one lineage. Returns (url, domain, score)."""
+    out = seeds
+    if pattern:
+        out = out.filter(F.col("url").rlike(_glob_to_regex(pattern)))
+    out = out.filter(~F.lower("url").rlike(NONSENSE_EXT_RE)) \
+             .filter(~F.lower("url").rlike(NONSENSE_PATH_RE))
+
+    if query:
+        out = _bm25_score(out, query)
+        if score_threshold is not None:
+            out = out.filter(F.col("score") >= score_threshold)
+        order = [F.desc("score"), F.asc("url")]
+    else:
+        out = out.withColumn("score", F.lit(0.0))
+        order = [F.asc("url")]
+
+    if max_urls is not None:
+        out = out.orderBy(*order).limit(max_urls)  # TakeOrdered, no global window
+    return out.select("url", "domain", "score")
+
+
+def _bm25_score(seeds: DataFrame, query: str, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 over head_text (ref async_url_seeder.py:645-677): df/avgdl are
+    corpus aggregates (two passes), the scoring join broadcasts the tiny idf
+    table. Mirrors ops/ranking.py at the seed-table granularity."""
+    terms = [t for t in re.findall("[a-z0-9]+", query.lower())]
+    spark = seeds.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+    toks = seeds.select(
+        "url", F.explode(F.regexp_extract_all(F.lower("head_text"),
+                                              F.lit("[a-z0-9]+"), F.lit(0))).alias("tok"))
+    n_docs = seeds.count()
+    dl = toks.groupBy("url").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = toks.join(F.broadcast(tdf), toks.tok == tdf.term).groupBy("url", "term") \
+             .agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(F.countDistinct("url").alias("df")).withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0))
+    scored = (
+        tf.join(F.broadcast(idf), "term").join(dl, "url").crossJoin(F.broadcast(avgdl))
+        .withColumn("part", F.col("idf") * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+        .groupBy("url").agg(F.sum("part").alias("score"))
+    )
+    return seeds.join(scored, "url", "left").fillna({"score": 0.0})
