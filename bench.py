@@ -26,7 +26,7 @@ import time
 BENCH_ROOT = "/tmp/spark_graft_bench"
 SCALE_HOSTS = 5120          # 5120 hosts × 31 pages = 158 720 pages
 SCALE_PPH = 31
-E2E_HOSTS = 48
+E2E_HOSTS = 128
 E2E_PPH = 15
 
 HEADLINE_QUERIES = [
@@ -139,7 +139,7 @@ def crawl_e2e(spark) -> dict:
     t0 = time.time()
     engine = SparkWebEngine(spark, tempfile.mkdtemp(dir=BENCH_ROOT, prefix="e2e_"))
     res = engine.run(pages, seeds, robots=robots,
-                     config=CrawlConfig(max_depth=4, max_pages=700, per_host_quota=16))
+                     config=CrawlConfig(max_depth=4, max_pages=2000, per_host_quota=16))
     n = res.count()
     dt = time.time() - t0
     pages.unpersist()

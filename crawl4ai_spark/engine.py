@@ -101,8 +101,13 @@ class SparkWebEngine:
         while gen < start_gen + max_gens and pages_done < cfg.max_pages:
             t0 = time.time()
             batch = self._schedule(frontier, robots, cfg, pages_budget=cfg.max_pages - pages_done)
-            n_sched = batch.count()  # the one driver-side action per generation
+            # the batch feeds fetch, 404-detection, robots-403 rows and the
+            # frontier advance — cache it so the schedule windows + robots
+            # pUDF run once per generation, not four times
+            batch = batch.cache()
+            n_sched = batch.count()
             if n_sched == 0:
+                batch.unpersist()
                 break
 
             results = self._fetch_and_process(batch, pages, cfg, gen)
@@ -124,6 +129,7 @@ class SparkWebEngine:
                 self.store.commit("host_state", hs, meta={"generation": gen})
 
             self._commit_metrics(gen, n_sched, results, time.time() - t0)
+            batch.unpersist()
             pages_done += n_sched
             gen += 1
 

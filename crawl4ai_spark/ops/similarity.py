@@ -270,8 +270,115 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def q_sim_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, the scale path end-to-end: LSH bucket candidates
+    → exact cosine verification on candidates only (never all pairs)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    cand = q_sim_lsh_candidates(spark, sf_dir).select("v1", "v2")
+    e1 = _elements(emb, "v1").withColumnRenamed("x", "x1")
+    e2 = _elements(emb, "v2").withColumnRenamed("x", "x2")
+    dots = (
+        cand.join(e1, "v1").join(e2, ["v2", "pos"])
+        .groupBy("v1", "v2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("dot"))
+    )
+    n1 = _norms(emb, "v1").withColumnRenamed("nrm", "nrm1")
+    n2 = _norms(emb, "v2").withColumnRenamed("nrm", "nrm2")
+    return (
+        dots.join(n1, "v1").join(n2, "v2")
+        .withColumn("cos_e6",
+                    F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")) * 1e6).cast("long"))
+        .filter(F.col("cos_e6") >= 200_000)
+        .select(F.col("v1").cast("long"), F.col("v2").cast("long"), "cos_e6")
+    )
+
+
+SQL_SIM_LSH_VERIFIED = f"""
+WITH el AS ({_SQL_ELEMS.format(dim=DIM)}),
+norms AS ({_SQL_NORMS}),
+b AS ({SQL_SIM_LSH_BUCKETS}),
+cand AS (
+  SELECT a.vec_id AS v1, c.vec_id AS v2
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+dots AS (
+  SELECT cand.v1, cand.v2, sum(e1.x * e2.x) AS dot
+  FROM cand JOIN el e1 ON e1.vec_id = cand.v1
+            JOIN el e2 ON e2.vec_id = cand.v2 AND e2.pos = e1.pos
+  GROUP BY cand.v1, cand.v2
+)
+SELECT CAST(d.v1 AS BIGINT) AS v1, CAST(d.v2 AS BIGINT) AS v2,
+       CAST(ROUND(d.dot / (n1.nrm * n2.nrm) * 1e6) AS BIGINT) AS cos_e6
+FROM dots d JOIN norms n1 ON n1.vec_id = d.v1 JOIN norms n2 ON n2.vec_id = d.v2
+WHERE CAST(ROUND(d.dot / (n1.nrm * n2.nrm) * 1e6) AS BIGINT) >= 200000
+"""
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF search: queries (vec_id < 5) probe ONLY their own coarse
+    cell — the candidate set is the cell, not the corpus. Top-5 per query."""
+    assign = q_sim_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id").cache()
+    emb = tbl(spark, sf_dir, "embeddings")
+    q_assign = assign.filter(F.col("vec_id") < N_QUERIES) \
+                     .select(F.col("vec_id").alias("qid"), "centroid_id")
+    t_assign = assign.select(F.col("vec_id").alias("tid"), "centroid_id")
+    cand = q_assign.join(t_assign, "centroid_id")
+    qe = _elements(emb.filter(F.col("vec_id") < N_QUERIES), "qid").withColumnRenamed("x", "qx")
+    te = _elements(emb, "tid").withColumnRenamed("x", "tx")
+    dots = (
+        cand.join(qe, "qid").join(te, ["tid", "pos"])
+        .groupBy("qid", "tid", "centroid_id")
+        .agg(F.sum(F.col("qx") * F.col("tx")).alias("dot"))
+    )
+    qn = _norms(emb, "qid").withColumnRenamed("nrm", "qn")
+    tn = _norms(emb, "tid").withColumnRenamed("nrm", "tn")
+    cos = (
+        dots.join(qn, "qid").join(tn, "tid")
+        .withColumn("cos_e6",
+                    F.round(F.col("dot") / (F.col("qn") * F.col("tn")) * 1e6).cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.asc("tid"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("qid").cast("long"), F.col("tid").cast("long"),
+                F.col("centroid_id").cast("long"), "cos_e6", "rk")
+    )
+
+
+SQL_SIM_IVF_TOPK = f"""
+WITH el AS ({_SQL_ELEMS.format(dim=DIM)}),
+norms AS ({_SQL_NORMS}),
+assign AS ({SQL_SIM_IVF_ASSIGN.replace('cos_e6', 'acos_e6')}),
+cand AS (
+  SELECT q.vec_id AS qid, t.vec_id AS tid, q.centroid_id
+  FROM assign q JOIN assign t ON q.centroid_id = t.centroid_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+dots AS (
+  SELECT cand.qid, cand.tid, cand.centroid_id, sum(e1.x * e2.x) AS dot
+  FROM cand JOIN el e1 ON e1.vec_id = cand.qid
+            JOIN el e2 ON e2.vec_id = cand.tid AND e2.pos = e1.pos
+  GROUP BY cand.qid, cand.tid, cand.centroid_id
+),
+cos AS (
+  SELECT d.qid, d.tid, d.centroid_id,
+         CAST(ROUND(d.dot / (nq.nrm * nt.nrm) * 1e6) AS BIGINT) AS cos_e6
+  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nt ON nt.vec_id = d.tid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(tid AS BIGINT) AS tid,
+       CAST(centroid_id AS BIGINT) AS centroid_id, cos_e6, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, tid ASC) AS BIGINT) AS rk
+  FROM cos
+) WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_verified": q_sim_lsh_verified,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_lsh_candidates": q_sim_lsh_candidates,
     "sim_ivf_assign": q_sim_ivf_assign,
@@ -279,6 +386,8 @@ QUERIES = {
 }
 ORACLES = {
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
+    "sim_lsh_verified": SQL_SIM_LSH_VERIFIED,
+    "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_lsh_buckets": SQL_SIM_LSH_BUCKETS,
     "sim_lsh_candidates": SQL_SIM_LSH_CANDIDATES,
     "sim_ivf_assign": SQL_SIM_IVF_ASSIGN,
