@@ -82,6 +82,13 @@ class SparkWebEngine:
         cfg = config or CrawlConfig()
         spark = self.spark
 
+        # Frontier = append-only delta log (the 10^10-URL design):
+        #   "frontier"      — every row ever ENQUEUED (url, ..., retry_count)
+        #   "frontier_done" — every row that LEFT the queue (url, retry_count,
+        #                     final status, generation)
+        # queued = frontier ANTI-JOIN done. A generation appends O(delta)
+        # rows to each table — it never rewrites the frontier (an Iceberg
+        # MERGE-on-read layout; compaction is an offline concern).
         if resume and self.store.latest_id("frontier") is not None:
             frontier = self.store.read(spark, "frontier")
             start_gen = int(self.store.meta("frontier").get("generation", 0)) + 1
@@ -89,6 +96,8 @@ class SparkWebEngine:
         else:
             frontier = FR.seeds_to_frontier(seeds)
             self.store.commit("frontier", frontier, meta={"generation": -1, "pages_done": 0})
+            self.store.commit("frontier_done", self._empty_done(),
+                              meta={"generation": -1})
             frontier = self.store.read(spark, "frontier")
             start_gen = 0
             pages_done = 0
@@ -100,7 +109,13 @@ class SparkWebEngine:
 
         while gen < start_gen + max_gens and pages_done < cfg.max_pages:
             t0 = time.time()
-            batch = self._schedule(frontier, robots, cfg, pages_budget=cfg.max_pages - pages_done)
+            done = self.store.read(spark, "frontier_done")
+            queued = (
+                frontier.join(done.select("url", "retry_count"),
+                              on=["url", "retry_count"], how="left_anti")
+                if done is not None else frontier
+            )
+            batch = self._schedule(queued, robots, cfg, pages_budget=cfg.max_pages - pages_done)
             # the batch feeds fetch, 404-detection, robots-403 rows and the
             # frontier advance — cache it so the schedule windows + robots
             # pUDF run once per generation, not four times
@@ -115,8 +130,10 @@ class SparkWebEngine:
                               meta={"generation": gen})
             results = self.store.read(spark, "results").filter(F.col("generation") == gen)
 
-            frontier = self._advance_frontier(frontier, batch, results, cfg, gen)
-            self.store.commit("frontier", frontier,
+            done_delta, new_rows = self._advance_frontier(frontier, batch, results, cfg, gen)
+            self.store.commit("frontier_done", done_delta, mode="append",
+                              meta={"generation": gen})
+            self.store.commit("frontier", new_rows, mode="append",
                               meta={"generation": gen,
                                     "pages_done": pages_done + n_sched})
             frontier = self.store.read(spark, "frontier")
@@ -224,17 +241,28 @@ class SparkWebEngine:
                         .withColumn("generation", F.lit(gen))
         return base.unionByName(extras, allowMissingColumns=True)
 
+    def _empty_done(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "url string, retry_count int, status string, generation int")
+
     def _advance_frontier(self, frontier: DataFrame, batch: DataFrame,
-                          results: DataFrame, cfg: CrawlConfig, gen: int) -> DataFrame:
-        # 1. mark scheduled rows COMPLETED/FAILED
+                          results: DataFrame, cfg: CrawlConfig, gen: int
+                          ) -> tuple[DataFrame, DataFrame]:
+        """Return (done_delta, new_rows) — the O(delta) appends for this
+        generation. done_delta marks every scheduled row COMPLETED/FAILED;
+        new_rows enqueues freshly discovered candidates at depth+1."""
+        # 1. batch rows leave the queue with their outcome
         outcome = results.select(
             "url",
-            F.when(F.col("success"), "COMPLETED").otherwise("FAILED").alias("__new_status"),
+            F.when(F.col("success"), "COMPLETED").otherwise("FAILED").alias("status"),
         )
-        updated = (
-            frontier.join(outcome, on="url", how="left")
-            .withColumn("status", F.coalesce(F.col("__new_status"), F.col("status")))
-            .drop("__new_status")
+        done_delta = (
+            batch.select("url", "retry_count")
+            .join(outcome, on="url", how="left")
+            .withColumn("status", F.coalesce(F.col("status"), F.lit("FAILED")))
+            .withColumn("generation", F.lit(gen))
+            .select("url", F.col("retry_count").cast("int"), "status",
+                    F.col("generation").cast("int"))
         )
 
         # 2. discover + enqueue new links from successful pages
@@ -260,7 +288,7 @@ class SparkWebEngine:
                 fp_rate=cfg.bloom_fp_rate,
             ).dropDuplicates(["url"])
         else:
-            fresh = FR.dedup_new_candidates(cand, updated)
+            fresh = FR.dedup_new_candidates(cand, frontier)
 
         # depth bookkeeping: children of this generation's pages
         parent_depth = results.select(F.col("url").alias("parent_url"),
@@ -278,7 +306,7 @@ class SparkWebEngine:
             .withColumn("generation", F.lit(gen + 1))
             .select([f.name for f in FR.FRONTIER_SCHEMA.fields])
         )
-        return updated.unionByName(new_rows)
+        return done_delta, new_rows
 
     def _commit_metrics(self, gen: int, n_sched: int, results: DataFrame,
                         wall_secs: float) -> None:
@@ -296,7 +324,22 @@ class SparkWebEngine:
         return self.store.read(self.spark, "results")
 
     def frontier(self) -> DataFrame | None:
-        return self.store.read(self.spark, "frontier")
+        """Reconstructed current frontier view: every enqueued row with its
+        latest status (merge-on-read over the append-only delta log)."""
+        fr = self.store.read(self.spark, "frontier")
+        if fr is None:
+            return None
+        done = self.store.read(self.spark, "frontier_done")
+        if done is None:
+            return fr
+        latest = done.select("url", "retry_count",
+                             F.col("status").alias("__final"))
+        return (
+            fr.drop("status")
+            .join(latest, on=["url", "retry_count"], how="left")
+            .withColumn("status", F.coalesce(F.col("__final"), F.lit("QUEUED")))
+            .drop("__final")
+        )
 
     def metrics(self) -> DataFrame | None:
         return self.store.read(self.spark, "metrics")
