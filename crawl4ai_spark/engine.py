@@ -65,6 +65,10 @@ class CrawlConfig:
     # "enabled" = skip urls already in the results table (cache read path =
     # left anti-join, SURVEY §2 S7); "bypass" = always fetch+reprocess
     cache_mode: str = "enabled"
+    # deterministic rate-limit injection for tests/benchmarks: hosts matching
+    # this regex answer 503 on their FIRST attempt (retry_count=0), exercising
+    # the requeue (F16) + exponential backoff + quota-shrink (F12) loop
+    simulate_503_hosts: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -163,9 +167,12 @@ class SparkWebEngine:
         if cfg.cache_mode == "enabled":
             prior = self.store.read(self.spark, "results")
             if prior is not None:
-                # cache read path: already-crawled urls never reschedule
-                cand = cand.join(prior.select("url").distinct(),
-                                 on="url", how="left_anti")
+                # cache read path: successfully-crawled urls never reschedule
+                # (failed attempts are not cache hits — ref async_database.py
+                # aget_cached_url returns only stored successes)
+                cand = cand.join(
+                    prior.filter(F.col("success")).select("url").distinct(),
+                    on="url", how="left_anti")
         if cfg.score_threshold is not None:
             cand = cand.filter(
                 (F.col("depth") == 0) | (F.col("score") >= cfg.score_threshold)
@@ -187,9 +194,20 @@ class SparkWebEngine:
             pages_budget,
             cfg.batch_size if cfg.batch_size is not None else pages_budget,
         )
+        # backoff-aware per-host quota (F12): hosts with recent 429/503 get
+        # their budget halved per failure (floor 1) until the state decays
+        hs = self.store.read(self.spark, "host_state")
+        host_quota = None
+        if hs is not None:
+            host_quota = hs.filter(F.col("fail_count") > 0).select(
+                "host",
+                F.expr(f"greatest(1, shiftright({cfg.per_host_quota}, "
+                       "cast(least(fail_count, 3) as int)))").alias("quota"),
+            )
         batch = POL.schedule_batch(
             cand, per_host_quota=cfg.per_host_quota,
             global_limit=global_limit, n_salts=cfg.n_salts,
+            host_quota=host_quota,
         )
         if cfg.check_robots_txt and robots is not None:
             batch = POL.robots_allowed_col(
@@ -203,6 +221,12 @@ class SparkWebEngine:
                            cfg: CrawlConfig, gen: int) -> DataFrame:
         allowed = batch.filter(F.col("robots_allowed"))
         blocked = batch.filter(~F.col("robots_allowed"))
+        limited = None
+        if cfg.simulate_503_hosts:
+            hit = (F.col("host").rlike(cfg.simulate_503_hosts)
+                   & (F.col("retry_count") == 0))
+            limited = allowed.filter(hit)
+            allowed = allowed.filter(~hit)
 
         # the "fetch": equi-join the scheduled batch against the pages table.
         # batch is small (quota-bounded) → broadcast it to avoid shuffling
@@ -237,8 +261,14 @@ class SparkWebEngine:
             # parity: ref async_webcrawler.py:318-331
 
         base = processed.withColumn("generation", F.lit(gen))
-        extras = missing.unionByName(blocked403) \
-                        .withColumn("generation", F.lit(gen))
+        extras = missing.unionByName(blocked403)
+        if limited is not None:
+            l503 = limited.select("url", "host", "depth") \
+                .withColumn("status_code", F.lit(503)) \
+                .withColumn("success", F.lit(False)) \
+                .withColumn("error_message", F.lit("rate limited (simulated 503)"))
+            extras = extras.unionByName(l503)
+        extras = extras.withColumn("generation", F.lit(gen))
         return base.unionByName(extras, allowMissingColumns=True)
 
     def _empty_done(self) -> DataFrame:
@@ -306,7 +336,21 @@ class SparkWebEngine:
             .withColumn("generation", F.lit(gen + 1))
             .select([f.name for f in FR.FRONTIER_SCHEMA.fields])
         )
-        return done_delta, new_rows
+
+        # 3. requeue rate-limited rows (F16): a 429/503 attempt re-enters the
+        # queue with retry_count+1 (dropped after MAX_RETRIES, ref
+        # async_dispatcher.py:65-85) — another O(delta) append
+        rate_limited = results.filter(F.col("status_code").isin(429, 503)) \
+                              .select("url")
+        requeue = (
+            batch.join(rate_limited, on="url", how="inner")
+            .filter(F.col("retry_count") < POL.MAX_RETRIES)
+            .withColumn("retry_count", (F.col("retry_count") + 1).cast("int"))
+            .withColumn("status", F.lit("QUEUED"))
+            .withColumn("generation", F.lit(gen + 1))
+            .select([f.name for f in FR.FRONTIER_SCHEMA.fields])
+        )
+        return done_delta, new_rows.unionByName(requeue)
 
     def _commit_metrics(self, gen: int, n_sched: int, results: DataFrame,
                         wall_secs: float) -> None:

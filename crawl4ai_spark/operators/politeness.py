@@ -60,7 +60,8 @@ def base_delay(host: str, generation: int = 0) -> float:
 # ---------------------------------------------------------------------------
 
 def schedule_batch(candidates: DataFrame, *, per_host_quota: int = 10,
-                   global_limit: int | None = None, n_salts: int = 8) -> DataFrame:
+                   global_limit: int | None = None, n_salts: int = 8,
+                   host_quota: DataFrame | None = None) -> DataFrame:
     """Pick ≤ quota URLs per host (highest score first, stable ties), then
     optionally cap the global batch by the same priority order.
 
@@ -80,8 +81,20 @@ def schedule_batch(candidates: DataFrame, *, per_host_quota: int = 10,
         .drop("__salt", "__r1")
     )
     w2 = Window.partitionBy("host").orderBy(*order)
-    ranked = stage1.withColumn("__rk", F.row_number().over(w2)) \
-                   .filter(F.col("__rk") <= per_host_quota).drop("__rk")
+    ranked = stage1.withColumn("__rk", F.row_number().over(w2))
+    if host_quota is not None:
+        # backoff-aware quota (F12): hosts with recent 429/503 get a reduced
+        # budget this generation; broadcast — the quota table is tiny
+        ranked = (
+            ranked.join(F.broadcast(host_quota.select("host", "quota")),
+                        on="host", how="left")
+            .filter(F.col("__rk") <= F.coalesce(F.col("quota"),
+                                                F.lit(per_host_quota)))
+            .drop("quota")
+        )
+    else:
+        ranked = ranked.filter(F.col("__rk") <= per_host_quota)
+    ranked = ranked.drop("__rk")
 
     if global_limit is not None:
         # distributed TakeOrdered — never a single-partition rank window
