@@ -110,3 +110,77 @@ def oracle_bfs(n_hosts: int, pages_per_host: int, *, max_depth: int = 3,
         pages_done += len(scheduled)
         gen += 1
     return generations
+
+
+def oracle_policy(n_hosts: int, pages_per_host: int, *, policy: str,
+                  max_depth: int = 3, max_pages: int = 10_000,
+                  per_host_quota: int = 10,
+                  batch_size: int | None = None) -> list[dict]:
+    """Generalized ordering oracle for the dfs / best_first policies.
+
+    Mirrors the engine's scheduling semantics (a deterministic equivalence
+    class of the reference's asyncio strategies, SURVEY.md §7 risk 2):
+    - best_first: no depth gate; global priority (score DESC, depth ASC,
+      url ASC) after the per-host quota; optional batch_size per generation
+      (ref bff_strategy.py:19 BATCH_SIZE pops).
+    - dfs: only the DEEPEST queued depth runs each generation
+      (ref dfs_strategy.py:27-131 LIFO stack semantics, level-collapsed).
+    """
+    pages = {
+        page_url(h, p): build_html(h, p, n_hosts, pages_per_host)
+        for h in range(n_hosts) for p in range(pages_per_host)
+    }
+    frontier: dict[str, tuple[int, float]] = {}
+    status: dict[str, str] = {}
+    for h in range(n_hosts):
+        u = U.normalize_url(page_url(h, 0), page_url(h, 0))
+        frontier[u] = (0, 0.0)
+        status[u] = "QUEUED"
+
+    generations: list[dict] = []
+    pages_done = 0
+    gen = 0
+    while pages_done < max_pages:
+        queued = [(u, d, s) for u, (d, s) in frontier.items() if status[u] == "QUEUED"]
+        if not queued:
+            break
+        if policy == "dfs":
+            gate = max(d for _, d, _ in queued)
+            queued = [(u, d, s) for u, d, s in queued if d == gate]
+        by_host: dict[str, list] = {}
+        for u, d, s in queued:
+            by_host.setdefault(U.host_of(u), []).append((u, d, s))
+        batch: list[tuple[str, int, float]] = []
+        for host in by_host:
+            rows = sorted(by_host[host], key=lambda x: (-x[2], x[1], x[0]))
+            batch.extend(rows[:per_host_quota])
+        batch.sort(key=lambda x: (-x[2], x[1], x[0]))
+        cap = max_pages - pages_done
+        if batch_size is not None:
+            cap = min(cap, batch_size)
+        batch = batch[:cap]
+
+        scheduled = {u for u, _, _ in batch}
+        disc: dict[str, tuple[int, float]] = {}
+        for u, d, s in batch:
+            html = pages.get(u)
+            status[u] = "COMPLETED" if html is not None else "FAILED"
+            if html is None or d + 1 > max_depth:
+                continue
+            res = scrape(u, html)
+            for link in res["links"]["internal"]:
+                nu = U.normalize_url_deep(link["href"], u)
+                if (not nu or not U.is_valid_url(nu)
+                        or U.is_nonsense_url(nu) or nu in frontier):
+                    continue
+                sc = float(link["intrinsic_score"])
+                prev = disc.get(nu)
+                if prev is None or sc > prev[1]:
+                    disc[nu] = (d + 1, sc)
+        for nu, (nd, sc) in disc.items():
+            frontier[nu] = (nd, sc)
+            status[nu] = "QUEUED"
+        generations.append({"generation": gen, "scheduled": scheduled})
+        pages_done += len(scheduled)
+        gen += 1
+    return generations

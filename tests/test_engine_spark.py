@@ -188,3 +188,45 @@ def test_snapshot_store_time_travel(spark, tmp_store):
     assert store.read(spark, "t").count() == 8
     assert store.latest_id("t") == s1
     assert store.meta("t", s0) == {"k": 1}
+
+
+# ------------------------------------------------- T2: other policies -------
+def test_bestfirst_parity_with_oracle(spark, pages, tmp_store):
+    import os
+    from oracle_crawler import oracle_policy
+
+    cfg = CrawlConfig(max_depth=2, max_pages=120, per_host_quota=6,
+                      policy="best_first", batch_size=10,
+                      check_robots_txt=False)
+    eng = SparkWebEngine(spark, os.path.join(tmp_store, "bff"))
+    res = eng.run(pages, generate_seeds(spark, n_hosts=N_HOSTS), config=cfg)
+    oracle = oracle_policy(N_HOSTS, PPH, policy="best_first", max_depth=2,
+                           max_pages=120, per_host_quota=6, batch_size=10)
+    got = {
+        int(r["generation"]): set(r["urls"])
+        for r in res.groupBy("generation")
+        .agg(F.collect_set("url").alias("urls")).collect()
+    }
+    assert len(got) == len(oracle)
+    for g in oracle:
+        assert got[g["generation"]] == g["scheduled"], f"gen {g['generation']}"
+
+
+def test_dfs_parity_with_oracle(spark, pages, tmp_store):
+    import os
+    from oracle_crawler import oracle_policy
+
+    cfg = CrawlConfig(max_depth=2, max_pages=150, per_host_quota=8,
+                      policy="dfs", check_robots_txt=False)
+    eng = SparkWebEngine(spark, os.path.join(tmp_store, "dfs"))
+    res = eng.run(pages, generate_seeds(spark, n_hosts=N_HOSTS), config=cfg)
+    oracle = oracle_policy(N_HOSTS, PPH, policy="dfs", max_depth=2,
+                           max_pages=150, per_host_quota=8)
+    got = {
+        int(r["generation"]): set(r["urls"])
+        for r in res.groupBy("generation")
+        .agg(F.collect_set("url").alias("urls")).collect()
+    }
+    assert len(got) == len(oracle)
+    for g in oracle:
+        assert got[g["generation"]] == g["scheduled"], f"gen {g['generation']}"
