@@ -1,0 +1,152 @@
+"""Adaptive crawler (F19) — information-foraging stop conditions.
+
+Parity target: /root/reference/crawl4ai/adaptive_crawler.py —
+confidence = 0.4·coverage + 0.3·consistency + 0.3·saturation (:311-328),
+coverage from per-query-term df/tf (:330-369), consistency from pairwise
+term-set Jaccard (:371-396), saturation from the new-terms rate decay
+(:398-413); crawl proceeds in small best-first batches until confidence
+crosses the threshold; state persists across batches (ref CrawlState
+save/load :53-131 → here: the engine's snapshot tables ARE the state).
+
+Spark realization: every metric is a DataFrame aggregation over the results
+table — term stats via explode+groupBy (one shuffle each), consistency via a
+term self-join (docs only meet on shared terms, never a cross join). The
+batch loop reuses the engine's resume path: one `run(max_generations=1,
+resume=True)` per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+
+
+@dataclass
+class AdaptiveConfig:
+    confidence_threshold: float = 0.75   # ref AdaptiveConfig default
+    max_batches: int = 8
+    batch_size: int = 20
+    max_depth: int = 6
+    per_host_quota: int = 10
+
+
+def _tokens_df(results: DataFrame) -> DataFrame:
+    return results.filter(F.col("success")).select(
+        F.col("url").alias("doc"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+
+
+def coverage(results: DataFrame, terms: list[str]) -> float:
+    """Per-query-term df/tf coverage (ref :330-369, saturating tf factor)."""
+    toks = _tokens_df(results)
+    n_docs = results.filter(F.col("success")).count()
+    if n_docs == 0 or not terms:
+        return 0.0
+    spark = results.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+    agg = (
+        toks.join(F.broadcast(tdf), toks.tok == tdf.term)
+        .groupBy("term")
+        .agg(F.countDistinct("doc").alias("df"), F.count("*").alias("tf"))
+        .withColumn(
+            "score",
+            (F.col("df") / n_docs)
+            * F.least(F.lit(1.0), F.log(F.col("tf") + 1.0) / F.log(F.lit(n_docs + 1.0))),
+        )
+    )
+    present = {r["term"]: r["score"] for r in agg.collect()}
+    return float(sum(present.get(t, 0.0) for t in terms) / len(terms))
+
+
+def consistency(results: DataFrame, sample: int = 30) -> float:
+    """Mean pairwise Jaccard of doc term sets (ref :371-396) over a
+    deterministic sample of docs; pairs meet via a term join."""
+    toks = _tokens_df(results).distinct()
+    docs = toks.select("doc").distinct().orderBy("doc").limit(sample)
+    toks = toks.join(F.broadcast(docs), "doc")
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count("*").alias("ni"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("s2")), "d2")
+        .select((F.col("ni") / (F.col("s1") + F.col("s2") - F.col("ni"))).alias("jac"))
+        .agg(F.avg("jac").alias("m"))
+        .collect()
+    )
+    m = j[0]["m"]
+    return float(m) if m is not None else 0.0
+
+
+def saturation(prev_terms: set[str], results: DataFrame) -> tuple[float, set[str]]:
+    """1 − new-term rate (ref :398-413): high when the last batch added few
+    unseen terms. Returns (saturation, updated term set)."""
+    cur = {
+        r["tok"] for r in _tokens_df(results).select("tok").distinct().collect()
+    }
+    if not cur:
+        return 0.0, prev_terms
+    new = cur - prev_terms
+    sat = 1.0 - len(new) / max(len(cur), 1)
+    return float(sat), prev_terms | cur
+
+
+class AdaptiveCrawler:
+    """Batch-wise best-first crawl that stops when the knowledge base is
+    good enough (the reference's `adigest`)."""
+
+    def __init__(self, spark: SparkSession, store_root: str):
+        self.spark = spark
+        self.engine = SparkWebEngine(spark, store_root)
+
+    def digest(self, pages: DataFrame, seeds: DataFrame, query: str, *,
+               config: AdaptiveConfig | None = None,
+               robots: DataFrame | None = None) -> dict:
+        cfg = config or AdaptiveConfig()
+        terms = re.findall("[a-z0-9]+", query.lower())
+        run_cfg = CrawlConfig(
+            policy="best_first", batch_size=cfg.batch_size,
+            max_depth=cfg.max_depth, max_pages=cfg.batch_size * cfg.max_batches,
+            per_host_quota=cfg.per_host_quota,
+            check_robots_txt=robots is not None,
+        )
+        seen_terms: set[str] = set()
+        history: list[dict] = []
+        conf = 0.0
+        for batch_no in range(cfg.max_batches):
+            self.engine.run(pages, seeds, robots=robots, config=run_cfg,
+                            resume=batch_no > 0, max_generations=1)
+            results = self.engine.results()
+            if results is None or results.filter(F.col("success")).count() == 0:
+                break
+            results = results.cache()
+            cov = coverage(results, terms)
+            cons = consistency(results)
+            sat, seen_terms = saturation(seen_terms, results)
+            conf = 0.4 * cov + 0.3 * cons + 0.3 * sat  # ref :311-328
+            history.append({"batch": batch_no, "coverage": round(cov, 4),
+                            "consistency": round(cons, 4),
+                            "saturation": round(sat, 4),
+                            "confidence": round(conf, 4)})
+            results.unpersist()
+            if conf >= cfg.confidence_threshold:
+                break
+        return {
+            "confidence": round(conf, 4),
+            "batches": len(history),
+            "history": history,
+            "is_sufficient": conf >= cfg.confidence_threshold,
+        }

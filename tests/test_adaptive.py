@@ -1,0 +1,53 @@
+"""F19 adaptive crawler: confidence metrics are well-formed, saturation
+rises as the small synthetic site is exhausted, and the loop stops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.adaptive import (
+    AdaptiveConfig,
+    AdaptiveCrawler,
+    consistency,
+    coverage,
+    saturation,
+)
+from crawl4ai_spark.sources.pagesgen import generate_pages, generate_seeds
+
+
+@pytest.fixture(scope="module")
+def small_pages(spark):
+    df = generate_pages(spark, 2, 7).cache()
+    df.count()
+    return df
+
+
+def test_metric_ranges(spark, small_pages):
+    from crawl4ai_spark.functions.udfs import process_pages
+    res = process_pages(small_pages) \
+        .withColumn("success", F.lit(True)).cache()
+    cov = coverage(res, ["spark", "crawl", "zzznotaword"])
+    cons = consistency(res)
+    sat0, terms = saturation(set(), res)
+    sat1, _ = saturation(terms, res)   # same docs again → fully saturated
+    assert 0.0 <= cov <= 1.0
+    assert 0.0 < cons <= 1.0           # same template family → some overlap
+    assert sat0 == 0.0                 # everything new on first sight
+    assert sat1 == 1.0                 # nothing new on second sight
+    res.unpersist()
+
+
+def test_digest_stops_and_reports(spark, small_pages, tmp_store):
+    crawler = AdaptiveCrawler(spark, tmp_store)
+    out = crawler.digest(
+        small_pages, generate_seeds(spark, 2), "spark crawl frontier",
+        config=AdaptiveConfig(confidence_threshold=0.7, max_batches=4,
+                              batch_size=6, max_depth=3),
+    )
+    assert 1 <= out["batches"] <= 4
+    assert 0.0 <= out["confidence"] <= 1.0
+    hist = out["history"]
+    assert all(0 <= h["confidence"] <= 1 for h in hist)
+    # on a finite site the term pool exhausts: final saturation beats initial
+    sats = [h["saturation"] for h in hist]
+    assert sats[-1] >= sats[0]
+    assert all(0.0 <= s <= 1.0 for s in sats)
