@@ -69,6 +69,9 @@ class CrawlConfig:
     # this regex answer 503 on their FIRST attempt (retry_count=0), exercising
     # the requeue (F16) + exponential backoff + quota-shrink (F12) loop
     simulate_503_hosts: str | None = None
+    # F20 link preview: when set, discovered candidates join the pages head
+    # metadata and re-score 0.7·intrinsic + 0.3·contextual(query)·10
+    link_preview_query: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -85,6 +88,7 @@ class SparkWebEngine:
             max_generations: int | None = None) -> DataFrame:
         cfg = config or CrawlConfig()
         spark = self.spark
+        self._pages = pages  # used by F20 link-preview enrichment
 
         # Frontier = append-only delta log (the 10^10-URL design):
         #   "frontier"      — every row ever ENQUEUED (url, ..., retry_count)
@@ -299,6 +303,11 @@ class SparkWebEngine:
         ok = results.filter(F.col("success"))
         links = FR.explode_links(ok, include_external=cfg.include_external)
         cand = FR.normalize_candidates(links)
+        if cfg.link_preview_query:
+            from crawl4ai_spark.operators.linkpreview import enrich_candidates, extract_heads
+            cand = enrich_candidates(
+                cand, extract_heads(self._pages), cfg.link_preview_query
+            ).drop("contextual_score")
         if cfg.score_threshold is not None:
             cand = cand.filter(F.col("score") >= cfg.score_threshold)
 
