@@ -264,6 +264,10 @@ class SparkWebEngine:
             .withColumn("error_message", F.lit("Access denied by robots.txt"))
             # parity: ref async_webcrawler.py:318-331
 
+        # per-partition lineage: record which executor partition produced
+        # each row (CrawlerTaskResult analog, ref models.py:22-37) — the
+        # lineage table aggregates these per (generation, partition)
+        processed = processed.withColumn("part_id", F.spark_partition_id())
         base = processed.withColumn("generation", F.lit(gen))
         extras = missing.unionByName(blocked403)
         if limited is not None:
@@ -372,6 +376,15 @@ class SparkWebEngine:
          .withColumn("wall_secs", F.lit(float(wall_secs)))
         self.store.commit("metrics", m, mode="append", meta={"generation": gen})
 
+        if "part_id" in results.columns:
+            lin = results.groupBy("part_id").agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("n_ok"),
+                F.countDistinct("host").alias("n_hosts"),
+            ).withColumn("generation", F.lit(gen))
+            self.store.commit("lineage", lin, mode="append",
+                              meta={"generation": gen})
+
     # convenience accessors ------------------------------------------------
     def results(self) -> DataFrame | None:
         return self.store.read(self.spark, "results")
@@ -396,3 +409,6 @@ class SparkWebEngine:
 
     def metrics(self) -> DataFrame | None:
         return self.store.read(self.spark, "metrics")
+
+    def lineage(self) -> DataFrame | None:
+        return self.store.read(self.spark, "lineage")

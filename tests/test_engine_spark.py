@@ -230,3 +230,21 @@ def test_dfs_parity_with_oracle(spark, pages, tmp_store):
     assert len(got) == len(oracle)
     for g in oracle:
         assert got[g["generation"]] == g["scheduled"], f"gen {g['generation']}"
+
+
+def test_lineage_and_metrics_tables(spark, pages, tmp_store):
+    import os
+    eng = SparkWebEngine(spark, os.path.join(tmp_store, "lin"))
+    res = eng.run(pages, generate_seeds(spark, n_hosts=N_HOSTS),
+                  config=CrawlConfig(max_depth=2, max_pages=60,
+                                     check_robots_txt=False))
+    n = res.count()
+    lin = eng.lineage()
+    assert lin is not None
+    # every successful row is attributed to exactly one partition
+    assert lin.agg(F.sum("n_rows")).collect()[0][0] >= n - \
+        res.filter("part_id is null").count()
+    m = eng.metrics()
+    assert m is not None and m.count() > 0
+    gens = {r.generation for r in m.select("generation").distinct().collect()}
+    assert 0 in gens
