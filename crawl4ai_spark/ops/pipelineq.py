@@ -1,0 +1,203 @@
+"""Composed training-data pipeline queries — each one chains several
+operators end-to-end (the shapes a 100 TB corpus build actually runs),
+still with full DuckDB oracles.
+
+- quality_filter: quality scoring → percentile gate (keep the top half).
+- dedup_pipeline: exact-hash dedup → MinHash-band candidates → exact-Jaccard
+  verification → per-doc keep/drop verdict with a reason column.
+- chunk_sliding: sliding-window chunking (E16 SlidingWindowChunking,
+  ref chunking_strategy.py:175-212 — window 30, step 15) as rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawl4ai_spark.ops import dedup as DD
+from crawl4ai_spark.ops import textstats as TS
+from crawl4ai_spark.ops.common import tbl
+
+WIN = 30
+STEP = 15
+JACCARD_T = 500_000  # 0.5 in e6 units
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep docs at or above the median quality score (percent_rank over the
+    corpus — at scale: approx quantile + broadcast threshold instead)."""
+    q = TS.q_text_quality(spark, sf_dir)
+    w = Window.orderBy(F.asc("quality_e6"), F.asc("doc_id"))
+    ranked = q.withColumn("pr", F.percent_rank().over(w))
+    return (
+        ranked.filter(F.col("pr") >= 0.5)
+        .select("doc_id", "quality_e6",
+                F.round(F.col("pr") * 1e6).cast("long").alias("pr_e6"))
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH q AS ({TS.SQL_TEXT_QUALITY}),
+r AS (
+  SELECT doc_id, quality_e6,
+         percent_rank() OVER (ORDER BY quality_e6 ASC, doc_id ASC) AS pr
+  FROM q
+)
+SELECT doc_id, quality_e6, CAST(ROUND(pr * 1e6) AS BIGINT) AS pr_e6
+FROM r WHERE pr >= 0.5
+"""
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep/drop verdict:
+    exact duplicates drop first (keep min doc_id per content hash), then
+    MinHash-band candidate pairs verified by exact shingle Jaccard ≥ 0.5
+    drop the higher doc_id of each confirmed pair."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    exact = DD.q_dedup_exact(spark, sf_dir)
+    docs_hash = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")))
+        .alias("content_hash"),
+    )
+    exact_drop = (
+        docs_hash.join(exact, "content_hash")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+
+    cand = DD.q_dedup_minhash_bands(spark, sf_dir).select("d1", "d2")
+    sh = DD._shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "h")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "h")
+    inter = (
+        cand.join(s1, "d1").join(s2, ["d2", "h"])
+        .groupBy("d1", "d2").agg(F.count("*").alias("ni"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")), "d2")
+        .withColumn("j_e6", F.round(F.col("ni") / (F.col("s1") + F.col("s2") - F.col("ni")) * 1e6).cast("long"))
+        .filter(F.col("j_e6") >= JACCARD_T)
+    )
+    near_drop = verified.select(F.greatest("d1", "d2").alias("doc_id")).distinct()
+
+    return (
+        d.join(exact_drop.withColumn("__exact", F.lit(True)), "doc_id", "left")
+        .join(near_drop.withColumn("__near", F.lit(True)), "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            (F.col("__exact").isNull() & F.col("__near").isNull()).alias("kept"),
+            F.when(F.col("__exact").isNotNull(), "exact_dup")
+            .when(F.col("__near").isNotNull(), "near_dup")
+            .otherwise("unique").alias("reason"),
+        )
+    )
+
+
+SQL_DEDUP_PIPELINE = f"""
+WITH sh AS ({DD._SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+dh AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash
+  FROM documents
+),
+exact AS (
+  SELECT content_hash, min(doc_id) AS keep_doc_id FROM dh GROUP BY content_hash
+),
+exact_drop AS (
+  SELECT dh.doc_id FROM dh JOIN exact USING (content_hash)
+  WHERE dh.doc_id <> exact.keep_doc_id
+),
+perms AS (SELECT i AS pi, substr('0123456789abcdef', CAST(i + 1 AS INT), 1) AS p
+          FROM range({DD.N_PERMS}) t(i)),
+mh AS (
+  SELECT doc_id, pi, p, min(md5(p || ':' || h)) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, pi, p
+),
+bands AS (
+  SELECT doc_id, CAST(pi % {DD.N_BANDS} AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(p || '=' || mh)), '|')) AS band_key
+  FROM mh GROUP BY doc_id, pi % {DD.N_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS ni
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+  GROUP BY c.d1, c.d2
+),
+verified AS (
+  SELECT i.d1, i.d2
+  FROM inter i JOIN sizes z1 ON z1.doc_id = i.d1 JOIN sizes z2 ON z2.doc_id = i.d2
+  WHERE CAST(ROUND(CAST(i.ni AS DOUBLE) / (z1.sz + z2.sz - i.ni) * 1e6) AS BIGINT) >= {JACCARD_T}
+),
+near_drop AS (SELECT DISTINCT greatest(d1, d2) AS doc_id FROM verified)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       (e.doc_id IS NULL AND n.doc_id IS NULL) AS kept,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS reason
+FROM documents d
+LEFT JOIN exact_drop e ON e.doc_id = d.doc_id
+LEFT JOIN near_drop n ON n.doc_id = d.doc_id
+"""
+
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunks (window 30, step 15): token rows join their
+    covering window starts — pure relational, chunk text re-assembled
+    in position order."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("pos", "tok"),
+    )
+    # window starts covering pos: s ∈ {0, STEP, 2·STEP, …}, s ≤ pos < s+WIN
+    starts = spark.range(0, 64).select((F.col("id") * STEP).alias("s"))
+    hit = toks.join(starts, (F.col("pos") >= F.col("s"))
+                    & (F.col("pos") < F.col("s") + WIN))
+    return (
+        hit.groupBy("doc_id", "s")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.array_join(
+                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                             lambda x: x["tok"]), " ").alias("chunk_text"))
+        .filter(F.col("n_tokens") > 0)
+        .select("doc_id", F.col("s").cast("long").alias("start"), "n_tokens", "chunk_text")
+    )
+
+
+SQL_CHUNK_SLIDING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(m, 1) - 1 AS BIGINT) AS pos,
+         m[generate_subscripts(m, 1)] AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS m FROM documents)
+),
+starts AS (SELECT i * {STEP} AS s FROM range(64) t(i))
+SELECT doc_id, CAST(s AS BIGINT) AS start,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM toks JOIN starts ON pos >= s AND pos < s + {WIN}
+GROUP BY doc_id, s
+"""
+
+
+QUERIES = {
+    "quality_filter": q_quality_filter,
+    "dedup_pipeline": q_dedup_pipeline,
+    "chunk_sliding": q_chunk_sliding,
+}
+ORACLES = {
+    "quality_filter": SQL_QUALITY_FILTER,
+    "dedup_pipeline": SQL_DEDUP_PIPELINE,
+    "chunk_sliding": SQL_CHUNK_SLIDING,
+}
