@@ -24,7 +24,7 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # determinism: quantize per row to bigint, THEN sum — double-sum order
     # differs between engines/partitions and would shift the last digits
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(e6(F.col("l_quantity"))).cast("long").alias("sum_qty_e6"),
@@ -115,7 +115,11 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = (
-        ev.withColumn("epoch", F.unix_timestamp("ts").cast("long"))
+        # TZ-proof epoch for TIMESTAMP_NTZ: diff against an NTZ anchor —
+        # session timezone can never shift it (unix_timestamp would)
+        ev.withColumn("epoch", F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long"))
         .withColumn("prev", F.lag("epoch").over(w))
         .withColumn(
             "new_sess",
@@ -159,7 +163,9 @@ def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming windowed aggregation in crawl4ai_spark/streaming/)."""
     ev = tbl(spark, sf_dir, "events")
     return (
-        ev.withColumn("bucket", (F.unix_timestamp("ts") / 600).cast("long"))
+        ev.withColumn("bucket", F.floor(F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ) / 600).cast("long"))
         .groupBy("bucket", "event_type")
         .agg(F.count("*").cast("long").alias("n"),
              F.sum(e6(F.col("value"))).cast("long").alias("sum_value_e6"))
