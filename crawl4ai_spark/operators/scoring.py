@@ -76,7 +76,8 @@ def domain_authority_score(url: Column, domain_weights: dict[str, float],
     base = F.regexp_replace(host, r"^www\.", "")
     expr = None
     for d, w in sorted(domain_weights.items()):
-        cond = base == d.lower()
+        dl = d.lower()
+        cond = (base == dl) | base.endswith("." + dl)  # subdomains inherit
         expr = F.when(cond, F.lit(float(w))) if expr is None else expr.when(cond, F.lit(float(w)))
     if expr is None:
         return F.lit(default) * F.lit(weight)
