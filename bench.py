@@ -111,7 +111,7 @@ def run_worker(k: int) -> None:
     # then best-of-2 to report warm steady-state throughput
     generation_job(spark, ensure_pages(spark, "warm", 16, 15), 16)
     best = 9e9
-    for _ in range(1 if k <= 2 else 2):   # local[2] is long; single trial
+    for _ in range(1 if k <= 2 else 3):   # local[2] long: 1; else best-of-3
         t0 = time.time()
         generation_job(spark, path, SCALE_HOSTS)
         best = min(best, time.time() - t0)
@@ -204,7 +204,7 @@ def main() -> None:
     ensure_pages(spark, "scale", SCALE_HOSTS, SCALE_PPH)  # build once, shared
     spark.stop()
     scaling = {}
-    for k in (2, 8, 32):
+    for k in (32, 8, 2):  # 32 first: freshest box state after parent stop
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(k)],
