@@ -292,8 +292,98 @@ SELECT * FROM (
 """
 
 
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator quality: for band-candidate pairs, the MinHash Jaccard
+    estimate (matching signature positions / 16) next to the exact
+    shingle-set Jaccard and the absolute error — the measure-don't-guess
+    check on the sketch the scale path relies on."""
+    sh = _shingles(spark, sf_dir).cache()
+    perms = spark.range(0, N_PERMS).select(
+        F.substring(F.lit("0123456789abcdef"), (F.col("id") + 1).cast("int"), 1).alias("p")
+    )
+    mh = (
+        sh.crossJoin(perms)
+        .groupBy("doc_id", "p")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("p"), F.col("h")))).alias("mh"))
+    )
+    cand = q_dedup_minhash_bands(spark, sf_dir).select("d1", "d2")
+    m1 = mh.select(F.col("doc_id").alias("d1"), "p", F.col("mh").alias("mh1"))
+    m2 = mh.select(F.col("doc_id").alias("d2"), "p", F.col("mh").alias("mh2"))
+    est = (
+        cand.join(m1, "d1").join(m2, ["d2", "p"])
+        .groupBy("d1", "d2")
+        .agg(F.round(F.sum(F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0))
+                     / F.lit(N_PERMS) * 1e6).cast("long").alias("est_e6"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "h")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "h")
+    exact = (
+        cand.join(s1, "d1").join(s2, ["d2", "h"])
+        .groupBy("d1", "d2").agg(F.count("*").alias("ni"))
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("z1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("z2")), "d2")
+        .withColumn("exact_e6",
+                    F.round(F.col("ni") / (F.col("z1") + F.col("z2") - F.col("ni")) * 1e6)
+                    .cast("long"))
+        .select("d1", "d2", "exact_e6")
+    )
+    return (
+        est.join(exact, ["d1", "d2"], "left")
+        .withColumn("exact_e6", F.coalesce(F.col("exact_e6"), F.lit(0)).cast("long"))
+        .withColumn("abs_err_e6", F.abs(F.col("est_e6") - F.col("exact_e6")).cast("long"))
+        .select(F.col("d1").cast("long"), F.col("d2").cast("long"),
+                "est_e6", "exact_e6", "abs_err_e6")
+    )
+
+
+SQL_DEDUP_MINHASH_ESTIMATE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+perms AS (SELECT i AS pi, substr('0123456789abcdef', CAST(i + 1 AS INT), 1) AS p
+          FROM range({N_PERMS}) t(i)),
+mh AS (
+  SELECT doc_id, p, min(md5(p || ':' || h)) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(pi % {N_BANDS} AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(p || '=' || mh)), '|')) AS band_key
+  FROM (SELECT doc_id, pi, p, min(md5(p || ':' || h)) AS mh
+        FROM sh CROSS JOIN perms GROUP BY doc_id, pi, p)
+  GROUP BY doc_id, pi % {N_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.d1, c.d2,
+         CAST(ROUND(sum(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END)
+              / CAST({N_PERMS} AS DOUBLE) * 1e6) AS BIGINT) AS est_e6
+  FROM cand c JOIN mh m1 ON m1.doc_id = c.d1 JOIN mh m2 ON m2.doc_id = c.d2 AND m2.p = m1.p
+  GROUP BY c.d1, c.d2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+exact AS (
+  SELECT i.d1, i.d2,
+         CAST(ROUND(CAST(i.ni AS DOUBLE) / (z1.sz + z2.sz - i.ni) * 1e6) AS BIGINT) AS exact_e6
+  FROM (SELECT c.d1, c.d2, count(*) AS ni
+        FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+                    JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+        GROUP BY c.d1, c.d2) i
+  JOIN sizes z1 ON z1.doc_id = i.d1 JOIN sizes z2 ON z2.doc_id = i.d2
+)
+SELECT CAST(e.d1 AS BIGINT) AS d1, CAST(e.d2 AS BIGINT) AS d2, e.est_e6,
+       CAST(coalesce(x.exact_e6, 0) AS BIGINT) AS exact_e6,
+       CAST(abs(e.est_e6 - coalesce(x.exact_e6, 0)) AS BIGINT) AS abs_err_e6
+FROM est e LEFT JOIN exact x ON x.d1 = e.d1 AND x.d2 = e.d2
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -302,6 +392,7 @@ QUERIES = {
 }
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_bands": SQL_DEDUP_MINHASH_BANDS,
