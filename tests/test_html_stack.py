@@ -234,3 +234,17 @@ def test_chunking():
     assert sentence_chunk("One two. Three four! Five?") == ["One two.", "Three four!", "Five?"]
     merged = merge_chunks(["a b c", "d e f", "g h i"], target_tokens=8)
     assert len(merged) == 2
+
+
+def test_llm_stubs_raise_with_integration_hint():
+    from crawl4ai_spark.html.llm_stubs import (
+        CosineStrategy, LLMContentFilter, LLMExtractionStrategy)
+    import pytest as _pytest
+    for obj, call in [
+        (LLMContentFilter(instruction="x"), lambda o: o.filter_content("<p>a</p>")),
+        (LLMExtractionStrategy(schema={}), lambda o: o.run("u", ["s"])),
+        (CosineStrategy(semantic_filter="q"), lambda o: o.run("u", ["s"])),
+    ]:
+        with _pytest.raises(NotImplementedError) as e:
+            call(obj)
+        assert "Wire it" in str(e.value)
