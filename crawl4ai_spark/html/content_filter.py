@@ -276,9 +276,10 @@ class BM25ContentFilter:
 def fit_markdown(html: str, *, filter_obj=None, base_url: str = "") -> tuple[str, str]:
     """Run a content filter and render the surviving blocks to markdown.
     Returns (fit_markdown, fit_html) — ref markdown_generation_strategy.py:235-239."""
-    from crawl4ai_spark.html.markdown import html_to_markdown
+    from crawl4ai_spark.html.md_render import render_markdown
 
     f = filter_obj or PruningContentFilter()
     blocks = f.filter_content(html)
     fit_html = "\n".join(f"<div>{b}</div>" for b in blocks)
-    return html_to_markdown(fit_html, base_url), fit_html
+    # ref applies h.handle() with NO fence fix-up on the fit path (:239)
+    return render_markdown(fit_html, base_url), fit_html
