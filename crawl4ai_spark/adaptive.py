@@ -91,17 +91,25 @@ def consistency(results: DataFrame, sample: int = 30) -> float:
     return float(m) if m is not None else 0.0
 
 
-def saturation(prev_terms: set[str], results: DataFrame) -> tuple[float, set[str]]:
+def saturation(prev_terms: DataFrame | None, results: DataFrame
+               ) -> tuple[float, DataFrame]:
     """1 − new-term rate (ref :398-413): high when the last batch added few
-    unseen terms. Returns (saturation, updated term set)."""
-    cur = {
-        r["tok"] for r in _tokens_df(results).select("tok").distinct().collect()
-    }
-    if not cur:
-        return 0.0, prev_terms
-    new = cur - prev_terms
-    sat = 1.0 - len(new) / max(len(cur), 1)
-    return float(sat), prev_terms | cur
+    unseen terms. Returns (saturation, updated term-seen DataFrame).
+
+    Fully distributed: the vocabulary stays a one-column DataFrame (the
+    ``term_seen`` state table) and new terms are counted with an anti-join —
+    only two scalar counts ever reach the driver. The r01 version collect()ed
+    the entire distinct vocabulary per batch (VERDICT r01 "what's wrong" #6),
+    which is unbounded on a real corpus."""
+    cur = _tokens_df(results).select("tok").distinct()
+    n_cur = cur.count()
+    if n_cur == 0:
+        return 0.0, prev_terms if prev_terms is not None else cur
+    if prev_terms is None:
+        return 0.0, cur
+    n_new = cur.join(prev_terms, on="tok", how="left_anti").count()
+    sat = 1.0 - n_new / max(n_cur, 1)
+    return float(sat), prev_terms.unionByName(cur).distinct()
 
 
 class AdaptiveCrawler:
@@ -123,7 +131,7 @@ class AdaptiveCrawler:
             per_host_quota=cfg.per_host_quota,
             check_robots_txt=robots is not None,
         )
-        seen_terms: set[str] = set()
+        seen_terms: DataFrame | None = None
         history: list[dict] = []
         conf = 0.0
         for batch_no in range(cfg.max_batches):
@@ -136,6 +144,11 @@ class AdaptiveCrawler:
             cov = coverage(results, terms)
             cons = consistency(results)
             sat, seen_terms = saturation(seen_terms, results)
+            # persist the vocabulary as a state table (cuts lineage across
+            # batches and makes the adaptive state resumable like the rest)
+            self.engine.store.commit("term_seen", seen_terms,
+                                     meta={"batch": batch_no})
+            seen_terms = self.engine.store.read(self.spark, "term_seen")
             conf = 0.4 * cov + 0.3 * cons + 0.3 * sat  # ref :311-328
             history.append({"batch": batch_no, "coverage": round(cov, 4),
                             "consistency": round(cons, 4),

@@ -35,17 +35,17 @@ def _apply_transform(value: str, transform: str) -> str:
     return value
 
 
-def _extract_field(el: Node, field: dict):
+def _extract_field(el: Node, field: dict, sel_fn=select):
     ftype = field.get("type", "text")
     if ftype == "text":
         sel = field.get("selector")
-        target = select(el, sel)[0] if sel and select(el, sel) else (None if sel else el)
+        target = sel_fn(el, sel)[0] if sel and sel_fn(el, sel) else (None if sel else el)
         if target is None:
             return field.get("default")
         value = target.text(strip=True)
     elif ftype == "attribute":
         sel = field.get("selector")
-        cands = select(el, sel) if sel else [el]
+        cands = sel_fn(el, sel) if sel else [el]
         if not cands:
             return field.get("default")
         value = cands[0].get(field.get("attribute", ""), field.get("default"))
@@ -53,13 +53,13 @@ def _extract_field(el: Node, field: dict):
             return field.get("default")
     elif ftype == "html":
         sel = field.get("selector")
-        cands = select(el, sel) if sel else [el]
+        cands = sel_fn(el, sel) if sel else [el]
         if not cands:
             return field.get("default")
         value = cands[0].to_html()
     elif ftype == "regex":
         sel = field.get("selector")
-        cands = select(el, sel) if sel else [el]
+        cands = sel_fn(el, sel) if sel else [el]
         if not cands:
             return field.get("default")
         src = cands[0].text()
@@ -69,20 +69,20 @@ def _extract_field(el: Node, field: dict):
             return field.get("default")
     elif ftype == "nested":
         sel = field.get("selector")
-        cands = select(el, sel) if sel else [el]
+        cands = sel_fn(el, sel) if sel else [el]
         if not cands:
             return field.get("default", {})
         return {
-            f["name"]: _extract_field(cands[0], f) for f in field.get("fields", [])
+            f["name"]: _extract_field(cands[0], f, sel_fn) for f in field.get("fields", [])
         }
     elif ftype in ("list", "nested_list"):
         sel = field.get("selector")
-        cands = select(el, sel) if sel else []
+        cands = sel_fn(el, sel) if sel else []
         sub = field.get("fields", [])
         if not sub:  # bare list → text values
             return [c.text(strip=True) for c in cands]
         return [
-            {f["name"]: _extract_field(c, f) for f in sub} for c in cands
+            {f["name"]: _extract_field(c, f, sel_fn) for f in sub} for c in cands
         ]
     else:
         return field.get("default")
@@ -92,31 +92,139 @@ def _extract_field(el: Node, field: dict):
     return value
 
 
-def extract_json_css(html: str, schema: dict) -> list[dict]:
-    """Interpret a JSON-CSS schema over an HTML document → list of records."""
-    root = parse_html(html)
+def _run_schema(root: Node, schema: dict, sel_fn) -> list[dict]:
     base_sel = schema.get("baseSelector")
-    bases = select(root, base_sel) if base_sel else [root.find("body") or root]
+    bases = sel_fn(root, base_sel) if base_sel else [root.find("body") or root]
     out: list[dict] = []
     base_fields = schema.get("baseFields", [])
     for el in bases:
         rec: dict = {}
         for f in base_fields:
-            rec[f["name"]] = _extract_field(el, f)
+            rec[f["name"]] = _extract_field(el, f, sel_fn)
         for f in schema.get("fields", []):
-            rec[f["name"]] = _extract_field(el, f)
+            rec[f["name"]] = _extract_field(el, f, sel_fn)
         out.append(rec)
     return out
 
 
+def extract_json_css(html: str, schema: dict) -> list[dict]:
+    """Interpret a JSON-CSS schema over an HTML document → list of records."""
+    return _run_schema(parse_html(html), schema, select)
+
+
+def extract_json_xpath(html: str, schema: dict) -> list[dict]:
+    """Same schema interpreter with XPath selectors (E11 — parity target
+    JsonXPathExtractionStrategy, ref extraction_strategy.py:1803-1894: the
+    reference runs the identical field machinery over lxml.etree.xpath;
+    here the selectors resolve through the xpath-lite evaluator below)."""
+    return _run_schema(parse_html(html), schema, xpath_select)
+
+
 def extract_json_css_str(html: str, schema_json: str) -> str:
-    """String-in/string-out wrapper for UDF use."""
+    """String-in/string-out wrapper for UDF use. The schema may carry
+    ``"selectorType": "xpath"`` to route through the XPath interpreter
+    (the reference user picks JsonCss vs JsonXPath strategy classes)."""
     try:
         schema = json.loads(schema_json)
-        return json.dumps(extract_json_css(html, schema), ensure_ascii=False,
+        if schema.get("selectorType") == "xpath":
+            recs = extract_json_xpath(html, schema)
+        else:
+            recs = extract_json_css(html, schema)
+        return json.dumps(recs, ensure_ascii=False,
                           separators=(",", ":"), sort_keys=True)
     except Exception as e:  # extraction must never kill the batch
         return json.dumps({"error": str(e)})
+
+
+# ---------------------------------------------------------------------------
+# XPath-lite evaluator (E11)
+# ---------------------------------------------------------------------------
+# Supported grammar (the subset real-world extraction schemas use):
+#   //tag  /tag  .//tag  ./tag  *  steps chained with / (child) or // (descendant)
+#   predicates: [n] (1-based, per context group), [last()], [@attr],
+#               [@attr='v'], [@attr="v"], [contains(@attr,'v')]
+# Selectors address ELEMENTS (attribute/text access happens via field types,
+# exactly like the reference's interpreter).
+
+_XP_STEP = re.compile(r"(/{1,2})([^/\[]+)((?:\[[^\]]*\])*)")
+_XP_PRED = re.compile(r"\[([^\]]*)\]")
+
+
+def _xp_pred_fn(pred: str):
+    pred = pred.strip()
+    if pred == "last()":
+        return ("pos", -1)
+    if pred.isdigit():
+        return ("pos", int(pred))
+    m = re.fullmatch(r"contains\(\s*@([\w:-]+)\s*,\s*(['\"])(.*?)\2\s*\)", pred)
+    if m:
+        attr, _, needle = m.groups()
+        return ("test", lambda n: needle in (n.get(attr) or ""))
+    m = re.fullmatch(r"@([\w:-]+)\s*=\s*(['\"])(.*?)\2", pred)
+    if m:
+        attr, _, val = m.groups()
+        return ("test", lambda n: n.get(attr) == val)
+    m = re.fullmatch(r"@([\w:-]+)", pred)
+    if m:
+        attr = m.group(1)
+        return ("test", lambda n: n.get(attr) is not None)
+    raise ValueError(f"unsupported xpath predicate [{pred}]")
+
+
+def xpath_select(root: Node, xpath: str) -> list[Node]:
+    """Evaluate an xpath-lite expression; elements in document order."""
+    xp = xpath.strip()
+    if xp.startswith("."):
+        xp = xp[1:]
+    if not xp.startswith("/"):
+        xp = "//" + xp  # bare 'tag' behaves like a descendant search
+    ctx = [root]
+    pos = 0
+    for m in _XP_STEP.finditer(xp):
+        if m.start() != pos:
+            raise ValueError(f"unsupported xpath syntax: {xpath!r}")
+        pos = m.end()
+        axis, test, preds = m.group(1), m.group(2).strip(), m.group(3)
+        name_ok = (lambda n: True) if test == "*" else (lambda n: n.tag == test)
+        pred_fns = [_xp_pred_fn(p) for p in _XP_PRED.findall(preds)]
+        nxt: list[Node] = []
+        seen: set[int] = set()
+        for base in ctx:
+            if axis == "//":
+                group = [n for n in base.iter()
+                         if isinstance(n, Node) and n is not base and name_ok(n)]
+            else:
+                group = [n for n in base.element_children() if name_ok(n)]
+            for kind, arg in pred_fns:
+                if kind == "pos":
+                    idx = arg - 1 if arg > 0 else arg
+                    group = [group[idx]] if -len(group) <= idx < len(group) else []
+                else:
+                    group = [n for n in group if arg(n)]
+            for n in group:
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    nxt.append(n)
+        ctx = nxt
+    if pos != len(xp):
+        raise ValueError(f"unsupported xpath syntax: {xpath!r}")
+    # document order + cross-context dedup (same discipline as select())
+    order: dict[int, int] = {}
+    i = 0
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        order[id(n)] = i
+        i += 1
+        stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
+    uniq: list[Node] = []
+    seen2: set[int] = set()
+    for n in ctx:
+        if id(n) not in seen2:
+            seen2.add(id(n))
+            uniq.append(n)
+    uniq.sort(key=lambda n: order.get(id(n), 1 << 30))
+    return uniq
 
 
 # ---------------------------------------------------------------------------

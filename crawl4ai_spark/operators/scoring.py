@@ -75,7 +75,10 @@ def domain_authority_score(url: Column, domain_weights: dict[str, float],
     host = F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
     base = F.regexp_replace(host, r"^www\.", "")
     expr = None
-    for d, w in sorted(domain_weights.items()):
+    # most-specific first: a longer domain entry must win over a parent
+    # domain it ends with (e.g. b.a.com before a.com), since the when-chain
+    # short-circuits on first match (ADVICE r01 #3)
+    for d, w in sorted(domain_weights.items(), key=lambda kv: (-len(kv[0]), kv[0])):
         dl = d.lower()
         cond = (base == dl) | base.endswith("." + dl)  # subdomains inherit
         expr = F.when(cond, F.lit(float(w))) if expr is None else expr.when(cond, F.lit(float(w)))

@@ -137,16 +137,19 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE_EVENTS = """
 WITH e AS (
-  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+  SELECT user_id, event_id, value, ts, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
          lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 ), s AS (
-  SELECT user_id, event_id, value, epoch,
+  SELECT user_id, event_id, value, ts, epoch,
          CASE WHEN prev IS NULL OR epoch - prev > 1800 THEN 1 ELSE 0 END AS new_sess
   FROM e
 ), n AS (
+  -- running sum ordered by (ts, event_id) — the SAME sub-second ordering the
+  -- lag() and the Spark window use, so same-second collisions cannot flip
+  -- session assignment between engines (ADVICE r01 #2)
   SELECT user_id, event_id, value, epoch,
-         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM s
 )

@@ -90,7 +90,13 @@ def run_frontier_stream(spark: SparkSession, seeds_dir: str, pages: DataFrame,
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        engine.run(pages, batch_df, robots=robots, config=cfg, resume=batch_id > 0)
+        resume = engine.store.latest_id("frontier") is not None
+        if resume:
+            # resume reads the frontier from the store and ignores the seeds
+            # argument — merge this micro-batch's NEW seeds into the frontier
+            # log first so they are crawled too (ADVICE r01 #1)
+            engine.enqueue_seeds(batch_df)
+        engine.run(pages, batch_df, robots=robots, config=cfg, resume=resume)
 
     q = (
         seeds_stream.writeStream.foreachBatch(one_batch)

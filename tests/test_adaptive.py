@@ -27,8 +27,12 @@ def test_metric_ranges(spark, small_pages):
         .withColumn("success", F.lit(True)).cache()
     cov = coverage(res, ["spark", "crawl", "zzznotaword"])
     cons = consistency(res)
-    sat0, terms = saturation(set(), res)
+    sat0, terms = saturation(None, res)
     sat1, _ = saturation(terms, res)   # same docs again → fully saturated
+    # the vocabulary state must stay distributed (a DataFrame, not a
+    # collected set) — saturation only moves scalar counts to the driver
+    from pyspark.sql import DataFrame as _DF
+    assert isinstance(terms, _DF)
     assert 0.0 <= cov <= 1.0
     assert 0.0 < cons <= 1.0           # same template family → some overlap
     assert sat0 == 0.0                 # everything new on first sight

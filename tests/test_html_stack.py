@@ -105,22 +105,24 @@ def test_markdown_basics():
         "<h2>Head</h2><p>Text <strong>bold</strong> and <em>it</em>.</p>"
         "<ul><li>one</li><li>two</li></ul><pre><code>x = 1</code></pre>"
     )
+    # reference html2text style: _em_, two-space list indent, ``` fences
     assert "## Head" in md
-    assert "**bold**" in md and "*it*" in md
-    assert "* one" in md and "* two" in md
+    assert "**bold**" in md and "_it_" in md
+    assert "  * one" in md and "  * two" in md
     assert "```\nx = 1\n```" in md
 
 
 def test_markdown_nested_list():
     md = html_to_markdown("<ul><li>a<ul><li>b</li></ul></li></ul>")
-    assert "* a" in md and "  * b" in md
+    assert "  * a" in md and "    * b" in md
 
 
 def test_markdown_table():
+    # reference html2text table style: `k| v  \n---|---  `
     md = html_to_markdown(
         "<table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr></table>"
     )
-    assert "| k | v |" in md and "| a | 1 |" in md
+    assert "k| v" in md and "---|---" in md and "a| 1" in md
 
 
 def test_markdown_deterministic():
@@ -132,7 +134,9 @@ def test_citations_first_seen_order():
     md = "see [a](http://a.com) then [b](http://b.com) then [a again](http://a.com)"
     cited, refs = add_citations(md)
     assert "a⟨1⟩" in cited and "b⟨2⟩" in cited and "a again⟨1⟩" in cited
-    assert refs.splitlines()[2] == "⟨1⟩ http://a.com"
+    # reference refs block: "\n\n## References\n\n⟨1⟩ url: text\n..."
+    assert refs.startswith("\n\n## References\n\n")
+    assert "⟨1⟩ http://a.com: a" in refs and "⟨2⟩ http://b.com: b" in refs
 
 
 def test_pruning_keeps_content_drops_sidebar():
@@ -248,3 +252,66 @@ def test_llm_stubs_raise_with_integration_hint():
         with _pytest.raises(NotImplementedError) as e:
             call(obj)
         assert "Wire it" in str(e.value)
+
+
+def test_json_xpath_extraction_mirrors_css():
+    """E11: the same schema expressed in CSS and XPath must agree byte-for-
+    byte (parity target JsonXPathExtractionStrategy,
+    ref extraction_strategy.py:1803-1894)."""
+    from crawl4ai_spark.html.extraction import extract_json_xpath
+
+    html = (
+        '<body><div class="product"><h2 class="title">A</h2>'
+        '<span class="price">$1.50</span><a href="/a">v</a></div>'
+        '<div class="product"><h2 class="title">B</h2>'
+        '<span class="price">$2.00</span><a href="/b">v</a></div></body>'
+    )
+    css = {
+        "baseSelector": "div.product",
+        "fields": [
+            {"name": "title", "type": "text", "selector": "h2.title"},
+            {"name": "price", "type": "regex", "selector": "span.price",
+             "pattern": r"\$([\d.]+)"},
+            {"name": "link", "type": "attribute", "selector": "a", "attribute": "href"},
+        ],
+    }
+    xp = {
+        "baseSelector": "//div[@class='product']",
+        "fields": [
+            {"name": "title", "type": "text", "selector": ".//h2[@class='title']"},
+            {"name": "price", "type": "regex", "selector": ".//span[contains(@class,'price')]",
+             "pattern": r"\$([\d.]+)"},
+            {"name": "link", "type": "attribute", "selector": ".//a", "attribute": "href"},
+        ],
+    }
+    assert extract_json_xpath(html, xp) == extract_json_css(html, css)
+
+
+def test_json_xpath_axes_and_predicates():
+    from crawl4ai_spark.html.extraction import parse_html, xpath_select
+
+    html = ('<body><ul id="m"><li>a</li><li class="hot">b</li><li>c</li></ul>'
+            '<div><ul><li>z</li></ul></div></body>')
+    root = parse_html(html)
+    assert [n.text() for n in xpath_select(root, "//li")] == ["a", "b", "c", "z"]
+    assert [n.text() for n in xpath_select(root, "//ul[@id='m']/li[2]")] == ["b"]
+    assert [n.text() for n in xpath_select(root, "//ul[@id='m']/li[last()]")] == ["c"]
+    assert [n.text() for n in xpath_select(root, "//li[@class]")] == ["b"]
+    assert [n.text() for n in xpath_select(root, "//div//li")] == ["z"]
+    assert [n.tag for n in xpath_select(root, "/body/ul")] == ["ul"]
+    assert [n.text() for n in xpath_select(root, "//ul/*")] == ["a", "b", "c", "z"]
+
+
+def test_json_xpath_through_process_pages():
+    """selectorType=xpath routes through the one-Arrow-stage pipeline."""
+    import json as _json
+
+    from crawl4ai_spark.html.extraction import extract_json_css_str
+
+    html = '<body><div class="p"><h2>T</h2></div></body>'
+    schema = _json.dumps({
+        "selectorType": "xpath",
+        "baseSelector": "//div[@class='p']",
+        "fields": [{"name": "t", "type": "text", "selector": ".//h2"}],
+    })
+    assert _json.loads(extract_json_css_str(html, schema)) == [{"t": "T"}]

@@ -56,3 +56,19 @@ def test_entry_contract(spark):
     assert set(os_) <= set(qs)
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_shingles_cover_long_docs(spark, tmp_path):
+    """The shingle position range derives from the doc's own length — a
+    4.8 KB doc must yield its full (len-K)//stride+1 positions, not a
+    fixed cap (VERDICT r01 fix #8)."""
+    from crawl4ai_spark.ops import dedup as DD
+
+    text = "".join(f"{i:06d}" for i in range(800))  # 4800 chars, no repeats
+    spark.createDataFrame([(1, text)], "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sh = DD._shingles(spark, str(tmp_path))
+    n_expected = (len(text) - DD.SHINGLE_K) // DD.SHINGLE_STRIDE + 1
+    # distinct hashes can collapse only if 12-gram windows repeat; this text
+    # has none, so coverage must be exact
+    assert sh.count() == n_expected

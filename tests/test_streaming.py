@@ -67,3 +67,28 @@ def test_frontier_stream_foreachbatch(spark, pages_dir, tmp_store, tmp_path_fact
     n = res.count()
     assert n >= 3  # at least the 3 seed roots crawled
     assert res.filter(F.col("success")).count() > 0
+
+
+def test_frontier_stream_second_batch_seeds(spark, pages_dir, tmp_store,
+                                            tmp_path_factory):
+    """Seeds arriving in micro-batch N>0 must be crawled, not dropped by the
+    resume path (ADVICE r01 #1)."""
+    from crawl4ai_spark.sources.pagesgen import page_url
+
+    seeds_dir = str(tmp_path_factory.mktemp("seeds_stream2"))
+    store = os.path.join(tmp_store, "stream_store2")
+    generate_seeds(spark, 3).write.mode("overwrite").parquet(seeds_dir)
+    pages = spark.read.parquet(pages_dir)
+
+    engine = run_frontier_stream(spark, seeds_dir, pages, store)
+    first = {r["url"] for r in engine.results().select("url").collect()}
+
+    # a deep page none of the roots reach at max_depth=1
+    late_seed = page_url(2, 5)
+    assert late_seed not in first
+    spark.createDataFrame([(late_seed, 1.0)], "url string, priority double") \
+        .write.mode("append").parquet(seeds_dir)
+
+    engine = run_frontier_stream(spark, seeds_dir, pages, store)
+    after = {r["url"] for r in engine.results().select("url").collect()}
+    assert late_seed in after
