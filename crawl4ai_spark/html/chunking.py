@@ -58,6 +58,129 @@ def overlapping_window_chunk(text: str, window_size: int = 1000, overlap: int = 
     return out
 
 
+# ---------------------------------------------------------------------------
+# Topic segmentation (the E16 tail). The reference delegates to NLTK's
+# TextTilingTokenizer (chunking_strategy.py:93-143); NLTK is unavailable
+# here, so this is a from-scratch implementation of the underlying published
+# TextTiling algorithm (Hearst 1997): stopword-filtered pseudo-sentences,
+# block-comparison cosine similarity, depth-scored valley boundaries.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "a about above after again all am an and any are as at be because been "
+    "before being below between both but by could did do does doing down "
+    "during each few for from further had has have having he her here hers "
+    "him his how i if in into is it its just me more most my no nor not of "
+    "off on once only or other our ours out over own same she should so some "
+    "such than that the their theirs them then there these they this those "
+    "through to too under until up very was we were what when where which "
+    "while who whom why will with you your yours".split()
+)
+
+_TT_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def topic_segment_chunk(text: str, *, pseudo_sentence_size: int = 20,
+                        block_size: int = 10) -> list[str]:
+    """TextTiling: split text where the vocabulary shifts.
+
+    1. lowercase word stream (stopwords dropped for scoring, positions kept);
+    2. pseudo-sentences of ``pseudo_sentence_size`` tokens;
+    3. gap similarity = cosine of token-count vectors over the
+       ``block_size`` pseudo-sentences each side;
+    4. depth score d(g) = (peak_left − sim) + (peak_right − sim);
+    5. boundaries at gaps with depth ≥ mean + stddev/2 of all depths
+       (valley rule), cut in the original character stream.
+    """
+    tokens = [(m.group(0), m.start()) for m in _TT_WORD_RE.finditer(text.lower())]
+    scored = [(w, pos) for w, pos in tokens if w not in _STOPWORDS]
+    n_ps = len(scored) // pseudo_sentence_size
+    if n_ps < 2:
+        return [text] if text.strip() else []
+
+    counts: list[dict[str, int]] = []
+    starts: list[int] = []
+    for b in range(n_ps):
+        seg = scored[b * pseudo_sentence_size:(b + 1) * pseudo_sentence_size]
+        c: dict[str, int] = {}
+        for w, _ in seg:
+            c[w] = c.get(w, 0) + 1
+        counts.append(c)
+        starts.append(seg[0][1])
+
+    def _merge(cs: list[dict[str, int]]) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for c in cs:
+            for w, n in c.items():
+                out[w] = out.get(w, 0) + n
+        return out
+
+    def _cos(a: dict[str, int], b: dict[str, int]) -> float:
+        dot = sum(n * b.get(w, 0) for w, n in a.items())
+        na = sum(n * n for n in a.values()) ** 0.5
+        nb = sum(n * n for n in b.values()) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    sims = [
+        _cos(_merge(counts[max(0, g - block_size):g]),
+             _merge(counts[g:g + block_size]))
+        for g in range(1, n_ps)
+    ]
+    if not sims:
+        return [text]
+
+    depths = []
+    for i, s in enumerate(sims):
+        left = s
+        for j in range(i, -1, -1):
+            if sims[j] >= left:
+                left = sims[j]
+            else:
+                break
+        right = s
+        for j in range(i, len(sims)):
+            if sims[j] >= right:
+                right = sims[j]
+            else:
+                break
+        depths.append((left - s) + (right - s))
+
+    mean = sum(depths) / len(depths)
+    var = sum((d - mean) ** 2 for d in depths) / len(depths)
+    cutoff = mean + (var ** 0.5) / 2.0
+    cut_positions = [
+        starts[i + 1] for i, d in enumerate(depths) if d > cutoff and d > 0.0
+    ]
+    if not cut_positions:
+        return [text]
+    segments = []
+    prev = 0
+    for pos in cut_positions:
+        seg = text[prev:pos]
+        if seg.strip():
+            segments.append(seg)
+        prev = pos
+    tail = text[prev:]
+    if tail.strip():
+        segments.append(tail)
+    return segments
+
+
+def topic_segment_with_keywords(text: str, num_keywords: int = 3,
+                                **kw) -> list[tuple[str, list[str]]]:
+    """(segment, top-n frequent non-stopword tokens) pairs — the reference's
+    ``chunk_with_topics`` surface (chunking_strategy.py:136-143)."""
+    out = []
+    for seg in topic_segment_chunk(text, **kw):
+        freq: dict[str, int] = {}
+        for w in _TT_WORD_RE.findall(seg.lower()):
+            if w not in _STOPWORDS:
+                freq[w] = freq.get(w, 0) + 1
+        top = [w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:num_keywords]]
+        out.append((seg, top))
+    return out
+
+
 def merge_chunks(chunks: list[str], target_tokens: int = 1000,
                  overlap_tokens: int = 0, word_token_rate: float = 0.75) -> list[str]:
     """Greedy token-budget packing (parity: utils.py:162-224)."""

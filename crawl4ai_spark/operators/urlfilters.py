@@ -99,3 +99,99 @@ def nonsense_url(url: Column) -> Column:
 def filter_chain(url: Column, predicates: list[Column]) -> Column:
     """AND-compose predicates (FilterChain.apply; Catalyst short-circuits)."""
     return reduce(lambda a, b: a & b, predicates, F.lit(True))
+
+
+# ---------------------------------------------------------------------------
+# Head-content filters (the F10 tail): ContentRelevanceFilter + SEOFilter.
+# Both consume page-head fields (join candidates against
+# linkpreview.extract_heads — never a live fetch) and stay in native column
+# expressions, so they run inside whole-stage codegen at any scale.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2        # ref filters.py:519-531 defaults
+BM25_B = 0.75
+BM25_AVGDL = 1000
+
+# ref filters.py:594-602 (SEMrush-ish factor weights)
+SEO_WEIGHTS = {
+    "title_length": 0.15,
+    "title_kw": 0.18,
+    "meta_description": 0.12,
+    "canonical": 0.10,
+    "robot_ok": 0.20,
+    "schema_org": 0.10,
+    "url_quality": 0.15,
+}
+
+
+def head_relevance_score(doc: Column, query_terms: list[str]) -> Column:
+    """BM25-lite of query terms against a weighted head document
+    (ref ContentRelevanceFilter._bm25, filters.py:567-585: simplified
+    idf = ln(2/(tf+0.5)+1), fixed avgdl). ``doc`` is the already-weighted
+    text (title×3 + description×2 + keywords, ref :552-562)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(doc), r"\s+", " ")), " ")
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    for term in dict.fromkeys(t.lower() for t in query_terms):
+        tf = F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double")
+        idf = F.log(F.lit(2.0) / (tf + 0.5) + 1.0)
+        score = score + idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / BM25_AVGDL)
+        )
+    return score
+
+
+def seo_score(url: Column, title: Column, description: Column,
+              canonical: Column, robots_meta: Column, has_ldjson: Column,
+              keywords: list[str] | None = None,
+              weights: dict[str, float] | None = None) -> Column:
+    """Weighted SEO quality score (ref SEOFilter, filters.py:588-698):
+    title length band, keyword presence, meta-description band, canonical
+    match, robots noindex, schema.org ld+json, and url-quality penalties."""
+    w = weights or SEO_WEIGHTS
+    tlen = F.length(F.coalesce(title, F.lit("")))
+    s_title = (
+        F.when((tlen >= 50) & (tlen <= 60), 1.0)
+        .when(((tlen >= 40) & (tlen < 50)) | ((tlen > 60) & (tlen <= 70)), 0.7)
+        .otherwise(0.3)
+    )
+    if keywords:
+        pat = "(?i)\\b(" + "|".join(re.escape(k) for k in keywords) + ")\\b"
+        n_kw = F.size(F.regexp_extract_all(F.coalesce(title, F.lit("")),
+                                           F.lit(pat), F.lit(0))).cast("double")
+        s_kw = F.least(n_kw * 0.3, F.lit(1.0))
+    else:
+        s_kw = F.lit(0.0)
+    dlen = F.length(F.coalesce(description, F.lit("")))
+    s_desc = (
+        F.when((dlen >= 140) & (dlen <= 160), 1.0)
+        .when((dlen >= 120) & (dlen <= 200), 0.5)
+        .otherwise(0.2)
+    )
+    s_canon = (
+        F.when(canonical.isNull() | (canonical == ""), 0.5)
+        .when(canonical == url, 1.0)
+        .otherwise(0.2)
+    )
+    s_robot = F.when(
+        F.coalesce(robots_meta, F.lit("")).contains("noindex"), 0.0
+    ).otherwise(1.0)
+    s_schema = F.when(has_ldjson, 1.0).otherwise(0.0)
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    s_url = (
+        F.lit(1.0)
+        * F.when(F.length(path) > 80, 0.7).otherwise(1.0)
+        * F.when(path.rlike(r"\d{4}"), 0.8).otherwise(1.0)
+        * F.when(query != "", 0.6).otherwise(1.0)
+        * F.when(path.contains("_"), 0.9).otherwise(1.0)
+    )
+    return (
+        F.lit(w["title_length"]) * s_title
+        + F.lit(w["title_kw"]) * s_kw
+        + F.lit(w["meta_description"]) * s_desc
+        + F.lit(w["canonical"]) * s_canon
+        + F.lit(w["robot_ok"]) * s_robot
+        + F.lit(w["schema_org"]) * s_schema
+        + F.lit(w["url_quality"]) * s_url
+    )

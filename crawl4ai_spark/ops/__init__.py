@@ -15,6 +15,7 @@ _MODULES = [
     "multimodal",
     "extractq",
     "pipelineq",
+    "headq",
     "crawlq",
 ]
 

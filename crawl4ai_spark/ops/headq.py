@@ -1,0 +1,165 @@
+"""Head-content URL filters (the F10 tail) as an oracle-checked query.
+
+Parity targets: ContentRelevanceFilter (reference deep_crawling/
+filters.py:509-585 — BM25-lite of query terms against a weighted
+title/description/keywords head document, simplified idf) and SEOFilter
+(:588-698 — weighted title-length / keyword / meta-description / canonical /
+robots-noindex / schema.org / url-quality score).
+
+The head fields are synthesized deterministically from the ``documents``
+table (same expressions on both engines — the established pattern for URL
+queries, see ops/scheduling._urls), so the whole computation is
+oracle-checkable in DuckDB. One deliberate deviation from the reference:
+the weighted document joins its title×3 / description×2 repetitions with
+spaces (the reference's ``"title"*3`` string-multiplication merges the last
+token of one copy into the first of the next — an artifact, not semantics).
+
+Scale shape: both scores are pure column expressions over one row per URL —
+no shuffle at all beyond the head join the engine path does anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.urlfilters import head_relevance_score, seo_score
+from crawl4ai_spark.ops.common import tbl
+
+QUERY_TERMS = ["spark", "join", "window"]
+SEO_KEYWORDS = ["spark", "data"]
+RELEVANCE_T_E6 = 1_000_000    # BM25-lite threshold 1.0
+SEO_T_E6 = 650_000            # ref SEOFilter default threshold 0.65
+
+
+def _heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    sid = F.col("doc_id") % 10
+    m4 = F.col("doc_id") % 4
+    path = (
+        F.when(m4 == 0, F.concat(F.lit("/a_b/page"), F.col("doc_id")))
+        .when(m4 == 1, F.concat(F.lit("/archive/2021/p"), F.col("doc_id")))
+        .when(m4 == 2, F.concat(F.lit("/p"), F.col("doc_id"), F.lit("?q=1")))
+        .otherwise(F.concat(F.lit("/"), F.repeat(F.lit("seg/"), 21),
+                            F.lit("p"), F.col("doc_id")))
+    )
+    url = F.concat(F.lit("https://www.site"), sid, F.lit(".com"), path)
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.expr("substr(text, 1, 30 + (doc_id % 5) * 12)").alias("title"),
+        F.expr("substr(text, 10, 100 + (doc_id % 4) * 30)").alias("description"),
+        F.expr("substr(text, 5, 40)").alias("keywords"),
+        F.when(F.col("doc_id") % 3 == 0, url)
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://canon.example/c"))
+        .otherwise(F.lit(None).cast("string")).alias("canonical"),
+        F.when(F.col("doc_id") % 7 == 0, "noindex,follow")
+        .otherwise("index,follow").alias("robots_meta"),
+        (F.col("doc_id") % 4 == 0).alias("has_ldjson"),
+    )
+
+
+def q_url_filters_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _heads(spark, sf_dir)
+    doc = F.concat_ws(" ", "title", "title", "title",
+                      "description", "description", "keywords")
+    rel = head_relevance_score(doc, QUERY_TERMS)
+    seo = seo_score(F.col("url"), F.col("title"), F.col("description"),
+                    F.col("canonical"), F.col("robots_meta"),
+                    F.col("has_ldjson"), keywords=SEO_KEYWORDS)
+    return h.select(
+        F.col("doc_id").cast("long"),
+        "url",
+        F.round(rel * 1e6).cast("long").alias("relevance_e6"),
+        F.round(seo * 1e6).cast("long").alias("seo_e6"),
+    ).withColumn("relevance_pass", F.col("relevance_e6") >= RELEVANCE_T_E6) \
+     .withColumn("seo_pass", F.col("seo_e6") >= SEO_T_E6)
+
+
+def _sql_term(term: str) -> str:
+    # mirrors head_relevance_score's expression shape exactly (operation
+    # order matters for float-identical results)
+    return (
+        f"ln(2.0 / (tf_{term} + 0.5) + 1.0) * (tf_{term} * 2.2)"
+        f" / (tf_{term} + 1.2 * (0.25 + (0.75 * dl) / 1000))"
+    )
+
+
+SQL_URL_FILTERS_HEAD = f"""
+WITH h AS (
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 10) || '.com' ||
+         (CASE WHEN doc_id % 4 = 0 THEN '/a_b/page' || doc_id
+               WHEN doc_id % 4 = 1 THEN '/archive/2021/p' || doc_id
+               WHEN doc_id % 4 = 2 THEN '/p' || doc_id || '?q=1'
+               ELSE '/' || repeat('seg/', 21) || 'p' || doc_id END) AS url,
+         substr(text, 1, CAST(30 + (doc_id % 5) * 12 AS INT)) AS title,
+         substr(text, 10, CAST(100 + (doc_id % 4) * 30 AS INT)) AS description,
+         substr(text, 5, 40) AS keywords,
+         CASE WHEN doc_id % 3 = 0 THEN
+                'https://www.site' || (doc_id % 10) || '.com' ||
+                (CASE WHEN doc_id % 4 = 0 THEN '/a_b/page' || doc_id
+                      WHEN doc_id % 4 = 1 THEN '/archive/2021/p' || doc_id
+                      WHEN doc_id % 4 = 2 THEN '/p' || doc_id || '?q=1'
+                      ELSE '/' || repeat('seg/', 21) || 'p' || doc_id END)
+              WHEN doc_id % 3 = 1 THEN 'https://canon.example/c'
+              ELSE NULL END AS canonical,
+         CASE WHEN doc_id % 7 = 0 THEN 'noindex,follow'
+              ELSE 'index,follow' END AS robots_meta,
+         doc_id % 4 = 0 AS has_ldjson
+  FROM documents
+),
+toks AS (
+  SELECT *,
+         string_split(trim(regexp_replace(lower(
+           concat_ws(' ', title, title, title, description, description, keywords)
+         ), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM h
+),
+tf AS (
+  SELECT *,
+         CAST(len(tk) AS DOUBLE) AS dl,
+         {", ".join(f"CAST(len(list_filter(tk, t -> t = '{t}')) AS DOUBLE) AS tf_{t}"
+                    for t in QUERY_TERMS)}
+  FROM toks
+),
+scored AS (
+  SELECT *,
+         0.0 + {" + ".join(_sql_term(t) for t in QUERY_TERMS)} AS rel,
+         0.15 * (CASE WHEN length(coalesce(title,'')) BETWEEN 50 AND 60 THEN 1.0
+                      WHEN (length(coalesce(title,'')) BETWEEN 40 AND 49)
+                        OR (length(coalesce(title,'')) BETWEEN 61 AND 70) THEN 0.7
+                      ELSE 0.3 END)
+         + 0.18 * least(CAST(len(regexp_extract_all(coalesce(title,''),
+                         '(?i)\\b(spark|data)\\b')) AS DOUBLE) * 0.3, 1.0)
+         + 0.12 * (CASE WHEN length(coalesce(description,'')) BETWEEN 140 AND 160 THEN 1.0
+                        WHEN length(coalesce(description,'')) BETWEEN 120 AND 200 THEN 0.5
+                        ELSE 0.2 END)
+         + 0.10 * (CASE WHEN canonical IS NULL OR canonical = '' THEN 0.5
+                        WHEN canonical = url THEN 1.0 ELSE 0.2 END)
+         + 0.20 * (CASE WHEN contains(coalesce(robots_meta,''), 'noindex') THEN 0.0
+                        ELSE 1.0 END)
+         + 0.10 * (CASE WHEN has_ldjson THEN 1.0 ELSE 0.0 END)
+         + 0.15 * (1.0
+             * (CASE WHEN length(lower(coalesce(nullif(regexp_extract(url,
+                  'https?://[^/]+(/[^?#]*)', 1), ''), ''))) > 80 THEN 0.7 ELSE 1.0 END)
+             * (CASE WHEN regexp_matches(lower(coalesce(nullif(regexp_extract(url,
+                  'https?://[^/]+(/[^?#]*)', 1), ''), '')), '\\d{{4}}') THEN 0.8 ELSE 1.0 END)
+             * (CASE WHEN coalesce(nullif(regexp_extract(url, '\\?([^#]*)', 1), ''), '') != ''
+                  THEN 0.6 ELSE 1.0 END)
+             * (CASE WHEN contains(lower(coalesce(nullif(regexp_extract(url,
+                  'https?://[^/]+(/[^?#]*)', 1), ''), '')), '_') THEN 0.9 ELSE 1.0 END))
+         AS seo
+  FROM tf
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+       CAST(ROUND(rel * 1e6) AS BIGINT) AS relevance_e6,
+       CAST(ROUND(seo * 1e6) AS BIGINT) AS seo_e6,
+       CAST(ROUND(rel * 1e6) AS BIGINT) >= {RELEVANCE_T_E6} AS relevance_pass,
+       CAST(ROUND(seo * 1e6) AS BIGINT) >= {SEO_T_E6} AS seo_pass
+FROM scored
+"""
+
+
+QUERIES = {"url_filters_head": q_url_filters_head}
+ORACLES = {"url_filters_head": SQL_URL_FILTERS_HEAD}

@@ -107,6 +107,161 @@ def seed_urls(seeds: DataFrame, *, pattern: str | None = None,
     return out.select("url", "domain", "score")
 
 
+# ---------------------------------------------------------------------------
+# Sitemap seeding (S6) — parity target async_url_seeder.py:765-1004
+# (_from_sitemaps/_iter_sitemap): robots.txt ``Sitemap:`` lines + the
+# conventional /sitemap.xml probe are the roots; <sitemapindex> documents
+# recurse; .gz bodies are transparently decompressed; XML parsing is
+# namespace-agnostic (the reference's namespace test,
+# tests/unit/test_sitemap_namespace_parsing.py, is the behavioral spec).
+# ---------------------------------------------------------------------------
+
+SITEMAP_PARSE_SCHEMA = "host string, src string, kind string, loc string, lastmod string"
+
+
+def synthetic_sitemap_blobs(spark: SparkSession, n_hosts: int = 3,
+                            urls_per_host: int = 9) -> DataFrame:
+    """Deterministic fetched-blob table (host, url, body binary) standing in
+    for the reference's HTTP fetches: per host a robots.txt advertising a
+    gzipped sitemap index, which fans out to a plain urlset, a gzipped
+    urlset, and a NESTED index reaching a third urlset."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for h in pdf["id"]:
+                host = f"www.smap{h}.com"
+                base = f"https://{host}"
+                third = urls_per_host // 3
+                def urlset(lo, hi):
+                    items = "".join(
+                        f"<url><loc>{base}/p{i}</loc>"
+                        f"<lastmod>2025-0{1 + i % 9}-01</lastmod></url>"
+                        for i in range(lo, hi)
+                    )
+                    return ('<?xml version="1.0" encoding="UTF-8"?>'
+                            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                            f"{items}</urlset>").encode()
+                nested_idx = (
+                    '<?xml version="1.0"?><sitemapindex>'
+                    f"<sitemap><loc>{base}/sitemap_c.xml</loc></sitemap>"
+                    "</sitemapindex>"
+                ).encode()
+                top_idx = (
+                    '<?xml version="1.0"?>'
+                    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    f"<sitemap><loc>{base}/sitemap_a.xml</loc></sitemap>"
+                    f"<sitemap><loc>{base}/sitemap_b.xml.gz</loc></sitemap>"
+                    f"<sitemap><loc>{base}/nested_index.xml</loc></sitemap>"
+                    "</sitemapindex>"
+                ).encode()
+                robots = (f"User-agent: *\nDisallow: /private\n"
+                          f"Sitemap: {base}/sitemap_index.xml.gz\n").encode()
+                rows += [
+                    (host, f"{base}/robots.txt", robots),
+                    (host, f"{base}/sitemap_index.xml.gz",
+                     _gzip.compress(top_idx, mtime=0)),
+                    (host, f"{base}/sitemap_a.xml", urlset(0, third)),
+                    (host, f"{base}/sitemap_b.xml.gz",
+                     _gzip.compress(urlset(third, 2 * third), mtime=0)),
+                    (host, f"{base}/nested_index.xml", nested_idx),
+                    (host, f"{base}/sitemap_c.xml",
+                     urlset(2 * third, urls_per_host)),
+                ]
+            yield pd.DataFrame(rows, columns=["host", "url", "body"])
+
+    return spark.range(n_hosts).mapInPandas(build, "host string, url string, body binary")
+
+
+def parse_sitemap_blobs(blobs: DataFrame) -> DataFrame:
+    """One Arrow pass over (host, url, body): gunzip when magic-tagged, then
+    either harvest robots ``Sitemap:`` lines or parse the XML (local-name
+    matching, so any/no namespace works). Emits
+    (host, src, kind ∈ robots|sitemapindex|sitemap, loc, lastmod)."""
+    import gzip as _gzip
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for host, src, body in zip(pdf["host"], pdf["url"], pdf["body"]):
+                raw = bytes(body or b"")
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = _gzip.decompress(raw)
+                    except OSError:
+                        continue
+                if src.endswith("robots.txt"):
+                    for line in raw.decode("utf-8", "replace").splitlines():
+                        k, _, v = line.partition(":")
+                        if k.strip().lower() == "sitemap" and v.strip():
+                            rows.append((host, src, "robots", v.strip(), None))
+                    continue
+                try:
+                    root = ET.fromstring(raw.decode("utf-8", "replace"))
+                except ET.ParseError:
+                    continue
+                kind = _local(root.tag)
+                if kind not in ("sitemapindex", "urlset"):
+                    continue
+                kind = "sitemapindex" if kind == "sitemapindex" else "sitemap"
+                for entry in root:
+                    loc = lastmod = None
+                    for child in entry:
+                        if _local(child.tag) == "loc":
+                            loc = (child.text or "").strip()
+                        elif _local(child.tag) == "lastmod":
+                            lastmod = (child.text or "").strip()
+                    if loc:
+                        rows.append((host, src, kind, loc, lastmod))
+            yield pd.DataFrame(rows, columns=["host", "src", "kind", "loc", "lastmod"])
+
+    return blobs.mapInPandas(parse, SITEMAP_PARSE_SCHEMA)
+
+
+def seed_from_sitemaps(spark: SparkSession, blobs: DataFrame, *,
+                       max_rounds: int = 4) -> DataFrame:
+    """Resolve the sitemap graph to page URLs: roots = robots ``Sitemap:``
+    targets plus any /sitemap.xml convention blob; each round joins the
+    pending sitemap URLs against the blob table, parses that DELTA only, and
+    recurses into index entries (anti-joined against visited — O(delta) per
+    round, never reparsing). Returns (url, host, lastmod, source_sitemap)."""
+    parsed = parse_sitemap_blobs(blobs).cache()
+    roots = parsed.filter(F.col("kind") == "robots").select("loc").union(
+        blobs.select(F.col("url").alias("loc"))
+             .filter(F.col("loc").rlike(r"/sitemap\.xml(\.gz)?$"))
+    ).distinct()
+
+    visited = roots
+    pending = roots
+    pages = None
+    for _ in range(max_rounds):
+        hit = parsed.join(pending.withColumnRenamed("loc", "src"), on="src")
+        found = hit.filter(F.col("kind") == "sitemap").select(
+            F.col("loc").alias("url"), "host", "lastmod",
+            F.col("src").alias("source_sitemap"))
+        pages = found if pages is None else pages.unionByName(found)
+        nxt = (
+            hit.filter(F.col("kind") == "sitemapindex").select("loc").distinct()
+            .join(visited, on="loc", how="left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).distinct()
+        pending = nxt
+    out = pages if pages is not None else spark.createDataFrame(
+        [], "url string, host string, lastmod string, source_sitemap string")
+    return out.dropDuplicates(["url"])
+
+
 def _bm25_score(seeds: DataFrame, query: str, k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """BM25 over head_text (ref async_url_seeder.py:645-677): df/avgdl are
     corpus aggregates (two passes), the scoring join broadcasts the tiny idf

@@ -315,3 +315,41 @@ def test_json_xpath_through_process_pages():
         "fields": [{"name": "t", "type": "text", "selector": ".//h2"}],
     })
     assert _json.loads(extract_json_css_str(html, schema)) == [{"t": "T"}]
+
+
+def test_topic_segmentation_splits_topic_shift():
+    """E16 tail: TextTiling finds the vocabulary shift between two topics
+    (reference TopicSegmentationChunking wraps NLTK TextTiling;
+    chunking_strategy.py:93-143)."""
+    from crawl4ai_spark.html.chunking import (
+        topic_segment_chunk,
+        topic_segment_with_keywords,
+    )
+
+    topic_a = ("spark cluster executor shuffle partition catalyst codegen "
+               "dataframe parquet broadcast join aggregate window stream ") * 12
+    topic_b = ("pasta tomato basil garlic olive oven recipe simmer saute "
+               "flour yeast dough bake crust cheese herb roast ") * 12
+    text = topic_a + topic_b
+    segs = topic_segment_chunk(text)
+    assert len(segs) >= 2
+    assert "".join(segs) == text  # lossless cover
+    # the split lands near the topic boundary: first segment is sparky,
+    # last is cooking
+    assert "executor" in segs[0] and "executor" not in segs[-1]
+    assert "tomato" in segs[-1] and "tomato" not in segs[0]
+
+    pairs = topic_segment_with_keywords(text, num_keywords=3)
+    assert all(len(kws) == 3 for _, kws in pairs)
+    # first segment's keywords come from topic A's vocabulary
+    assert set(pairs[0][1]) <= set(topic_a.split())
+
+
+def test_topic_segmentation_degenerate():
+    from crawl4ai_spark.html.chunking import topic_segment_chunk
+
+    assert topic_segment_chunk("") == []
+    assert topic_segment_chunk("short text only") == ["short text only"]
+    uniform = ("same words repeat same words repeat keyword alpha beta ") * 40
+    segs = topic_segment_chunk(uniform)
+    assert "".join(segs) == uniform

@@ -50,3 +50,45 @@ def test_bm25_ranking_orders_relevant_first(spark):
     # every positively scored row mentions a query term in its url/head
     top = out[0]
     assert "crawl" in top.url or "spark" in top.url
+
+
+def test_sitemap_seeding_recurses_gz_and_robots(spark):
+    """S6: robots Sitemap: lines are the roots, gz bodies decompress, nested
+    sitemap indexes recurse, every leaf urlset URL is found exactly once
+    (parity target async_url_seeder.py:765-1004)."""
+    from crawl4ai_spark.sources.seeder import (
+        parse_sitemap_blobs,
+        seed_from_sitemaps,
+        synthetic_sitemap_blobs,
+    )
+
+    blobs = synthetic_sitemap_blobs(spark, n_hosts=2, urls_per_host=9).cache()
+    out = seed_from_sitemaps(spark, blobs).cache()
+    urls = {r["url"] for r in out.collect()}
+    # all 9 pages per host, including the ones only reachable through the
+    # gzipped urlset (p3-p5) and the nested index (p6-p8)
+    for h in range(2):
+        for p in range(9):
+            assert f"https://www.smap{h}.com/p{p}" in urls
+    assert out.count() == 18  # no dupes
+    # lastmod survives parsing
+    assert out.filter(F.col("lastmod").rlike(r"^2025-")).count() == 18
+    # robots parsing found the advertised index (not the /sitemap.xml probe)
+    parsed = parse_sitemap_blobs(blobs)
+    roots = {r["loc"] for r in parsed.filter("kind = 'robots'").collect()}
+    assert roots == {f"https://www.smap{h}.com/sitemap_index.xml.gz" for h in range(2)}
+
+
+def test_sitemap_namespace_agnostic(spark):
+    """Namespaced and namespace-free sitemaps parse identically (mirror of
+    the reference's tests/unit/test_sitemap_namespace_parsing.py)."""
+    from crawl4ai_spark.sources.seeder import parse_sitemap_blobs
+
+    ns = b'<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>https://a.com/1</loc></url></urlset>'
+    plain = b'<?xml version="1.0"?><urlset><url><loc>https://b.com/1</loc></url></urlset>'
+    blobs = spark.createDataFrame(
+        [("a.com", "https://a.com/s.xml", ns), ("b.com", "https://b.com/s.xml", plain)],
+        "host string, url string, body binary")
+    rows = parse_sitemap_blobs(blobs).collect()
+    assert {r["loc"] for r in rows} == {"https://a.com/1", "https://b.com/1"}
+    assert all(r["kind"] == "sitemap" for r in rows)
