@@ -72,6 +72,15 @@ class CrawlConfig:
     # F20 link preview: when set, discovered candidates join the pages head
     # metadata and re-score 0.7·intrinsic + 0.3·contextual(query)·10
     link_preview_query: str | None = None
+    # F10 head-content filters (ref deep_crawling/filters.py:509-698):
+    # candidates whose page-head fails the gate never enter the frontier.
+    # Like the reference, a candidate with NO head data is rejected when a
+    # head filter is active (ContentRelevanceFilter.apply returns False on
+    # missing head content).
+    relevance_query: str | None = None       # BM25-lite vs title/desc/keywords
+    relevance_threshold: float = 1.0
+    seo_threshold: float | None = None       # ref SEOFilter default is 0.65
+    seo_keywords: list | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -317,6 +326,8 @@ class SparkWebEngine:
             cand = enrich_candidates(
                 cand, extract_heads(self._pages), cfg.link_preview_query
             ).drop("contextual_score")
+        if cfg.relevance_query or cfg.seo_threshold is not None:
+            cand = self._head_filter_candidates(cand, cfg)
         if cfg.score_threshold is not None:
             cand = cand.filter(F.col("score") >= cfg.score_threshold)
 
@@ -426,6 +437,39 @@ class SparkWebEngine:
             ).select("part_id", "n_rows", "n_ok", "n_hosts", "generation")
             self.store.commit("lineage", lin, mode="append",
                               meta={"generation": gens[-1]})
+
+    def _head_filter_candidates(self, cand: DataFrame,
+                                cfg: CrawlConfig) -> DataFrame:
+        """Head-content gate on discovered candidates (F10 tail): join the
+        pages head fields (no live fetch — the corpus IS the head peek) and
+        keep only candidates passing ContentRelevance / SEO thresholds.
+        Unknown urls (no head) are rejected, matching the reference's
+        missing-head-content → False behavior (filters.py:533-537,622-626)."""
+        import re as _re
+
+        from crawl4ai_spark.operators.linkpreview import extract_heads
+        from crawl4ai_spark.operators.urlfilters import (
+            head_relevance_score,
+            seo_score,
+        )
+
+        heads = extract_heads(self._pages)
+        joined = cand.join(heads, on="url", how="left")
+        keep = F.col("head_title").isNotNull()
+        if cfg.relevance_query:
+            terms = _re.findall("[a-z0-9]+", cfg.relevance_query.lower())
+            doc = F.concat_ws(
+                " ", "head_title", "head_title", "head_title",
+                "head_description", "head_description", "head_keywords")
+            keep = keep & (head_relevance_score(doc, terms)
+                           >= cfg.relevance_threshold)
+        if cfg.seo_threshold is not None:
+            s = seo_score(F.col("url"), F.col("head_title"),
+                          F.col("head_description"), F.col("head_canonical"),
+                          F.col("head_robots"), F.col("head_has_ldjson"),
+                          keywords=cfg.seo_keywords)
+            keep = keep & (s >= cfg.seo_threshold)
+        return joined.filter(keep).select(cand.columns)
 
     def enqueue_seeds(self, seeds: DataFrame) -> None:
         """Append newly-arriving seeds to the frontier log (anti-joined

@@ -23,15 +23,30 @@ CONTEXTUAL_WEIGHT = 0.3
 
 
 def extract_heads(pages: DataFrame) -> DataFrame:
-    """(url, head_text): title + meta description via native regexp — cheap
-    enough to run over the whole pages table without a Python stage."""
+    """Per-url head fields via native regexp — cheap enough to run over the
+    whole pages table without a Python stage. ``head_text`` feeds the F20
+    contextual score; the remaining columns feed the head-content filters
+    (ContentRelevance/SEO, operators/urlfilters.py)."""
     html = F.decode(F.col("html"), "utf-8")
     title = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
     desc = F.regexp_extract(
         html, r"""(?is)<meta\s+name=["']description["']\s+content=["']([^"']*)""", 1)
+    keywords = F.regexp_extract(
+        html, r"""(?is)<meta\s+name=["']keywords["']\s+content=["']([^"']*)""", 1)
+    canonical = F.regexp_extract(
+        html, r"""(?is)<link\s+rel=["']canonical["']\s+href=["']([^"']*)""", 1)
+    robots_meta = F.regexp_extract(
+        html, r"""(?is)<meta\s+name=["']robots["']\s+content=["']([^"']*)""", 1)
+    has_ldjson = html.rlike(r"""(?is)<script[^>]+type=["']application/ld\+json""")
     return pages.select(
         "url",
         F.lower(F.concat_ws(" ", title, desc)).alias("head_text"),
+        title.alias("head_title"),
+        desc.alias("head_description"),
+        keywords.alias("head_keywords"),
+        F.nullif(canonical, F.lit("")).alias("head_canonical"),
+        robots_meta.alias("head_robots"),
+        has_ldjson.alias("head_has_ldjson"),
     )
 
 
@@ -55,7 +70,8 @@ def enrich_candidates(candidates: DataFrame, heads: DataFrame,
     a known head keep their intrinsic score (fail-open, like the reference's
     timeout path link_preview.py:199-211)."""
     terms = re.findall("[a-z0-9]+", query.lower())
-    joined = candidates.join(heads, on="url", how="left")
+    joined = candidates.join(heads.select("url", "head_text"),
+                             on="url", how="left")
     ctx = F.when(F.col("head_text").isNotNull(),
                  contextual_score(F.col("head_text"), terms)).otherwise(F.lit(None))
     total = F.when(

@@ -248,3 +248,25 @@ def test_lineage_and_metrics_tables(spark, pages, tmp_store):
     assert m is not None and m.count() > 0
     gens = {r.generation for r in m.select("generation").distinct().collect()}
     assert 0 in gens
+
+
+def test_head_filters_gate_candidates(spark, pages, tmp_store):
+    """F10 tail in the crawl path: with relevance_query set, discovered
+    candidates whose page head fails the BM25-lite gate never enter the
+    frontier (ref ContentRelevanceFilter in the deep-crawl filter chain)."""
+    import os
+    eng = SparkWebEngine(spark, os.path.join(tmp_store, "headf"))
+    res = eng.run(
+        pages, generate_seeds(spark, N_HOSTS),
+        config=CrawlConfig(max_depth=2, max_pages=60, check_robots_txt=False,
+                           relevance_query="host0", relevance_threshold=0.5),
+    )
+    got = res.filter(F.col("success")).select("host", "depth").collect()
+    # every crawled page beyond the seeds belongs to host0 (its titles are
+    # "host0 page<p> <word>" — the only heads matching the query)
+    deep = [r for r in got if r["depth"] > 0]
+    assert deep, "filter should still admit matching candidates"
+    assert all(r["host"] == "www.host0.com" for r in deep)
+    # seeds themselves are never head-filtered
+    assert {r["host"] for r in got if r["depth"] == 0} == {
+        f"www.host{h}.com" for h in range(N_HOSTS)}
