@@ -29,7 +29,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.udfs import process_pages
@@ -99,13 +99,12 @@ class SparkWebEngine:
         spark = self.spark
         self._pages = pages  # used by F20 link-preview enrichment
 
-        # Frontier = append-only delta log (the 10^10-URL design):
-        #   "frontier"      — every row ever ENQUEUED (url, ..., retry_count)
-        #   "frontier_done" — every row that LEFT the queue (url, retry_count,
-        #                     final status, generation)
-        # queued = frontier ANTI-JOIN done. A generation appends O(delta)
-        # rows to each table — it never rewrites the frontier (an Iceberg
-        # MERGE-on-read layout; compaction is an offline concern).
+        # Frontier = ONE append-only delta log (the 10^10-URL design): every
+        # row is an EVENT — status QUEUED when a url enters the queue,
+        # COMPLETED/FAILED when it leaves. queued = QUEUED rows anti-join
+        # non-QUEUED (url, retry_count) keys. A generation appends O(delta)
+        # rows in a SINGLE commit — it never rewrites the frontier (an
+        # Iceberg MERGE-on-read layout; compaction is an offline concern).
         if resume and self.store.latest_id("frontier") is not None:
             frontier = self.store.read(spark, "frontier")
             start_gen = int(self.store.meta("frontier").get("generation", 0)) + 1
@@ -113,30 +112,34 @@ class SparkWebEngine:
         else:
             frontier = FR.seeds_to_frontier(seeds)
             self.store.commit("frontier", frontier, meta={"generation": -1, "pages_done": 0})
-            self.store.commit("frontier_done", self._empty_done(),
-                              meta={"generation": -1})
             frontier = self.store.read(spark, "frontier")
             start_gen = 0
             pages_done = 0
 
         gen = start_gen
         gen_stats: list[tuple[int, int, float]] = []
+        # whether any host is under backoff tracking (drives the conditional
+        # host_state fold below); on resume, trust the last commit's meta
+        hosts_tracked = int(self.store.meta("host_state").get("n_hosts", 0)) > 0
         # run until the frontier drains (max_depth/max_pages bound the loop);
         # max_generations is for tests / partial runs
         max_gens = max_generations if max_generations is not None else 1 << 20
 
         while gen < start_gen + max_gens and pages_done < cfg.max_pages:
             t0 = time.time()
-            done = self.store.read(spark, "frontier_done")
-            queued = (
-                frontier.join(done.select("url", "retry_count"),
-                              on=["url", "retry_count"], how="left_anti")
-                if done is not None else frontier
-            )
-            batch = self._schedule(queued, robots, cfg, pages_budget=cfg.max_pages - pages_done)
+            left = frontier.filter(F.col("status") != "QUEUED") \
+                           .select("url", "retry_count")
+            queued = frontier.filter(F.col("status") == "QUEUED") \
+                             .join(left, on=["url", "retry_count"], how="left_anti")
+            batch, known_empty = self._schedule(
+                queued, robots, cfg, pages_budget=cfg.max_pages - pages_done)
+            if known_empty:
+                break
             # the batch feeds fetch, 404-detection, robots-403 rows and the
-            # frontier advance — cache it so the schedule windows + robots
-            # pUDF run once per generation, not four times
+            # frontier advance — cache AND materialize it up front (the
+            # count) so the schedule windows + robots pUDF run exactly once;
+            # lazy materialization would recompute the batch concurrently in
+            # the result union's branches before the cache fills
             batch = batch.cache()
             n_sched = batch.count()
             if n_sched == 0:
@@ -144,23 +147,38 @@ class SparkWebEngine:
                 break
 
             results = self._fetch_and_process(batch, pages, cfg, gen)
+            # piggyback the rate-limit counter on the results WRITE (zero
+            # extra job) — it decides whether host_state needs folding
+            obs = Observation(f"gen{gen}")
+            results = results.observe(
+                obs, F.sum(F.when(F.col("status_code").isin(429, 503), 1)
+                           .otherwise(0)).alias("n_limited"))
             self.store.commit("results", results, mode="append",
                               meta={"generation": gen})
+            n_limited = int(obs.get.get("n_limited") or 0)
             results = self.store.read(spark, "results").filter(F.col("generation") == gen)
 
-            done_delta, new_rows = self._advance_frontier(frontier, batch, results, cfg, gen)
-            self.store.commit("frontier_done", done_delta, mode="append",
-                              meta={"generation": gen})
-            self.store.commit("frontier", new_rows, mode="append",
+            frontier_delta = self._advance_frontier(frontier, batch, results, cfg, gen)
+            self.store.commit("frontier", frontier_delta, mode="append",
                               meta={"generation": gen,
                                     "pages_done": pages_done + n_sched})
             frontier = self.store.read(spark, "frontier")
 
-            prev_hs = self.store.read(spark, "host_state")
-            hs = POL.update_host_state(
-                prev_hs, results.select("host", "status_code"), gen
-            )
-            self.store.commit("host_state", hs, meta={"generation": gen})
+            # host_state folds ONLY when there is backoff state to create or
+            # decay — a clean generation (no 429/503, nothing tracked) skips
+            # the job entirely
+            if n_limited > 0 or hosts_tracked:
+                prev_hs = self.store.read(spark, "host_state")
+                hs = POL.update_host_state(
+                    prev_hs, results.select("host", "status_code"), gen
+                )
+                hobs = Observation(f"hs{gen}")
+                hs = hs.observe(hobs, F.count(F.lit(1)).alias("n_hosts"))
+                sid = self.store.commit("host_state", hs, meta={"generation": gen})
+                n_hosts = int(hobs.get.get("n_hosts") or 0)
+                # stamp the count into the manifest for resume
+                self.store.amend_meta("host_state", sid, {"n_hosts": n_hosts})
+                hosts_tracked = n_hosts > 0
 
             # driver-side stat only — metrics/lineage tables are committed
             # ONCE after the loop (folding ~2 Spark jobs out of every
@@ -179,7 +197,13 @@ class SparkWebEngine:
 
     # ----------------------------------------------------------- internals
     def _schedule(self, frontier: DataFrame, robots: DataFrame | None,
-                  cfg: CrawlConfig, pages_budget: int) -> DataFrame:
+                  cfg: CrawlConfig, pages_budget: int
+                  ) -> tuple[DataFrame, bool | None]:
+        """Build the scheduled batch. Returns (batch, known_empty):
+        known_empty is True/False when the BFS/DFS depth probe already
+        answered it (that agg doubles as the emptiness check — no separate
+        count job), None for best_first (caller probes with isEmpty)."""
+        known_empty: bool | None = None
         cand = frontier.filter(F.col("status") == "QUEUED") \
                        .filter(F.col("retry_count") <= POL.MAX_RETRIES)
         if cfg.cache_mode == "enabled":
@@ -199,13 +223,15 @@ class SparkWebEngine:
             # level-synchronous: only the shallowest queued depth runs
             min_depth = cand.agg(F.min("depth")).collect()[0][0]
             if min_depth is None:
-                return cand.limit(0)
+                return cand.limit(0), True
             cand = cand.filter(F.col("depth") == min_depth)
+            known_empty = False
         elif cfg.policy == "dfs":
             max_depth = cand.agg(F.max("depth")).collect()[0][0]
             if max_depth is None:
-                return cand.limit(0)
+                return cand.limit(0), True
             cand = cand.filter(F.col("depth") == max_depth)
+            known_empty = False
         # best_first: no depth gate — global (score, depth, url) order
 
         global_limit = min(
@@ -233,7 +259,7 @@ class SparkWebEngine:
             )
         else:
             batch = batch.withColumn("robots_allowed", F.lit(True))
-        return batch
+        return batch, known_empty
 
     def _fetch_and_process(self, batch: DataFrame, pages: DataFrame,
                            cfg: CrawlConfig, gen: int) -> DataFrame:
@@ -293,28 +319,27 @@ class SparkWebEngine:
         extras = extras.withColumn("generation", F.lit(gen))
         return base.unionByName(extras, allowMissingColumns=True)
 
-    def _empty_done(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [], "url string, retry_count int, status string, generation int")
-
     def _advance_frontier(self, frontier: DataFrame, batch: DataFrame,
                           results: DataFrame, cfg: CrawlConfig, gen: int
-                          ) -> tuple[DataFrame, DataFrame]:
-        """Return (done_delta, new_rows) — the O(delta) appends for this
-        generation. done_delta marks every scheduled row COMPLETED/FAILED;
-        new_rows enqueues freshly discovered candidates at depth+1."""
-        # 1. batch rows leave the queue with their outcome
+                          ) -> DataFrame:
+        """Return this generation's frontier-log delta as ONE DataFrame
+        (single append commit): departure events (every scheduled row with
+        its final COMPLETED/FAILED status), freshly discovered QUEUED rows
+        at depth+1, and 429/503 requeue rows at retry_count+1."""
+        # 1. batch rows leave the queue with their outcome (full-schema
+        # event rows — same (url, retry_count) key, non-QUEUED status)
         outcome = results.select(
             "url",
-            F.when(F.col("success"), "COMPLETED").otherwise("FAILED").alias("status"),
+            F.when(F.col("success"), "COMPLETED").otherwise("FAILED").alias("__st"),
         )
         done_delta = (
-            batch.select("url", "retry_count")
+            batch.select([f.name for f in FR.FRONTIER_SCHEMA.fields])
+            .drop("status", "generation")
             .join(outcome, on="url", how="left")
-            .withColumn("status", F.coalesce(F.col("status"), F.lit("FAILED")))
+            .withColumn("status", F.coalesce(F.col("__st"), F.lit("FAILED")))
+            .drop("__st")
             .withColumn("generation", F.lit(gen))
-            .select("url", F.col("retry_count").cast("int"), "status",
-                    F.col("generation").cast("int"))
+            .select([f.name for f in FR.FRONTIER_SCHEMA.fields])
         )
 
         # 2. discover + enqueue new links from successful pages
@@ -399,7 +424,7 @@ class SparkWebEngine:
                                   delta_bloom)
             self.store.commit("url_seen", merged, meta={"generation": gen})
 
-        return done_delta, new_rows.unionByName(requeue)
+        return done_delta.unionByName(new_rows).unionByName(requeue)
 
     def _commit_metrics_bulk(self, gen_stats: list[tuple[int, int, float]]
                              ) -> None:
@@ -497,17 +522,17 @@ class SparkWebEngine:
 
     def frontier(self) -> DataFrame | None:
         """Reconstructed current frontier view: every enqueued row with its
-        latest status (merge-on-read over the append-only delta log)."""
+        latest status (merge-on-read over the single append-only event log:
+        a departure event with the same (url, retry_count) key overrides
+        the QUEUED enqueue event)."""
         fr = self.store.read(self.spark, "frontier")
         if fr is None:
             return None
-        done = self.store.read(self.spark, "frontier_done")
-        if done is None:
-            return fr
-        latest = done.select("url", "retry_count",
-                             F.col("status").alias("__final"))
+        latest = fr.filter(F.col("status") != "QUEUED") \
+                   .select("url", "retry_count", F.col("status").alias("__final"))
         return (
-            fr.drop("status")
+            fr.filter(F.col("status") == "QUEUED")
+            .drop("status")
             .join(latest, on=["url", "retry_count"], how="left")
             .withColumn("status", F.coalesce(F.col("__final"), F.lit("QUEUED")))
             .drop("__final")

@@ -196,6 +196,11 @@ def update_host_state(prev_state: DataFrame | None, batch_results: DataFrame,
             out.append((host, float(delay), fails, last, last + delay))
         return pd.DataFrame(out, columns=[f.name for f in HOST_STATE_SCHEMA.fields])
 
+    # only hosts under backoff need state: scheduling's quota-shrink keys on
+    # fail_count > 0 and clean hosts sit at base delay by construction, so
+    # the table stays proportional to the RATE-LIMITED host set (and a run
+    # with no 429/503 anywhere keeps it empty — the engine then skips the
+    # fold job entirely)
     return merged.groupBy("host").applyInPandas(
         lambda pdf: fold(pdf), HOST_STATE_SCHEMA
-    )
+    ).filter(F.col("fail_count") > 0)

@@ -71,9 +71,71 @@ def q_crawl_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SMAP_HOSTS = 3
+SMAP_URLS = 9
+
+
+def q_seed_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 end-to-end: robots ``Sitemap:`` roots → gz/nested sitemap-index
+    recursion → page URLs. The synthetic blob graph is deterministic, so the
+    EXPECTED output is expressible in plain SQL — the oracle checks the
+    whole parse+recursion pipeline's result."""
+    from crawl4ai_spark.sources.seeder import (
+        seed_from_sitemaps,
+        synthetic_sitemap_blobs,
+    )
+
+    blobs = synthetic_sitemap_blobs(spark, SMAP_HOSTS, SMAP_URLS)
+    return seed_from_sitemaps(spark, blobs).select(
+        "url", "host", "lastmod", "source_sitemap")
+
+
+SQL_SEED_SITEMAPS = f"""
+SELECT 'https://www.smap' || h || '.com/p' || i AS url,
+       'www.smap' || h || '.com' AS host,
+       '2025-0' || (1 + i % 9) || '-01' AS lastmod,
+       'https://www.smap' || h || '.com/' ||
+         (CASE WHEN i < {SMAP_URLS // 3} THEN 'sitemap_a.xml'
+               WHEN i < {2 * (SMAP_URLS // 3)} THEN 'sitemap_b.xml.gz'
+               ELSE 'sitemap_c.xml' END) AS source_sitemap
+FROM range({SMAP_HOSTS}) a(h), range({SMAP_URLS}) b(i)
+"""
+
+
+def q_chunk_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segments over the documents table (E16 tail) — one
+    Arrow stage, rows (doc_id, seg_no, n_chars, md5). Not SQL-expressible
+    (the published algorithm is iterative); rows-only driver check, unit
+    semantics in tests/test_html_stack.py."""
+    import hashlib
+
+    import pandas as pd
+
+    from crawl4ai_spark.html.chunking import topic_segment_chunk
+    from crawl4ai_spark.ops.common import tbl
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def seg(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i, s in enumerate(topic_segment_chunk(text or "")):
+                    rows.append((doc_id, i, len(s),
+                                 hashlib.md5(s.encode()).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "seg_no", "n_chars", "seg_md5"])
+
+    return d.mapInPandas(seg, "doc_id long, seg_no long, n_chars long, seg_md5 string")
+
+
 QUERIES = {
     "crawl_bfs_e2e": q_crawl_bfs_e2e,
     "crawl_extract_markdown": q_crawl_extract_markdown,
     "crawl_text_identity": q_crawl_text_identity,
+    "seed_sitemaps": q_seed_sitemaps,
+    "chunk_topics": q_chunk_topics,
 }
-ORACLES: dict = {}  # rows-only: oracle is the pytest parity + golden suite
+# crawl_* are rows-only (oracle = pytest parity + golden suites);
+# seed_sitemaps has a full result oracle
+ORACLES: dict = {"seed_sitemaps": SQL_SEED_SITEMAPS}

@@ -77,6 +77,18 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(table, sid))  # atomic publish
         return sid
 
+    def amend_meta(self, table: str, snapshot_id: int, extra: dict) -> None:
+        """Merge extra keys into an existing snapshot's meta (driver-side
+        bookkeeping discovered during/after the write, e.g. observed row
+        counts). Same atomic rename discipline as commit."""
+        path = self._manifest_path(table, snapshot_id)
+        manifest = self._read_manifest(table, snapshot_id)
+        manifest["meta"] = {**manifest.get("meta", {}), **extra}
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+
     # -- read ------------------------------------------------------------------
     def read(self, spark: SparkSession, table: str,
              snapshot_id: int | None = None) -> DataFrame | None:
