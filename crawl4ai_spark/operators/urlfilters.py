@@ -10,6 +10,10 @@ Parity targets (/root/reference/crawl4ai/deep_crawling/filters.py):
 - URL validation      bfs_strategy.py:52-72
 - nonsense-URL filter async_url_seeder.py:1330-1424
 
+URL parsing uses try_parse_url throughout: Spark 4's parse_url THROWS
+on malformed URLs, and filter predicates must tolerate arbitrary crawl
+hrefs (malformed → NULL → component treated as '').
+
 Everything stays in whole-stage codegen; the head-content filters
 (ContentRelevance/SEO) need page head data and live in
 :mod:`crawl4ai_spark.operators.frontier` as joins against `pages`.
@@ -48,7 +52,7 @@ def url_pattern_filter(url: Column, patterns: list[str], *, reverse: bool = Fals
 
 def content_type_filter(url: Column, allowed_exts: list[str],
                         allow_extensionless: bool = True) -> Column:
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     ext = F.when(path.rlike(r"\.[A-Za-z0-9]{1,5}$"),
                  F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
                  ).otherwise(F.lit(""))
@@ -60,8 +64,11 @@ def content_type_filter(url: Column, allowed_exts: list[str],
 
 def domain_filter(url: Column, allowed: list[str] | None = None,
                   blocked: list[str] | None = None) -> Column:
-    """Suffix match against registrable-ish domain, subdomains included."""
-    host = F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
+    """Suffix match against the domain, subdomains included. Reference-exact
+    (DomainFilter, ref filters.py:432-506): the domain is everything between
+    ``://`` and the next ``/`` — ports included, so ``example.com:8080``
+    does NOT match ``example.com`` (golden-checked)."""
+    host = F.lower(F.regexp_extract(url, r"://([^/]+)", 1))
 
     def matches(domains: list[str]) -> Column:
         return reduce(
@@ -79,7 +86,7 @@ def domain_filter(url: Column, allowed: list[str] | None = None,
 
 def valid_url(url: Column) -> Column:
     """scheme ∈ {http,https} and netloc contains a dot (ref bfs_strategy.py:52-72)."""
-    host = F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit(""))
+    host = F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit(""))
     return url.rlike("^https?://") & host.contains(".")
 
 
@@ -91,7 +98,7 @@ _ASSET_EXT_RE = (
 
 def nonsense_url(url: Column) -> Column:
     """True for asset/junk URLs a seeder should drop (F17)."""
-    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    path = F.lower(F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")))
     special = F.lower(url).rlike("^(mailto|tel|ftp|file|data|javascript):")
     return special | path.rlike(_ASSET_EXT_RE) | ~valid_url(url)
 
@@ -177,8 +184,8 @@ def seo_score(url: Column, title: Column, description: Column,
         F.coalesce(robots_meta, F.lit("")).contains("noindex"), 0.0
     ).otherwise(1.0)
     s_schema = F.when(has_ldjson, 1.0).otherwise(0.0)
-    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
-    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    path = F.lower(F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")))
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     s_url = (
         F.lit(1.0)
         * F.when(F.length(path) > 80, 0.7).otherwise(1.0)

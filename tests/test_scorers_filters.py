@@ -41,23 +41,31 @@ def test_path_depth_score(urls_df):
 
 
 def test_content_type_score(urls_df):
+    # reference semantics: extension = alnum run after the LAST dot anywhere
+    # in the url (so a path-less page yields "org"/"com"), miss -> 0.0
     v = _vals(urls_df, S.content_type_score(F.col("url")))
     assert v[URLS[0]] == pytest.approx(1.0)       # .html
     assert v[URLS[6]] == pytest.approx(0.5)       # .pdf
-    assert v[URLS[3]] == pytest.approx(1.0)       # extensionless
+    assert v[URLS[3]] == pytest.approx(0.0)       # ext "org/products" -> org
 
 
 def test_freshness_score(urls_df):
     v = _vals(urls_df, S.freshness_score(F.col("url"), current_year=2024))
     assert v[URLS[0]] == pytest.approx(0.9)   # 2023 → age 1
     assert v[URLS[1]] == pytest.approx(0.5)   # 2019 → age 5
-    assert v[URLS[6]] == pytest.approx(0.4)   # 1998 → beyond table
+    assert v[URLS[6]] == pytest.approx(0.1)   # 1998 → max(0.1, 1-0.1*26)
     assert v[URLS[3]] == pytest.approx(0.5)   # no year
 
 
 def test_domain_authority_and_composite(urls_df):
+    # reference default: EXACT host match; subdomain inheritance is opt-in
+    exact = _vals(urls_df, S.domain_authority_score(
+        F.col("url"), {"www.docs.example.com": 0.9}))
+    assert exact[URLS[0]] == pytest.approx(0.9)
+    assert exact[URLS[3]] == pytest.approx(0.5)   # unknown -> default
     da = S.domain_authority_score(
-        F.col("url"), {"docs.example.com": 0.9, "other.org": 0.2})
+        F.col("url"), {"docs.example.com": 0.9, "other.org": 0.2},
+        inherit_subdomains=True)
     v = _vals(urls_df, da)
     assert v[URLS[0]] == pytest.approx(0.9)
     assert v[URLS[3]] == pytest.approx(0.2)   # subdomain suffix match
