@@ -14,8 +14,14 @@ def identity_chunk(text: str) -> list[str]:
     return [text]
 
 
-def regex_chunk(text: str, pattern: str = r"\n\n") -> list[str]:
-    return [c for c in re.split(pattern, text) if c.strip()]
+def regex_chunk(text: str, patterns: list[str] | None = None) -> list[str]:
+    """Sequential regex splitting (ref RegexChunking chunking_strategy.py:38-61).
+    Reference-exact: every pattern splits every prior piece, and EMPTY pieces
+    are kept (the reference does not filter)."""
+    pieces = [text]
+    for pattern in patterns or [r"\n\n"]:
+        pieces = [part for piece in pieces for part in re.split(pattern, piece)]
+    return pieces
 
 
 _SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9])")
@@ -32,27 +38,33 @@ def fixed_length_word_chunk(text: str, chunk_size: int = 100) -> list[str]:
 
 
 def sliding_window_chunk(text: str, window_size: int = 100, step: int = 50) -> list[str]:
+    """Reference-exact (SlidingWindowChunking, chunking_strategy.py:175-212):
+    a text no longer than the window comes back as the ORIGINAL string
+    (whitespace preserved), and a misaligned tail yields one extra window
+    over the last window_size words."""
     words = text.split()
     if len(words) <= window_size:
-        return [" ".join(words)] if words else []
+        return [text]
     out = []
     for i in range(0, len(words) - window_size + 1, step):
         out.append(" ".join(words[i:i + window_size]))
-    if (len(words) - window_size) % step:
+    if i + window_size < len(words):
         out.append(" ".join(words[-window_size:]))
     return out
 
 
 def overlapping_window_chunk(text: str, window_size: int = 1000, overlap: int = 100) -> list[str]:
+    """Reference-exact (OverlappingWindowChunking, chunking_strategy.py:215-256):
+    short texts come back as the original string."""
     words = text.split()
     if len(words) <= window_size:
-        return [" ".join(words)] if words else []
+        return [text]
     out = []
     start = 0
     while start < len(words):
-        end = min(start + window_size, len(words))
+        end = start + window_size
         out.append(" ".join(words[start:end]))
-        if end == len(words):
+        if end >= len(words):
             break
         start = end - overlap
     return out
@@ -181,23 +193,94 @@ def topic_segment_with_keywords(text: str, num_keywords: int = 3,
     return out
 
 
-def merge_chunks(chunks: list[str], target_tokens: int = 1000,
-                 overlap_tokens: int = 0, word_token_rate: float = 0.75) -> list[str]:
-    """Greedy token-budget packing (parity: utils.py:162-224)."""
-    merged: list[str] = []
-    cur: list[str] = []
-    cur_tokens = 0.0
-    for ch in chunks:
-        t = len(ch.split()) / word_token_rate if word_token_rate else len(ch.split())
-        if cur and cur_tokens + t > target_tokens:
-            merged.append("\n\n".join(cur))
-            if overlap_tokens and cur:
-                cur = [cur[-1]]
-                cur_tokens = len(cur[0].split()) / word_token_rate
+def merge_chunks(docs: list[str], target_size: int = 1000, overlap: int = 0,
+                 word_token_ratio: float = 1.0) -> list[str]:
+    """Token-budget document merge, reference-exact (utils.py:185-224
+    ``merge_chunks``): docs are pre-tokenized (empty docs dropped), tokens
+    stream into ``ceil(total/target)`` pre-allocated chunks, a full chunk
+    hands its last ``overlap`` tokens to the next one, chunks join with
+    single spaces."""
+    token_counts: list[int] = []
+    all_tokens: list[list[str]] = []
+    total = 0
+    for doc in docs:
+        tokens = doc.split()
+        count = int(len(tokens) * word_token_ratio)
+        if count:
+            token_counts.append(count)
+            all_tokens.append(tokens)
+            total += count
+    if not total:
+        return []
+
+    num_chunks = max(1, (total + target_size - 1) // target_size)
+    chunks: list[list[str]] = [[] for _ in range(num_chunks)]
+    cur = 0
+    size = 0
+    for tok in (t for doc in all_tokens for t in doc):
+        if size >= target_size and cur < num_chunks - 1:
+            if overlap > 0:
+                carried = chunks[cur][-overlap:]
+                cur += 1
+                chunks[cur].extend(carried)
+                size = len(carried)
             else:
-                cur, cur_tokens = [], 0.0
-        cur.append(ch)
-        cur_tokens += t
-    if cur:
-        merged.append("\n\n".join(cur))
-    return merged
+                cur += 1
+                size = 0
+        chunks[cur].append(tok)
+        size += 1
+    return [" ".join(c) for c in chunks if c]
+
+
+def chunk_documents(docs: list[str], chunk_token_threshold: int,
+                    overlap: int, word_token_rate: float = 0.75) -> list[str]:
+    """Streaming token-threshold chunker, reference-exact
+    (utils.py:76-160 ``chunk_documents``): tokens accumulate across document
+    boundaries with fractional per-word contributions; a chunk closes when it
+    cannot take the next token, its overlap-tail re-enters the stream, and
+    the tail remainder flushes at the end."""
+    from collections import deque
+
+    toks: deque[str] = deque()
+    contribs: deque[float] = deque()
+    pending = 0.0
+    out: list[str] = []
+
+    for doc in docs:
+        words = doc.split()
+        toks.extend(words)
+        contribs.extend([word_token_rate] * len(words))
+        pending += word_token_rate * len(words)
+
+        while pending >= chunk_token_threshold:
+            chunk: list[str] = []
+            chunk_c: list[float] = []
+            chunk_total = 0.0
+            while contribs:
+                nxt = contribs[0]
+                if chunk_total + nxt > chunk_token_threshold:
+                    break
+                chunk_total += nxt
+                chunk_c.append(contribs.popleft())
+                chunk.append(toks.popleft())
+            if not chunk_c:  # single token over threshold
+                chunk_c.append(contribs.popleft())
+                chunk.append(toks.popleft())
+
+            ov_total = 0.0
+            ov_n = 0
+            for c in reversed(chunk_c):
+                if ov_total + c > overlap:
+                    break
+                ov_total += c
+                ov_n += 1
+            if ov_n > 0:
+                toks.extendleft(reversed(chunk[-ov_n:]))
+                contribs.extendleft(reversed(chunk_c[-ov_n:]))
+                pending += ov_total
+            pending -= sum(chunk_c)
+            out.append(" ".join(chunk[:len(chunk) - ov_n] if ov_n else chunk))
+
+    if toks:
+        out.append(" ".join(toks))
+    return out

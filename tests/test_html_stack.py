@@ -236,7 +236,7 @@ def test_chunking():
     assert ov[0].endswith("w5") and ov[1].startswith("w4")
     assert regex_chunk("a\n\nb\n\nc") == ["a", "b", "c"]
     assert sentence_chunk("One two. Three four! Five?") == ["One two.", "Three four!", "Five?"]
-    merged = merge_chunks(["a b c", "d e f", "g h i"], target_tokens=8)
+    merged = merge_chunks(["a b c", "d e f", "g h i"], target_size=8)
     assert len(merged) == 2
 
 
