@@ -231,32 +231,55 @@ def xpath_select(root: Node, xpath: str) -> list[Node]:
 # Regex extraction catalog (E13, ref :1897-2100)
 # ---------------------------------------------------------------------------
 
+# The reference's DEFAULT_PATTERNS catalog, verbatim — the pattern strings
+# ARE the behavioral spec (ref extraction_strategy.py:1974-2005); compiled
+# with the same IGNORECASE|MULTILINE flags (ref :2007). Golden-checked in
+# tests/test_chunk_parity_golden-style fashion by tests/test_html_stack.
 REGEX_PATTERNS: dict[str, str] = {
-    "email": r"[\w.+-]+@[\w-]+\.[\w.-]+",
-    "phone_us": r"\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}",
-    "url": r"https?://[^\s\"'<>]+",
-    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "uuid": r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
-    "currency": r"[$€£¥]\s?\d+(?:,\d{3})*(?:\.\d{1,2})?",
-    "percentage": r"\d+(?:\.\d+)?%",
-    "number": r"\b\d+(?:,\d{3})*(?:\.\d+)?\b",
-    "date_iso": r"\b\d{4}-\d{2}-\d{2}\b",
-    "time_24h": r"\b(?:[01]\d|2[0-3]):[0-5]\d(?::[0-5]\d)?\b",
-    "hex_color": r"#[0-9a-fA-F]{6}\b",
-    "twitter_handle": r"@[A-Za-z0-9_]{1,15}\b",
-    "mac_addr": r"\b(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}\b",
+    # Communication
+    "email":           r"[\w.+-]+@[\w-]+\.[\w.-]+",
+    "phone_intl":      r"\+?\d[\d .()-]{7,}\d",
+    "phone_us":        r"\(?\d{3}\)?[ -. ]?\d{3}[ -. ]?\d{4}",
+    # Web
+    "url":             r"https?://[^\s\"'<>]+",
+    "ipv4":            r"(?:\d{1,3}\.){3}\d{1,3}",
+    "ipv6":            r"[A-F0-9]{1,4}(?::[A-F0-9]{1,4}){7}",
+    # IDs
+    "uuid":            r"[0-9a-f]{8}-[0-9a-f]{4}-[1-5][0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
+    # Money / numbers
+    "currency":        r"(?:USD|EUR|RM|\$|€|£)\s?\d+(?:[.,]\d{2})?",
+    "percentage":      r"\d+(?:\.\d+)?%",
+    "number":          r"\b\d{1,3}(?:[,.\s]\d{3})*(?:\.\d+)?\b",
+    # Dates / Times
+    "date_iso":        r"\d{4}-\d{2}-\d{2}",
+    "date_us":         r"\d{1,2}/\d{1,2}/\d{2,4}",
+    "time_24h":        r"\b(?:[01]?\d|2[0-3]):[0-5]\d(?:[:.][0-5]\d)?\b",
+    # Misc
+    "postal_us":       r"\b\d{5}(?:-\d{4})?\b",
+    "postal_uk":       r"\b[A-Z]{1,2}\d[A-Z\d]? ?\d[A-Z]{2}\b",
+    "html_color_hex":  r"#[0-9A-Fa-f]{6}\b",
+    "twitter_handle":  r"@[\w]{1,15}",
+    "hashtag":         r"#[\w-]+",
+    "mac_addr":        r"(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}",
+    "iban":            r"[A-Z]{2}\d{2}[A-Z0-9]{11,30}",
+    "credit_card":     r"\b(?:4\d{12}(?:\d{3})?|5[1-5]\d{14}|3[47]\d{13}|6(?:011|5\d{2})\d{12})\b",
 }
+
+_REGEX_FLAGS = re.IGNORECASE | re.MULTILINE  # ref :2007
 
 
 def extract_regex(url: str, text: str, patterns: list[str] | None = None) -> list[dict]:
-    """Run named catalog patterns over text → rows of {url,label,value,span}."""
+    """Run named catalog patterns over text → rows of
+    {url, label, value, span_start, span_end} — the reference's extract()
+    output (ref :2053-2070; its ``span: [start, end]`` list is flattened to
+    two columns for a fixed Spark schema)."""
     names = patterns or list(REGEX_PATTERNS)
     out: list[dict] = []
     for name in names:
         pat = REGEX_PATTERNS.get(name)
         if not pat:
             continue
-        for m in re.finditer(pat, text):
+        for m in re.finditer(pat, text, _REGEX_FLAGS):
             out.append({
                 "url": url, "label": name, "value": m.group(0),
                 "span_start": m.start(), "span_end": m.end(),

@@ -220,6 +220,7 @@ def test_json_css_nested_list_and_transform():
 def test_regex_catalog():
     rows = extract_regex("u", "mail a@b.co on 2024-01-02 pay $5.00 or 10%",
                          ["email", "date_iso", "currency", "percentage"])
+    # catalog now mirrors the reference DEFAULT_PATTERNS verbatim
     labels = {r["label"]: r["value"] for r in rows}
     assert labels["email"] == "a@b.co"
     assert labels["date_iso"] == "2024-01-02"
