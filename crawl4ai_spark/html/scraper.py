@@ -35,9 +35,6 @@ IMPORTANT_ATTRS = frozenset(     # ref config.py:94, + class/id kept for the
 _REMOVE_TAGS = frozenset({"script", "style", "link", "meta", "noscript", "template", "base"})
 _EMPTY_EXEMPT = frozenset({"pre", "code", "img", "br", "hr", "table", "td", "th",
                            "video", "audio", "iframe", "body", "html"})
-_GENERIC_LINK_TEXT = frozenset({"click here", "read more", "more", "here", "link",
-                                "learn more", "continue reading"})
-_DOCS_PATH_RE = re.compile(r"/(docs|documentation|guide|tutorial|blog|article)s?(/|$)", re.I)
 _BAD_IMG_RE = re.compile(r"icon|logo|sprite|avatar|badge|pixel|tracker", re.I)
 _WS = re.compile(r"\s+")
 
@@ -50,35 +47,117 @@ def _clean_text(s: str) -> str:
 # links
 # ---------------------------------------------------------------------------
 
-def link_intrinsic_score(href: str, text: str, title: str, rel: str) -> float:
-    """Deterministic 0–10 link quality score (parity: utils.py:3267-3379)."""
+_PUNCT_STRIP = '.,!?;:"()[]{}'
+_NAV_CLASSES = ("nav", "menu", "primary", "main", "important")
+_AD_CLASSES = ("ad", "sponsor", "track", "promo", "banner")
+_GOOD_RELS = ("canonical", "next", "prev", "chapter")
+_BAD_RELS = ("nofollow", "sponsored", "ugc")
+_GOOD_PATHS = ("/docs/", "/api/", "/guide/", "/tutorial/", "/reference/", "/manual/")
+_MED_PATHS = ("/blog/", "/article/", "/post/", "/news/")
+_BAD_PATHS = ("/admin/", "/login/", "/cart/", "/checkout/", "/track/", "/click/")
+_DOCS_DOMAINS = ("docs.", "api.", "developer.", "reference.")
+_DOC_KEYWORDS = ("api", "reference", "guide", "tutorial", "example")
+_GENERIC_TEXTS = ("click here", "read more", "more info", "link", "here")
+
+
+def _term_set(text: str) -> set[str]:
+    return {
+        w.strip(_PUNCT_STRIP)
+        for w in text.split()
+        if len(w.strip(_PUNCT_STRIP)) > 2
+    }
+
+
+def page_link_context(page_title: str, headlines_text: str,
+                      meta_description: str, base_url: str) -> dict:
+    """Per-page context computed ONCE and reused for every link's score
+    (parity target: extract_page_context, ref utils.py:3222-3264)."""
+    from urllib.parse import urlparse
+
+    domain = ""
+    try:
+        domain = urlparse(base_url).netloc.lower()
+    except ValueError:
+        pass
+    all_text = ((page_title or "") + " " + (headlines_text or "")
+                + " " + (meta_description or "")).lower()
+    return {
+        "terms": _term_set(all_text),
+        "domain": domain,
+        "is_docs_site": any(d in domain for d in _DOCS_DOMAINS),
+    }
+
+
+def link_intrinsic_score(link_text: str, url: str, title_attr: str,
+                         class_attr: str, rel_attr: str,
+                         page_context: dict | None = None) -> float:
+    """Deterministic 0–10 link quality score, reference-exact
+    (calculate_link_intrinsic_score, ref utils.py:3267-3379; outputs
+    golden-matched in tests/test_link_parity_golden.py): attribute quality,
+    url structure, text quality, page-term relevance, docs-site bonus."""
+    ctx = page_context or {}
     score = 0.0
-    words = len(text.split()) if text else 0
-    if words:
+
+    if title_attr and len(title_attr.strip()) > 3:
         score += 1.0
-        if 3 <= words <= 12:
-            score += 1.0
-    if text and text.lower() in _GENERIC_LINK_TEXT:
-        score -= 2.0
-    if href.startswith("https://"):
+    cls = (class_attr or "").lower()
+    if any(c in cls for c in _NAV_CLASSES):
+        score += 1.5
+    if any(c in cls for c in _AD_CLASSES):
+        score -= 1.0
+    rel = (rel_attr or "").lower()
+    if any(r in rel for r in _GOOD_RELS):
         score += 1.0
-    path = href.split("://", 1)[-1]
-    path = path[path.find("/"):] if "/" in path else "/"
-    depth = len([p for p in path.split("?")[0].split("/") if p])
-    if 1 <= depth <= 3:
+    if any(r in rel for r in _BAD_RELS):
+        score -= 0.5
+
+    low = url.lower()
+    if any(p in low for p in _GOOD_PATHS):
         score += 2.0
+    elif any(p in low for p in _MED_PATHS):
+        score += 1.0
+    if any(p in low for p in _BAD_PATHS):
+        score -= 1.5
+    depth = url.count("/") - 2
+    if depth <= 2:
+        score += 1.0
     elif depth > 5:
-        score -= 1.0
-    if title:
-        score += 1.0
-    if rel and "nofollow" in rel:
-        score -= 1.0
-    if _DOCS_PATH_RE.search(path):
-        score += 2.0
-    return max(0.0, min(10.0, score))
+        score -= 0.5
+    if url.startswith("https://"):
+        score += 0.5
+
+    if link_text:
+        stripped = link_text.strip()
+        if len(stripped) > 3:
+            score += 1.0
+        n_words = len(stripped.split())
+        if n_words >= 2:
+            score += 0.5
+        if n_words >= 4:
+            score += 0.5
+        if stripped.lower() in _GENERIC_TEXTS:
+            score -= 1.0
+
+    if ctx.get("terms") and link_text:
+        link_words = {
+            w.strip(_PUNCT_STRIP).lower()
+            for w in link_text.split()
+            if len(w.strip(_PUNCT_STRIP)) > 2
+        }
+        if link_words:
+            overlap = len(link_words & ctx["terms"])
+            if overlap > 0:
+                score += (overlap / min(len(link_words), 10)) * 2.0
+
+    if ctx.get("is_docs_site", False):
+        if link_text and any(k in link_text.lower() for k in _DOC_KEYWORDS):
+            score += 1.0
+
+    return max(0.0, min(score, 10.0))
 
 
-def _harvest_links(root: Node, base_url: str, base_dom: str) -> dict:
+def _harvest_links(root: Node, base_url: str, base_dom: str,
+                   page_context: dict | None = None) -> dict:
     internal: list[dict] = []
     external: list[dict] = []
     seen: set[str] = set()
@@ -95,12 +174,14 @@ def _harvest_links(root: Node, base_url: str, base_dom: str) -> dict:
         text = _clean_text(a.text())
         title = a.get("title") or ""
         rel = a.get("rel") or ""
+        cls = a.get("class") or ""
         item = {
             "href": norm,
             "text": text,
             "title": title,
             "base_domain": U.base_domain(norm),
-            "intrinsic_score": link_intrinsic_score(norm, text, title, rel),
+            "intrinsic_score": link_intrinsic_score(
+                text, norm, title, cls, rel, page_context),
         }
         if U.is_external(norm, base_dom):
             external.append(item)
@@ -357,7 +438,16 @@ def scrape(
         wrapper.children = picked
         body = wrapper
 
-    links = _harvest_links(body, base_url, U.base_domain(url))
+    # page context computed once, reused per link (ref
+    # content_scraping_strategy.py:273-291 wiring of extract_page_context)
+    headlines = " ".join(
+        _clean_text(h.text())
+        for tag in ("h1", "h2", "h3")
+        for h in body.find_all(tag)
+    )
+    ctx = page_link_context(metadata.get("title") or "", headlines,
+                            metadata.get("description") or "", base_url)
+    links = _harvest_links(body, base_url, U.base_domain(url), ctx)
     media = _harvest_media(body, base_url)
 
     tables = []
