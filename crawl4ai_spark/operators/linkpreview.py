@@ -74,11 +74,15 @@ def enrich_candidates(candidates: DataFrame, heads: DataFrame,
                              on="url", how="left")
     ctx = F.when(F.col("head_text").isNotNull(),
                  contextual_score(F.col("head_text"), terms)).otherwise(F.lit(None))
+    # ref calculate_total_score (utils.py:3382-3427): contextual scaled to
+    # 0-10 and capped, total clamped to [0, 10]; no head → intrinsic clamped
     total = F.when(
         ctx.isNotNull(),
-        F.lit(INTRINSIC_WEIGHT) * F.col("score")
-        + F.lit(CONTEXTUAL_WEIGHT) * ctx * 10.0,
-    ).otherwise(F.col("score"))
+        F.greatest(F.lit(0.0), F.least(
+            F.lit(INTRINSIC_WEIGHT) * F.col("score")
+            + F.lit(CONTEXTUAL_WEIGHT) * F.least(ctx * 10.0, F.lit(10.0)),
+            F.lit(10.0))),
+    ).otherwise(F.greatest(F.lit(0.0), F.least(F.col("score"), F.lit(10.0))))
     return (
         joined.withColumn("contextual_score", ctx)
         .withColumn("score", total)

@@ -101,11 +101,110 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  payload_col: str = "payload", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Binary-in → binary-out transform plumbing (the resize step of an
+    image pipeline): Arrow batch of payloads → per-row transformed payload
+    with the new dimensions. The pixel work is a deterministic STUB (no
+    image libs in this container — payload becomes md5(payload)+dims tag);
+    the real deliverable is the binary→binary pUDF shape, which is exactly
+    where a PIL ``Image.resize`` drops in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                fake = hashlib.md5(b).digest() + f"{target_w}x{target_h}".encode()
+                rows.append({"doc_id": int(i), "width": target_w,
+                             "height": target_h, "payload": fake})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_no", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("frame_sha", T.StringType()),
+])
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Video frame-sampling plumbing: one input row fans out to one row PER
+    FRAME (the UDTF-shaped mapInPandas batch — rows expand inside the Arrow
+    stage, no explode/join needed). The frame decode itself is the same
+    deterministic stub discipline as ``fake_decode`` (no video libs here):
+    frame count and per-frame digests derive from the payload md5, so the
+    whole pipeline is oracle-checkable; swap the inner loop for ffmpeg
+    keyframe extraction in a real deployment."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                hexd = hashlib.md5(b).hexdigest()
+                n_frames = 1 + int(hexd[4:6], 16) % 8
+                for fno in range(n_frames):
+                    rows.append({
+                        "doc_id": int(i), "frame_no": fno,
+                        "n_frames": n_frames,
+                        "frame_sha": hashlib.md5(
+                            f"{hexd}:{fno}".encode()).hexdigest(),
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample rows over binary payloads — fully oracle-checked because
+    the stub derivations are plain md5 arithmetic on both engines."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames(d)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hexd,
+         1 + (16 * (instr('0123456789abcdef', substr(md5(text), 5, 1)) - 1)
+              + (instr('0123456789abcdef', substr(md5(text), 6, 1)) - 1)) % 8
+           AS n_frames
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(f.i AS BIGINT) AS frame_no,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       md5(hexd || ':' || f.i) AS frame_sha
+FROM h, unnest(range(n_frames)) f(i)
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode_stub": q_multimodal_decode_stub,
+    "multimodal_frames": q_multimodal_frames,
 }
 ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     # multimodal_decode_stub: rows-only (decode stub is not SQL-expressible)
 }

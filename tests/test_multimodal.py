@@ -1,0 +1,50 @@
+"""Multimodal plumbing (decode / feature-extract / resize / frame-sample):
+the decode internals are marked stubs (no image/video libs in container),
+but the Spark shapes are real — typed schemas, Arrow batches, row-expanding
+frame UDF, binary->binary resize."""
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.ops.multimodal import (
+    decode_binary,
+    resize_images,
+    sample_frames,
+)
+
+
+def _payloads(spark):
+    return spark.createDataFrame(
+        [(1, b"alpha-bytes"), (2, b"beta-bytes"), (3, None)],
+        "doc_id long, payload binary")
+
+
+def test_decode_binary_schema_and_determinism(spark):
+    out = decode_binary(_payloads(spark)).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+    assert out[0].n_bytes == len(b"alpha-bytes") and out[2].n_bytes == 0
+    assert len(out[0].feature) == 8
+    again = decode_binary(_payloads(spark)).orderBy("doc_id").collect()
+    assert out == again  # deterministic stub
+
+
+def test_sample_frames_expands_rows(spark):
+    df = _payloads(spark)
+    out = sample_frames(df)
+    rows = out.collect()
+    # one row per frame, n_frames consistent within a doc, 1..8 frames
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("n_frames").alias("nf"),
+        F.countDistinct("frame_sha").alias("shas")).collect()
+    for r in per_doc:
+        assert 1 <= r.nf <= 8 and r.n == r.nf == r.shas
+    assert {r.frame_no for r in rows if r.doc_id == rows[0].doc_id} == set(
+        range([r.n_frames for r in rows if r.doc_id == rows[0].doc_id][0]))
+
+
+def test_resize_images_binary_roundtrip(spark):
+    out = resize_images(_payloads(spark), 224, 224).orderBy("doc_id").collect()
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    assert all(isinstance(bytes(r.payload), bytes) and len(r.payload) > 16
+               for r in out)
+    # distinct inputs -> distinct transformed payloads
+    assert bytes(out[0].payload) != bytes(out[1].payload)
