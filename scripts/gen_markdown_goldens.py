@@ -152,6 +152,42 @@ def feature_fixtures() -> dict[str, tuple[str, str]]:
                        '<a href="/a" href="/b">dup href</a></p>', B)
     f["empty"] = ("", B)
     f["text_only"] = ("just bare text, no tags", B)
+    f["pre_in_list"] = ("<ul><li>step one<pre>indented code\n  line2</pre>"
+                        "</li><li>step two</li></ul>", B)
+    f["pre_fence_replace"] = ("<div>    <pre>x</pre></div>"
+                              "<p>text    before</p><pre>in\n    dent</pre>", B)
+    f["list_in_blockquote"] = ("<blockquote><p>quote</p><ul><li>a</li>"
+                               "<li>b</li></ul></blockquote>", B)
+    f["dl_in_list"] = ("<ul><li>item<dl><dt>t</dt><dd>d</dd></dl></li></ul>", B)
+    f["ol_start_zero"] = ('<ol start="0"><li>zero</li><li>one</li></ol>'
+                          '<ol start="x"><li>bad start</li></ol>', B)
+    f["abbr_multi"] = ('<p><abbr title="Hypertext Markup Language">HTML</abbr> and '
+                       '<abbr>no title</abbr> and '
+                       '<abbr title="Cascading Style Sheets">CSS</abbr></p>', B)
+    f["del_q_nested"] = ('<p>a <del>gone <em>nested</em></del> '
+                         '<q>outer <q>inner</q> close</q> end</p>', B)
+    f["img_title_in_link"] = ('<p><a href="/t"><img src="i.png" alt="a" '
+                              'title="imgtitle"></a>'
+                              '<a href="/u" title="lt"><img src="j.png"></a></p>', B)
+    f["autolink_edges"] = ('<p><a href="https://x.example/">https://x.example/</a> '
+                           '<a href="HTTPS://x.example/">HTTPS://x.example/</a> '
+                           '<a href="https://x.example/">https://x.example</a></p>', B)
+    f["code_edge"] = ('<p><code></code>empty <code>a`b</code> tick '
+                      '<kbd>K</kbd>after<tt>T</tt></p>', B)
+    f["heading_in_link_deep"] = ('<a href="/h"><h3>Linked <em>Head</em></h3></a>'
+                                 '<a href="/i">pre<h4>after text</h4></a>', B)
+    f["entities_numeric"] = ("<p>&#x41;&#66; &#160;sep &#8217;q &#x2014;dash "
+                             "&#999999999; &#xd; tail</p>", B)
+    f["whitespace_runs"] = ("<p>   lead  and\n\n\ninner\t\truns   </p>"
+                            "<p> literal nbsp char </p>", B)
+    f["table_rowspan_mess"] = ('<table><tr><th colspan="2">wide</th></tr>'
+                               '<tr><td>a</td><td>b</td><td>c</td></tr>'
+                               '<tr></tr><tr><td>solo</td></tr></table>', B)
+    f["br_in_table"] = ("<table><tr><td>line<br>break</td><td>x</td></tr></table>", B)
+    f["hr_variants"] = ("<p>a</p><hr/><p>b</p><hr><hr><p>c</p>", B)
+    f["strong_em_mix"] = ("<p><strong><em>both</em></strong> "
+                          "<em><strong>swap</strong></em> "
+                          "<strong>out <em>in</em> side</strong></p>", B)
     f["unicode"] = ("<p>caf\u00e9 \u2014 na\u00efve \u6f22\u5b57 \U0001f600</p>", B)
     f["base_rel"] = ('<p><a href="../up">up</a> <a href="sib">sib</a> '
                      '<a href="//proto.example/p">proto-rel</a> '
