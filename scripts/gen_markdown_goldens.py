@@ -204,7 +204,7 @@ def soup_fixtures() -> dict[str, tuple[str, str]]:
     words = ["lorem", "ipsum", "dolor", "sit", "amet", "alpha", "beta", "42",
              "&amp;", "&rsquo;", "x*y", "[z]", "a_b"]
     out = {}
-    for i in range(12):
+    for i in range(40):
         parts = []
         for _ in range(rng.randint(10, 40)):
             r = rng.random()
