@@ -52,6 +52,7 @@ class CrawlConfig:
     check_robots_txt: bool = True
     user_agent: str = "*"
     use_bloom: bool = False            # F5 fast path (exact anti-join is default)
+    seen_backend: str = "bloom"        # "bloom" | "cuckoo" (cuckoo: deletable)
     bloom_shards: int = 16
     bloom_capacity_per_shard: int = 1_000_000
     bloom_fp_rate: float = 0.01
@@ -357,26 +358,20 @@ class SparkWebEngine:
             cand = cand.filter(F.col("score") >= cfg.score_threshold)
 
         if cfg.use_bloom:
-            # O(delta) invariant: the persisted bloom always covers every url
-            # ever enqueued. Bootstrap it from the full frontier ONCE (first
-            # bloom-enabled generation / resume from an exact-path run);
-            # afterwards only this generation's new rows are hashed in (the
-            # r01 version re-hashed the whole frontier every generation —
-            # VERDICT r01 "what's wrong" #5).
-            bloom = self.store.read(self.spark, "url_seen")
-            if bloom is None:
-                bloom = build_bloom(
-                    frontier.select("url"), n_shards=cfg.bloom_shards,
-                    capacity_per_shard=cfg.bloom_capacity_per_shard,
-                    fp_rate=cfg.bloom_fp_rate,
-                )
-                self.store.commit("url_seen", bloom, meta={"generation": gen})
-                bloom = self.store.read(self.spark, "url_seen")
-            fresh = filter_unseen(
-                cand, bloom, n_shards=cfg.bloom_shards,
-                capacity_per_shard=cfg.bloom_capacity_per_shard,
-                fp_rate=cfg.bloom_fp_rate,
-            ).dropDuplicates(["url"])
+            # O(delta) invariant: the persisted seen-filter always covers
+            # every url ever enqueued. Bootstrap it from the full frontier
+            # ONCE (first filter-enabled generation / resume from an
+            # exact-path run); afterwards only this generation's new rows
+            # are hashed in (the r01 version re-hashed the whole frontier
+            # every generation — VERDICT r01 "what's wrong" #5). Backend is
+            # Bloom (OR-merge) or cuckoo (fingerprint re-insert, deletable).
+            build_f, test_f = self._seen_backend(cfg)
+            seen = self.store.read(self.spark, "url_seen")
+            if seen is None:
+                seen = build_f(frontier.select("url"))
+                self.store.commit("url_seen", seen, meta={"generation": gen})
+                seen = self.store.read(self.spark, "url_seen")
+            fresh = test_f(cand, seen).dropDuplicates(["url"])
         else:
             fresh = FR.dedup_new_candidates(cand, frontier)
 
@@ -412,19 +407,40 @@ class SparkWebEngine:
         )
 
         if cfg.use_bloom:
-            # fold ONLY the freshly-enqueued urls into the seen-bloom
+            # fold ONLY the freshly-enqueued urls into the seen-filter
             # (requeued urls are already members); keeps the per-generation
-            # bloom cost proportional to the delta, not the frontier
-            delta_bloom = build_bloom(
-                new_rows.select("url"), n_shards=cfg.bloom_shards,
-                capacity_per_shard=cfg.bloom_capacity_per_shard,
-                fp_rate=cfg.bloom_fp_rate,
-            )
-            merged = merge_blooms(self.store.read(self.spark, "url_seen"),
-                                  delta_bloom)
+            # filter cost proportional to the delta, not the frontier
+            build_f, _ = self._seen_backend(cfg)
+            merge_f = self._seen_merge(cfg)
+            delta = build_f(new_rows.select("url"))
+            merged = merge_f(self.store.read(self.spark, "url_seen"), delta)
             self.store.commit("url_seen", merged, meta={"generation": gen})
 
         return done_delta.unionByName(new_rows).unionByName(requeue)
+
+    def _seen_backend(self, cfg: CrawlConfig):
+        """(build, filter_unseen) callables for the configured F5 fast path."""
+        if cfg.seen_backend == "cuckoo":
+            from crawl4ai_spark.operators.cuckoo import (
+                build_cuckoo,
+                filter_unseen_cuckoo,
+            )
+            kw = dict(n_shards=cfg.bloom_shards,
+                      capacity_per_shard=cfg.bloom_capacity_per_shard)
+            return (lambda df: build_cuckoo(df, **kw),
+                    lambda cand, seen: filter_unseen_cuckoo(cand, seen, **kw))
+        kw = dict(n_shards=cfg.bloom_shards,
+                  capacity_per_shard=cfg.bloom_capacity_per_shard,
+                  fp_rate=cfg.bloom_fp_rate)
+        return (lambda df: build_bloom(df, **kw),
+                lambda cand, seen: filter_unseen(cand, seen, **kw))
+
+    def _seen_merge(self, cfg: CrawlConfig):
+        if cfg.seen_backend == "cuckoo":
+            from crawl4ai_spark.operators.cuckoo import merge_cuckoos
+            return lambda a, b: merge_cuckoos(
+                a, b, capacity_per_shard=cfg.bloom_capacity_per_shard)
+        return merge_blooms
 
     def _commit_metrics_bulk(self, gen_stats: list[tuple[int, int, float]]
                              ) -> None:
