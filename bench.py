@@ -147,6 +147,31 @@ def crawl_e2e(spark) -> dict:
             "urls_per_sec": round(n / dt, 1)}
 
 
+def crawl_e2e_big(spark) -> dict:
+    """The amortization datapoint: same engine loop at production-ish batch
+    sizes (quota 31 over 2,048 hosts → generations of 2k→23k URLs) with the
+    delta-Bloom seen filter. Fixed per-generation cost stops mattering."""
+    import tempfile
+
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+    from crawl4ai_spark.sources.pagesgen import generate_pages, generate_seeds
+
+    pages = generate_pages(spark, 2048, 31).cache()
+    pages.count()
+    seeds = generate_seeds(spark, 2048)
+    t0 = time.time()
+    engine = SparkWebEngine(spark, tempfile.mkdtemp(dir=BENCH_ROOT, prefix="e2eb_"))
+    res = engine.run(pages, seeds,
+                     config=CrawlConfig(max_depth=6, max_pages=60000,
+                                        per_host_quota=31,
+                                        check_robots_txt=False, use_bloom=True))
+    n = res.count()
+    dt = time.time() - t0
+    pages.unpersist()
+    return {"seconds": round(dt, 2), "n_urls": n,
+            "urls_per_sec": round(n / dt, 1)}
+
+
 def _hw_control_at(k: int) -> float:
     """Pure-multiprocessing extraction throughput at k procs (pages/sec):
     the same per-page work with zero Spark — the hardware+neighbor ceiling."""
@@ -198,6 +223,7 @@ def main() -> None:
         q_times[name] = round(time.time() - t0, 2)
 
     e2e = crawl_e2e(spark)
+    e2e_big = crawl_e2e_big(spark)
 
     # scaling: same job, fresh JVM, two N-vs-4N pairs (2→8 and 8→32 cores).
     # Stop the parent session first — an idle 32-thread JVM skews the workers.
@@ -241,6 +267,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "suite_seconds": total,
         "crawl_e2e": e2e,
+        "crawl_e2e_big": e2e_big,
         "scaling": {
             "job": f"one frontier generation over {SCALE_HOSTS * SCALE_PPH} pages "
                    "(schedule→robots→extract→links→normalize→seen-antijoin)",

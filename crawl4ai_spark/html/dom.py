@@ -356,3 +356,29 @@ def select(root: Node, selector: str) -> list[Node]:
         stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
     results.sort(key=lambda n: order.get(id(n), 1 << 30))
     return results
+
+
+def pretty_format_html(src: str) -> str:
+    """Indentation-only HTML pretty printer (E20), reference-exact
+    (fast_format_html, ref utils.py:2163-2208: no parsing — tags and text
+    are isolated by newline splitting, nesting tracked by a counter,
+    two-space indent; golden-checked in tests/test_html_stack.py)."""
+    pieces = src.replace(">", ">\n").replace("<", "\n<").split("\n")
+    depth = 0
+    lines: list[str] = []
+    for piece in pieces:
+        if not piece.strip():
+            continue
+        if piece.startswith("</"):
+            depth -= 1
+            lines.append("  " * depth + piece)
+        elif piece.startswith("<") and piece.endswith("/>"):
+            lines.append("  " * depth + piece)
+        elif piece.startswith("<"):
+            lines.append("  " * depth + piece)
+            depth += 1
+        else:
+            stripped = piece.strip()
+            if stripped:
+                lines.append("  " * depth + stripped)
+    return "\n".join(lines)

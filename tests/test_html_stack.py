@@ -354,3 +354,20 @@ def test_topic_segmentation_degenerate():
     uniform = ("same words repeat same words repeat keyword alpha beta ") * 40
     segs = topic_segment_chunk(uniform)
     assert "".join(segs) == uniform
+
+
+def test_pretty_format_html_reference_exact():
+    """E20: the indentation-only pretty printer matches the reference's
+    fast_format_html byte-for-byte (frozen expected strings produced by
+    running the reference function; ref utils.py:2163-2208)."""
+    from crawl4ai_spark.html.dom import pretty_format_html
+
+    assert pretty_format_html("<div><p>hi <b>x</b></p><img src='i'/></div>") == (
+        "<div>\n  <p>\n    hi\n    <b>\n      x\n    </b>\n  </p>\n"
+        "  <img src='i'/>\n</div>"
+    )
+    assert pretty_format_html("") == ""
+    assert pretty_format_html("plain text") == "plain text"
+    assert pretty_format_html("<ul><li>a</li></ul>") == (
+        "<ul>\n  <li>\n    a\n  </li>\n</ul>"
+    )
