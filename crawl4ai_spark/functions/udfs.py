@@ -142,12 +142,15 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
                 continue
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
+                # boundary sanitation matches the reference's
+                # sanitize_input_encode (ref utils.py:777-794): utf-8 with
+                # invalid sequences DROPPED, not replaced
                 if html is None:
                     h = ""
                 elif isinstance(html, (bytes, bytearray)):
-                    h = bytes(html).decode("utf-8", errors="replace")
+                    h = bytes(html).decode("utf-8", errors="ignore")
                 else:
-                    h = str(html)
+                    h = str(html).encode("utf-8", errors="ignore").decode("utf-8")
                 rows.append(process_page(
                     url, h, extraction_schema_json=schema_json,
                     content_filter=content_filter, bm25_query=bm25_query,
