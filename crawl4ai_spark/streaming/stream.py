@@ -12,7 +12,10 @@ same capabilities are expressed Spark-natively:
   over an event stream (late data handled by the watermark);
 - :func:`run_frontier_stream` — the frontier loop as a ``foreachBatch``
   consumer: each seed-batch triggers one crawl generation through the engine
-  (micro-batch per frontier generation, resumable via the snapshot store).
+  (micro-batch per frontier generation, resumable via the snapshot store);
+- :func:`stream_sessionize_events` — a custom STATEFUL operator via
+  ``applyInPandasWithState``: per-user gap sessionization whose state
+  survives across micro-batches (asserted equal to the batch query).
 
 All entry points accept ``trigger=availableNow`` so tests are hermetic.
 """
@@ -106,3 +109,73 @@ def run_frontier_stream(spark: SparkSession, seeds_dir: str, pages: DataFrame,
     )
     q.awaitTermination()
     return engine
+
+
+def stream_sessionize_events(spark: SparkSession, events_dir: str,
+                             gap_s: int = 1800) -> DataFrame:
+    """Custom STATEFUL streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` — per-user session state (last epoch, session
+    ordinal, running aggregates) survives across micro-batches.
+
+    Semantics match the batch ``sessionize_events`` query: a new session
+    starts when the gap to the previous event exceeds ``gap_s``. Every
+    micro-batch emits the CURRENT aggregate row for each session it touched
+    (an update stream keyed by (user_id, session_no) — downstream consumers
+    take the latest row per key; asserted against the batch query in
+    tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_no", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_s", LongType()),
+        StructField("sum_value_e6", LongType()),
+    ])
+    # (last_epoch, session_no, n_events, first_epoch, sum_value_e6)
+    state_schema = StructType([
+        StructField("last_epoch", LongType()),
+        StructField("session_no", LongType()),
+        StructField("n_events", LongType()),
+        StructField("first_epoch", LongType()),
+        StructField("sum_value_e6", LongType()),
+    ])
+
+    def fold(key, batches, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last, sess, n, first, sv = state.get
+        else:
+            last, sess, n, first, sv = None, 0, 0, None, 0
+        touched: dict[int, list] = {}
+        rows = []
+        for pdf in batches:
+            for ts, val in sorted(
+                zip(pdf["ts"], pdf["value"]),
+                key=lambda x: x[0],
+            ):
+                epoch = int(pd.Timestamp(ts).timestamp())
+                if last is None or epoch - last > gap_s:
+                    sess += 1
+                    n, first, sv = 0, epoch, 0
+                n += 1
+                sv += int(round(float(val) * 1e6))
+                last = epoch
+                touched[sess] = [user_id, sess, n, last - first, sv]
+        state.update((last, sess, n, first, sv))
+        for row in touched.values():
+            rows.append(row)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_no", "n_events",
+                           "duration_s", "sum_value_e6"])
+
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .select("user_id", "ts", "value")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

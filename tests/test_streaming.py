@@ -92,3 +92,27 @@ def test_frontier_stream_second_batch_seeds(spark, pages_dir, tmp_store,
     engine = run_frontier_stream(spark, seeds_dir, pages, store)
     after = {r["url"] for r in engine.results().select("url").collect()}
     assert late_seed in after
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization == the batch sessionize query
+    (latest emission per (user, session_no) after one availableNow pass)."""
+    from crawl4ai_spark.ops.analytics import q_sessionize_events
+    from crawl4ai_spark.streaming.stream import stream_sessionize_events
+
+    d = str(tmp_path_factory.mktemp("events_sess"))
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .write.mode("overwrite").parquet(d)
+
+    out = stream_sessionize_events(spark, d)
+    run_stream_to_memory(out, "stream_sess_t")
+    got = spark.sql("""
+        SELECT user_id, session_no, n_events, duration_s, sum_value_e6
+        FROM stream_sess_t
+    """)
+    batch = q_sessionize_events(spark, "/root/testdata/sf0.001")
+    a = {(r.user_id, r.session_no): (r.n_events, r.duration_s, r.sum_value_e6)
+         for r in got.collect()}
+    b = {(r.user_id, r.session_no): (r.n_events, r.duration_s, r.sum_value_e6)
+         for r in batch.collect()}
+    assert a == b
