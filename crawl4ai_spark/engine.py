@@ -276,9 +276,25 @@ class SparkWebEngine:
         # the "fetch": equi-join the scheduled batch against the pages table.
         # batch is small (quota-bounded) → broadcast it to avoid shuffling
         # the page bodies (at 100 TB the html column must never shuffle).
+        # When pages carries the host-bucket partition column (hb), the scan
+        # is PARTITION-PRUNED to the buckets containing this generation's
+        # hosts: the batch is already cached+materialized, so collecting its
+        # ≤ n_buckets distinct bucket ids is a trivial cached scan, and the
+        # resulting static `hb IN (...)` filter prunes deterministically
+        # (no optimizer heuristics — the Iceberg bucket(host) analog; see
+        # sources/pagesgen.write_pages_partitioned).
+        page_probe = pages.select("url")
+        if "hb" in pages.columns:
+            from crawl4ai_spark.sources.pagesgen import host_bucket_col
+            hb = host_bucket_col(
+                F.coalesce(F.try_parse_url("url", F.lit("HOST")), F.lit("")))
+            hbs = [r[0] for r in
+                   allowed.select(hb.alias("hb")).distinct().collect()]
+            pages = pages.filter(F.col("hb").isin(hbs))
+            page_probe = pages.select("url")
         fetched = pages.join(
-            F.broadcast(allowed.select("url", "host", "depth")), on="url", how="inner"
-        )
+            F.broadcast(allowed.select("url", "host", "depth")),
+            on="url", how="inner")
         processed = process_pages(
             fetched,
             extraction_schema=cfg.extraction_schema,
@@ -294,7 +310,7 @@ class SparkWebEngine:
 
         missing = (
             allowed.select("url", "host", "depth")
-            .join(pages.select("url"), on="url", how="left_anti")
+            .join(page_probe, on="url", how="left_anti")
             .withColumn("status_code", F.lit(404))
             .withColumn("success", F.lit(False))
             .withColumn("error_message", F.lit("not in pages table"))

@@ -208,3 +208,36 @@ def generate_robots(spark: SparkSession, n_hosts: int = 10,
         rows.append((host_name(h), rules, fetch_time,
                      hashlib.md5(rules.encode()).hexdigest()))
     return spark.createDataFrame(rows, ["host", "rules", "fetch_time", "hash"])
+
+
+# ---------------------------------------------------------------------------
+# Host-bucketed storage layout (the 100 TB scan-pruning design)
+# ---------------------------------------------------------------------------
+# At 10^10 pages the per-generation fetch join must not scan the whole pages
+# table. Writing pages partitioned by a host hash-bucket column lets Spark's
+# DYNAMIC PARTITION PRUNING cut the scan to the buckets containing this
+# generation's scheduled hosts: the engine joins on (url, hb) and the
+# broadcast batch's hb values prune partitions at runtime (audited in
+# tests/test_engine_spark.py). An Iceberg `bucket(N, host)` hidden partition
+# is the 1:1 production analog.
+
+PAGES_HASH_BUCKETS = 64
+
+
+def host_bucket_col(host_col):
+    from pyspark.sql import functions as _F
+
+    return _F.pmod(_F.xxhash64(host_col), _F.lit(PAGES_HASH_BUCKETS)).cast("int")
+
+
+def with_host_bucket(pages: DataFrame) -> DataFrame:
+    """Add the hb partition column (host derived from url)."""
+    from pyspark.sql import functions as _F
+
+    host = _F.coalesce(_F.try_parse_url("url", _F.lit("HOST")), _F.lit(""))
+    return pages.withColumn("hb", host_bucket_col(host))
+
+
+def write_pages_partitioned(pages: DataFrame, path: str) -> None:
+    """Persist the pages table hash-partitioned by host bucket."""
+    with_host_bucket(pages).write.mode("overwrite").partitionBy("hb").parquet(path)

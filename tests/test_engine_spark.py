@@ -270,3 +270,40 @@ def test_head_filters_gate_candidates(spark, pages, tmp_store):
     # seeds themselves are never head-filtered
     assert {r["host"] for r in got if r["depth"] == 0} == {
         f"www.host{h}.com" for h in range(N_HOSTS)}
+
+
+def test_host_bucketed_pages_prune_and_match(spark, pages, tmp_store, tmp_path_factory):
+    """100 TB scan design: pages stored partitioned by host hash-bucket; the
+    fetch join keys on (url, hb) so dynamic partition pruning restricts the
+    scan to the scheduled hosts' buckets — and results are identical to the
+    unpartitioned path."""
+    import os
+
+    from crawl4ai_spark.sources.pagesgen import (
+        host_bucket_col,
+        write_pages_partitioned,
+    )
+
+    pdir = str(tmp_path_factory.mktemp("pages_hb"))
+    write_pages_partitioned(pages, pdir)
+    pages_hb = spark.read.parquet(pdir)
+    assert "hb" in pages_hb.columns
+
+    cfg = CrawlConfig(max_depth=2, max_pages=60, check_robots_txt=False)
+    eng_a = SparkWebEngine(spark, os.path.join(tmp_store, "hb_part"))
+    res_a = eng_a.run(pages_hb, generate_seeds(spark, N_HOSTS), config=cfg)
+    eng_b = SparkWebEngine(spark, os.path.join(tmp_store, "hb_plain"))
+    res_b = eng_b.run(pages, generate_seeds(spark, N_HOSTS), config=cfg)
+    a = {(r["url"], r["success"]) for r in res_a.select("url", "success").collect()}
+    b = {(r["url"], r["success"]) for r in res_b.select("url", "success").collect()}
+    assert a == b
+
+    # the engine's pruned-scan shape: a static hb IN (...) partition filter
+    # reaches the file scan (deterministic pruning, no optimizer heuristics)
+    pruned = pages_hb.filter(F.col("hb").isin([3, 7]))
+    plan = pruned.join(
+        F.broadcast(pages_hb.select("url").limit(5)), on="url"
+    )._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    m = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert m and _re.search(r"hb.* IN \(3,7\)|hb.*IN \(3, ?7\)", m[0]), m
