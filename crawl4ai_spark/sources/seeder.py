@@ -23,10 +23,78 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# ref _is_nonsense_url async_url_seeder.py:1337-1393 (asset extensions) and
-# :1395-1415 (utility path segments), expressed as pushable predicates
+# asset-extension / api-path drop — an EXTENSION beyond the reference (its
+# corresponding blocks are commented out, async_url_seeder.py:1360-1398);
+# kept because a training-data seeder wants them gone
 NONSENSE_EXT_RE = r"\.(js|css|png|jpe?g|gif|svg|ico|woff2?|ttf|eot|map|json|xmlrpc)$"
 NONSENSE_PATH_RE = r"/(wp-json|wp-admin|cgi-bin|cdn-cgi|__api|trackback)(/|$)"
+
+# ---------------------------------------------------------------------------
+# the reference's ACTIVE _is_nonsense_url rules (async_url_seeder.py:1330-1424),
+# reference-exact (golden-checked in tests/test_url_parity_golden.py):
+# robots/sitemap files, utility files, hidden path segments, non-content
+# paths, print patterns, and too-short paths outside the language whitelist.
+# ---------------------------------------------------------------------------
+
+_UTILITY_FILES = [
+    "ads.txt", "humans.txt", "security.txt", ".well-known/security.txt",
+    "crossdomain.xml", "browserconfig.xml", "manifest.json",
+    "apple-app-site-association", ".well-known/apple-app-site-association",
+    "favicon.ico", "apple-touch-icon.png", "android-chrome-192x192.png",
+]
+_NON_CONTENT_PATHS = [
+    "/wp-admin", "/wp-includes", "/wp-content/uploads",
+    "/admin", "/login", "/signin", "/signup", "/register",
+    "/checkout", "/cart", "/account", "/profile",
+    "/search", "/404", "/error",
+    "/.git", "/.svn", "/.hg",
+    "/cgi-bin", "/scripts", "/includes",
+]
+_PRINT_PATTERNS = ["?print=", "&print=", "/print/", "_print."]
+_SHORT_PATH_WHITELIST = ["/", "/en", "/de", "/fr", "/es", "/it"]
+
+
+def is_nonsense_seed_url(url: str) -> bool:
+    """Pure-Python twin of the reference seeder filter (same rule order)."""
+    from urllib.parse import urlparse
+
+    url_lower = url.lower()
+    path = urlparse(url).path.lower()
+    if path.endswith(("/robots.txt", "/sitemap.xml", "/sitemap_index.xml")):
+        return True
+    if "/sitemap" in path and path.endswith((".xml", ".xml.gz", ".txt")):
+        return True
+    if any(path.endswith(f"/{f}") for f in _UTILITY_FILES):
+        return True
+    if any(part.startswith(".") for part in path.split("/") if part):
+        return True
+    if any(ncp in path for ncp in _NON_CONTENT_PATHS):
+        return True
+    if any(pat in url_lower for pat in _PRINT_PATTERNS):
+        return True
+    if len(path.strip("/")) < 3 and path not in _SHORT_PATH_WHITELIST:
+        return True
+    return False
+
+
+def nonsense_seed_url(url) -> "F.Column":
+    """The same rules as whole-stage-codegen column predicates."""
+    low = F.lower(url)
+    path = F.lower(F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")))
+    p = F.lit(False)
+    p = p | path.rlike(r"/(robots\.txt|sitemap\.xml|sitemap_index\.xml)$")
+    p = p | (path.contains("/sitemap")
+             & path.rlike(r"\.(xml|xml\.gz|txt)$"))
+    for f in _UTILITY_FILES:
+        p = p | path.endswith("/" + f)
+    p = p | path.rlike(r"/\.")          # hidden segment (part startswith '.')
+    for ncp in _NON_CONTENT_PATHS:
+        p = p | path.contains(ncp)
+    for pat in _PRINT_PATTERNS:
+        p = p | low.contains(pat)
+    p = p | ((F.length(F.regexp_replace(path, r"^/+|/+$", "")) < 3)
+             & ~path.isin(_SHORT_PATH_WHITELIST))
+    return p
 
 _WORDS = (
     "crawl spark data engine index page article doc guide api blog news "
@@ -90,7 +158,9 @@ def seed_urls(seeds: DataFrame, *, pattern: str | None = None,
     out = seeds
     if pattern:
         out = out.filter(F.col("url").rlike(_glob_to_regex(pattern)))
-    out = out.filter(~F.lower("url").rlike(NONSENSE_EXT_RE)) \
+    # reference-exact nonsense rules + the asset-extension extension
+    out = out.filter(~nonsense_seed_url(F.col("url"))) \
+             .filter(~F.lower("url").rlike(NONSENSE_EXT_RE)) \
              .filter(~F.lower("url").rlike(NONSENSE_PATH_RE))
 
     if query:

@@ -219,6 +219,42 @@ def main() -> None:
                     row[name] = None
             f.write(json.dumps(row, ensure_ascii=False) + "\n")
 
+    # 4. seeder nonsense filter (AST-extracted method; self unused) --------
+    sns = extract_functions(
+        pathlib.Path("/root/reference/crawl4ai/async_url_seeder.py"),
+        set(), {})
+    import ast as _ast
+    tree = _ast.parse(
+        pathlib.Path("/root/reference/crawl4ai/async_url_seeder.py").read_text())
+    fn = None
+    for node in _ast.walk(tree):
+        if isinstance(node, _ast.FunctionDef) and node.name == "_is_nonsense_url":
+            fn = node
+    assert fn is not None
+    ns2 = {}
+    exec(compile(_ast.Module(body=[fn], type_ignores=[]), "<ref-nonsense>", "exec"), ns2)
+    ref_nonsense = lambda u: ns2["_is_nonsense_url"](None, u)
+
+    nonsense_urls = [
+        "https://a.com/robots.txt", "https://a.com/sitemap.xml",
+        "https://a.com/sitemaps/sitemap_news.xml.gz", "https://a.com/sitemap.txt",
+        "https://a.com/page/sitemap-article.xml", "https://a.com/favicon.ico",
+        "https://a.com/.well-known/security.txt", "https://a.com/manifest.json",
+        "https://a.com/.hidden/page", "https://a.com/a/.git/config",
+        "https://a.com/wp-admin/x", "https://a.com/blog/search/results",
+        "https://a.com/checkout", "https://a.com/accounting/report",
+        "https://a.com/p?print=1", "https://a.com/x&print=yes",
+        "https://a.com/print/page", "https://a.com/doc_print.html",
+        "https://a.com/ab", "https://a.com/", "https://a.com/en",
+        "https://a.com/de", "https://a.com/abc", "https://a.com/xy/",
+        "https://a.com/long/enough/path", "https://a.com/article-99",
+        "https://a.com/Sitemap.XML", "https://a.com/SEARCH/x",
+        "https://a.com/profiles/u1", "https://a.com/errors/5",
+    ]
+    with open(OUT / "nonsense.jsonl", "w") as f:
+        for u in nonsense_urls:
+            f.write(json.dumps({"url": u, "nonsense": bool(ref_nonsense(u))}) + "\n")
+
     print(f"goldens written to {OUT}")
 
 

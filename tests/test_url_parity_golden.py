@@ -90,3 +90,25 @@ def test_filters_match_reference(spark):
         for k in ("pattern", "ctype", "domain"):
             if r[k] is not None:
                 assert bool(g[k]) == r[k], (k, r["url"])
+
+
+def test_nonsense_seed_filter_matches_reference(spark):
+    """The seeder's nonsense-URL rules (robots/sitemap/utility/hidden/
+    non-content/print/short-path) match the reference's active
+    _is_nonsense_url decisions — both the pure twin and the column
+    predicate (contract: absolute http(s) urls)."""
+    import json as _json
+
+    from crawl4ai_spark.sources.seeder import (
+        is_nonsense_seed_url,
+        nonsense_seed_url,
+    )
+
+    rows = [_json.loads(l) for l in (GOLD / "nonsense.jsonl").open()]
+    for r in rows:
+        assert is_nonsense_seed_url(r["url"]) == r["nonsense"], r
+    df = spark.createDataFrame([(r["url"],) for r in rows], ["url"])
+    got = {x["url"]: bool(x["n"]) for x in
+           df.select("url", nonsense_seed_url(F.col("url")).alias("n")).collect()}
+    for r in rows:
+        assert got[r["url"]] == r["nonsense"], r
