@@ -77,6 +77,63 @@ def is_nonsense_seed_url(url: str) -> bool:
     return False
 
 
+def url_relevance_score(query: str, url: str) -> float:
+    """URL-string relevance fallback (F18 tail), reference-exact
+    (_calculate_url_relevance_score, async_url_seeder.py:1242-1328;
+    golden-checked): exact/substring part matches, per-token coverage
+    scores, 3-gram Jaccard, combined by a 1/(rank+1)-weighted average of
+    the sorted scores, capped at 1.0. Used when a query is given but no
+    head text exists (the reference's no-head fallback path)."""
+    from urllib.parse import urlparse
+
+    q = query.lower()
+    parsed = urlparse(url)
+    domain = parsed.netloc.replace("www.", "")
+    path = parsed.path.strip("/")
+    parts = domain.split(".") + [p for p in path.split("/") if p]
+    if parsed.query:
+        for param in parsed.query.split("&"):
+            if "=" in param:
+                k, v = param.split("=", 1)
+                parts.extend([k, v])
+
+    scores: list[float] = []
+    for part in parts:
+        pl = part.lower()
+        if q in pl:
+            scores.append(1.0)
+        elif pl in q:
+            scores.append(0.9)
+    for token in q.split():
+        best: list[float] = []
+        for part in parts:
+            pl = part.lower()
+            if token in pl:
+                best.append(0.7 * (len(token) / len(pl)))
+            elif pl in token:
+                best.append(0.6 * (len(pl) / len(token)))
+        if best:
+            scores.append(max(best))
+
+    url_text = " ".join(parts).lower()
+    if len(q) >= 3 and len(url_text) >= 3:
+        qg = {q[i:i + 3] for i in range(len(q) - 2)}
+        ug = {url_text[i:i + 3] for i in range(len(url_text) - 2)}
+        if qg and ug:
+            union = len(qg | ug)
+            scores.append(0.5 * (len(qg & ug) / union) if union else 0.0)
+
+    if not scores:
+        return 0.0
+    scores.sort(reverse=True)
+    num = den = 0.0
+    for i, s in enumerate(scores):
+        w = 1.0 / (i + 1)
+        num += s * w
+        den += w
+    return min(num / den if den else 0.0, 1.0)
+
+
 def nonsense_seed_url(url) -> "F.Column":
     """The same rules as whole-stage-codegen column predicates."""
     low = F.lower(url)
@@ -164,7 +221,11 @@ def seed_urls(seeds: DataFrame, *, pattern: str | None = None,
              .filter(~F.lower("url").rlike(NONSENSE_PATH_RE))
 
     if query:
-        out = _bm25_score(out, query)
+        if "head_text" in out.columns:
+            out = _bm25_score(out, query)
+        else:
+            # no head data → the reference's URL-string relevance fallback
+            out = _url_relevance(out, query)
         if score_threshold is not None:
             out = out.filter(F.col("score") >= score_threshold)
         order = [F.desc("score"), F.asc("url")]
@@ -330,6 +391,25 @@ def seed_from_sitemaps(spark: SparkSession, blobs: DataFrame, *,
     out = pages if pages is not None else spark.createDataFrame(
         [], "url string, host string, lastmod string, source_sitemap string")
     return out.dropDuplicates(["url"])
+
+
+def _url_relevance(seeds: DataFrame, query: str) -> DataFrame:
+    """Arrow-batched url_relevance_score over the seed urls."""
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf["score"] = [url_relevance_score(query, u) for u in pdf["url"]]
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(seeds.schema.fields) + [T.StructField("score", T.DoubleType())])
+    return seeds.mapInPandas(score, schema)
 
 
 def _bm25_score(seeds: DataFrame, query: str, k1: float = 1.2, b: float = 0.75) -> DataFrame:

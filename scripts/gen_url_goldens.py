@@ -255,6 +255,30 @@ def main() -> None:
         for u in nonsense_urls:
             f.write(json.dumps({"url": u, "nonsense": bool(ref_nonsense(u))}) + "\n")
 
+    # 5. url-string relevance fallback (AST-extracted method) -------------
+    fn2 = None
+    for node in _ast.walk(tree):
+        if isinstance(node, _ast.FunctionDef) and node.name == "_calculate_url_relevance_score":
+            fn2 = node
+    assert fn2 is not None
+    ns3 = {}
+    exec(compile(_ast.Module(body=[fn2], type_ignores=[]), "<ref-rel>", "exec"), ns3)
+    rel = lambda q, u: ns3["_calculate_url_relevance_score"](None, q, u)
+    rel_queries = ["spark crawl", "machine learning", "docs", "x", "crawl4ai spark engine"]
+    rel_urls = [
+        "https://www.sparkdocs.com/crawl/guide",
+        "https://example.com/machine-learning/intro",
+        "https://example.com/ml?topic=machine&sub=learning",
+        "https://crawl.example.org/",
+        "https://deep.sub.example.co.uk/a/b/c?q=spark",
+        "https://example.com/unrelated/cooking",
+        "https://spark.apache.org/docs/latest/api",
+    ]
+    with open(OUT / "url_relevance.jsonl", "w") as f:
+        for q in rel_queries:
+            for u in rel_urls:
+                f.write(json.dumps({"query": q, "url": u, "score": rel(q, u)}) + "\n")
+
     print(f"goldens written to {OUT}")
 
 

@@ -112,3 +112,16 @@ def test_nonsense_seed_filter_matches_reference(spark):
            df.select("url", nonsense_seed_url(F.col("url")).alias("n")).collect()}
     for r in rows:
         assert got[r["url"]] == r["nonsense"], r
+
+
+def test_url_relevance_fallback_matches_reference():
+    """F18 tail: the url-string relevance score (exact/substring/token-
+    coverage/3-gram-Jaccard, rank-weighted) matches the reference's
+    _calculate_url_relevance_score exactly."""
+    import json as _json
+
+    from crawl4ai_spark.sources.seeder import url_relevance_score
+
+    rows = [_json.loads(l) for l in (GOLD / "url_relevance.jsonl").open()]
+    for r in rows:
+        assert url_relevance_score(r["query"], r["url"]) == r["score"], r
