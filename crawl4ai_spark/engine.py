@@ -50,6 +50,11 @@ class CrawlConfig:
     score_threshold: float | None = None
     include_external: bool = False
     check_robots_txt: bool = True
+    # S9 TTL (ref utils.py:252-311 — 7-day robots cache): when set, robots
+    # rows with fetch_time older than now-ttl are treated as missing →
+    # fail-open, exactly like the reference's expired-cache refetch path
+    # degraded to a table-only world. None disables the cutoff.
+    robots_ttl_s: int | None = None
     user_agent: str = "*"
     use_bloom: bool = False            # F5 fast path (exact anti-join is default)
     seen_backend: str = "bloom"        # "bloom" | "cuckoo" (cuckoo: deletable)
@@ -255,8 +260,12 @@ class SparkWebEngine:
             host_quota=host_quota,
         )
         if cfg.check_robots_txt and robots is not None:
+            rb = robots
+            if cfg.robots_ttl_s is not None and "fetch_time" in robots.columns:
+                cutoff = time.time() - cfg.robots_ttl_s
+                rb = robots.filter(F.col("fetch_time") >= F.lit(cutoff))
             batch = POL.robots_allowed_col(
-                batch, robots, user_agent=cfg.user_agent
+                batch, rb, user_agent=cfg.user_agent
             )
         else:
             batch = batch.withColumn("robots_allowed", F.lit(True))

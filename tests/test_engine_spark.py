@@ -307,3 +307,27 @@ def test_host_bucketed_pages_prune_and_match(spark, pages, tmp_store, tmp_path_f
     import re as _re
     m = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert m and _re.search(r"hb.* IN \(3,7\)|hb.*IN \(3, ?7\)", m[0]), m
+
+
+def test_robots_ttl_expires_to_fail_open(spark, pages, tmp_store):
+    """S9 TTL: stale robots rows (fetch_time older than the ttl) are treated
+    as missing → fail-open, mirroring the reference's 7-day cache expiry."""
+    import os
+
+    from crawl4ai_spark.sources.pagesgen import generate_robots, generate_seeds
+
+    # robots stamped far in the past (generate_robots default = 2025-01-01)
+    robots = generate_robots(spark, N_HOSTS)
+    seeds = generate_seeds(spark, N_HOSTS)
+    base = CrawlConfig(max_depth=1, max_pages=40, check_robots_txt=True)
+
+    eng1 = SparkWebEngine(spark, os.path.join(tmp_store, "ttl_on"))
+    res1 = eng1.run(pages, seeds, robots=robots, config=base)
+    n_blocked = res1.filter(F.col("status_code") == 403).count()
+    assert n_blocked > 0  # fresh-enough rules do block
+
+    stale_cfg = CrawlConfig(max_depth=1, max_pages=40, check_robots_txt=True,
+                            robots_ttl_s=60)  # everything is older than 60s
+    eng2 = SparkWebEngine(spark, os.path.join(tmp_store, "ttl_stale"))
+    res2 = eng2.run(pages, seeds, robots=robots, config=stale_cfg)
+    assert res2.filter(F.col("status_code") == 403).count() == 0  # fail-open
