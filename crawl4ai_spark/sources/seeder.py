@@ -239,6 +239,100 @@ def seed_urls(seeds: DataFrame, *, pattern: str | None = None,
 
 
 # ---------------------------------------------------------------------------
+# Common-Crawl CDX index parsing (S5 real path) — parity target
+# async_url_seeder.py:709-762 ``_from_cc``: the CC index API answers JSONL
+# CDX records ({"urlkey","timestamp","url","mime","status","digest",...});
+# the reference streams them line-by-line and yields rec["url"] filtered by
+# the caller's glob. Here the fetched responses are a blob table and one
+# Arrow pass parses them (gz transparently, like the sitemap path).
+# ---------------------------------------------------------------------------
+
+def cc_index_glob(domain: str) -> str:
+    """The reference's CC query-glob construction (reference-exact,
+    _from_cc :713-732): strip scheme/fragment/query and leading dots, then
+    ``*.{raw}*`` when a path is present else ``*.{raw}/*``."""
+    raw = re.sub(r"^https?://", "", domain).split("#", 1)[0].split("?", 1)[0].lstrip(".")
+    return f"*.{raw}*" if "/" in raw else f"*.{raw}/*"
+
+
+def synthetic_cdx_blobs(spark: SparkSession, n_domains: int = 3,
+                        urls_per_domain: int = 20) -> DataFrame:
+    """Deterministic CDX-API response blobs (domain, body binary): JSONL
+    records in the real CC CDX shape; odd domains gzip their response."""
+    import gzip as _gzip
+    import json as _json
+
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                dom = f"cdx{d}.com"
+                lines = []
+                for i in range(urls_per_domain):
+                    url = f"https://www.{dom}/a{i % 4}/p{i}.html"
+                    lines.append(_json.dumps({
+                        "urlkey": f"com,cdx{d})/a{i % 4}/p{i}.html",
+                        "timestamp": f"202401{(i % 27) + 1:02d}120000",
+                        "url": url,
+                        "mime": "text/html" if i % 5 else "application/pdf",
+                        "status": "200" if i % 7 else "301",
+                        "digest": f"SHA1DIGEST{d}X{i}",
+                        "length": str(1000 + i),
+                    }))
+                body = ("\n".join(lines) + "\n").encode()
+                if int(d) % 2 == 1:
+                    body = _gzip.compress(body, mtime=0)
+                rows.append((dom, body))
+            yield pd.DataFrame(rows, columns=["domain", "body"])
+
+    return spark.range(n_domains).mapInPandas(build, "domain string, body binary")
+
+
+def parse_cc_index_blobs(blobs: DataFrame, pattern: str | None = None
+                         ) -> DataFrame:
+    """One Arrow pass over (domain, body): gunzip when magic-tagged, parse
+    JSONL CDX records, emit (url, domain, status, mime, warc_ts). An
+    optional glob ``pattern`` filters urls like the reference's ``_match``."""
+    import gzip as _gzip
+    import json as _json
+
+    import pandas as pd
+
+    rx = re.compile(_glob_to_regex(pattern)) if pattern else None
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for dom, body in zip(pdf["domain"], pdf["body"]):
+                raw = bytes(body or b"")
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = _gzip.decompress(raw)
+                    except OSError:
+                        continue
+                for line in raw.decode("utf-8", "ignore").splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = _json.loads(line)
+                    except ValueError:
+                        continue
+                    u = rec.get("url")
+                    if not u or (rx and not rx.match(u)):
+                        continue
+                    rows.append((u, dom, rec.get("status"), rec.get("mime"),
+                                 rec.get("timestamp")))
+            yield pd.DataFrame(
+                rows, columns=["url", "domain", "status", "mime", "warc_ts"])
+
+    return blobs.mapInPandas(
+        parse, "url string, domain string, status string, mime string, warc_ts string")
+
+
+# ---------------------------------------------------------------------------
 # Sitemap seeding (S6) — parity target async_url_seeder.py:765-1004
 # (_from_sitemaps/_iter_sitemap): robots.txt ``Sitemap:`` lines + the
 # conventional /sitemap.xml probe are the roots; <sitemapindex> documents

@@ -92,3 +92,34 @@ def test_sitemap_namespace_agnostic(spark):
     rows = parse_sitemap_blobs(blobs).collect()
     assert {r["loc"] for r in rows} == {"https://a.com/1", "https://b.com/1"}
     assert all(r["kind"] == "sitemap" for r in rows)
+
+
+def test_cdx_parsing_gz_and_pattern(spark):
+    """S5 real path: CDX JSONL responses (half gzipped) parse in one Arrow
+    pass; glob pattern filters like the reference's _match."""
+    from crawl4ai_spark.sources.seeder import (
+        cc_index_glob,
+        parse_cc_index_blobs,
+        synthetic_cdx_blobs,
+    )
+
+    blobs = synthetic_cdx_blobs(spark, n_domains=4, urls_per_domain=12).cache()
+    out = parse_cc_index_blobs(blobs).cache()
+    assert out.count() == 48
+    # gz domains (odd ids) parsed identically to plain ones
+    per_dom = {r["domain"]: r["n"] for r in
+               out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert set(per_dom.values()) == {12}
+    # CDX fields survive
+    row = out.filter(F.col("url") == "https://www.cdx0.com/a1/p1.html").first()
+    assert row.status == "200" and row.mime == "text/html"
+    assert row.warc_ts.startswith("202401")
+    # glob filtering
+    only_a0 = parse_cc_index_blobs(blobs, pattern="*/a0/*")
+    assert only_a0.count() == 12  # 3 of 12 urls per domain are /a0/
+    assert all(r["url"].count("/a0/") for r in only_a0.collect())
+
+    # the reference's CC glob construction (reference-exact)
+    assert cc_index_glob("https://example.com?x#y") == "*.example.com/*"
+    assert cc_index_glob("example.com/path") == "*.example.com/path*"
+    assert cc_index_glob(".example.com") == "*.example.com/*"
