@@ -537,6 +537,31 @@ class SparkWebEngine:
             keep = keep & (s >= cfg.seo_threshold)
         return joined.filter(keep).select(cand.columns)
 
+    def run_many(self, pages: DataFrame, urls: list[str] | DataFrame, *,
+                 robots: DataFrame | None = None,
+                 config: CrawlConfig | None = None) -> DataFrame:
+        """``arun_many`` analog (ref async_webcrawler.py:665): crawl+process
+        an explicit url list as ONE batch — no link discovery, no frontier
+        iteration (max_depth=0 over a seeds frame built from the list)."""
+        spark = self.spark
+        if isinstance(urls, list):
+            seeds = spark.createDataFrame([(u, 1.0) for u in urls],
+                                          "url string, priority double")
+        else:
+            seeds = urls
+        cfg = config or CrawlConfig()
+        from dataclasses import replace
+        cfg = replace(cfg, max_depth=0, max_pages=max(cfg.max_pages, 1 << 20))
+        return self.run(pages, seeds, robots=robots, config=cfg)
+
+    def run_one(self, pages: DataFrame, url: str, *,
+                robots: DataFrame | None = None,
+                config: CrawlConfig | None = None) -> DataFrame:
+        """``arun`` analog (ref async_webcrawler.py:204): one url through
+        the full pipeline; returns its (single-row) results DataFrame."""
+        out = self.run_many(pages, [url], robots=robots, config=config)
+        return out.filter(F.col("url") == url)
+
     def enqueue_seeds(self, seeds: DataFrame) -> None:
         """Append newly-arriving seeds to the frontier log (anti-joined
         against every url ever enqueued) WITHOUT starting a run.

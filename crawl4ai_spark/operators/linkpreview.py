@@ -26,7 +26,13 @@ def extract_heads(pages: DataFrame) -> DataFrame:
     """Per-url head fields via native regexp — cheap enough to run over the
     whole pages table without a Python stage. ``head_text`` feeds the F20
     contextual score; the remaining columns feed the head-content filters
-    (ContentRelevance/SEO, operators/urlfilters.py)."""
+    (ContentRelevance/SEO, operators/urlfilters.py).
+
+    Documented deviation from the reference's HeadPeekr (utils.py:2985-3005):
+    canonical is read from ``<link rel="canonical">`` (its standard home) —
+    the reference's SEOFilter looks up a ``<meta name="canonical">`` entry,
+    which real pages essentially never carry; and ``<title>`` may carry
+    attributes here (the reference's regex only matches a bare tag)."""
     html = F.decode(F.col("html"), "utf-8")
     title = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
     desc = F.regexp_extract(

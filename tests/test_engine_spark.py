@@ -331,3 +331,25 @@ def test_robots_ttl_expires_to_fail_open(spark, pages, tmp_store):
     eng2 = SparkWebEngine(spark, os.path.join(tmp_store, "ttl_stale"))
     res2 = eng2.run(pages, seeds, robots=robots, config=stale_cfg)
     assert res2.filter(F.col("status_code") == 403).count() == 0  # fail-open
+
+
+def test_run_many_and_run_one(spark, pages, tmp_store):
+    """arun/arun_many analogs: explicit url lists crawl as flat batches —
+    every url processed, no link discovery."""
+    import os
+
+    from crawl4ai_spark.sources.pagesgen import page_url
+
+    urls = [page_url(0, p) for p in range(5)] + [page_url(1, 0)]
+    eng = SparkWebEngine(spark, os.path.join(tmp_store, "many"))
+    res = eng.run_many(pages, urls, config=CrawlConfig(check_robots_txt=False))
+    got = {r["url"] for r in res.select("url").collect()}
+    assert got == set(urls)          # exactly the requested urls, nothing else
+    assert res.filter(F.col("depth") > 0).count() == 0
+
+    eng1 = SparkWebEngine(spark, os.path.join(tmp_store, "one"))
+    one = eng1.run_one(pages, page_url(0, 3),
+                       config=CrawlConfig(check_robots_txt=False))
+    rows = one.collect()
+    assert len(rows) == 1 and rows[0]["success"]
+    assert len(rows[0]["markdown"]["raw_markdown"]) > 0

@@ -38,3 +38,25 @@ def test_deeply_nested_html_no_recursion_error():
     html = "<div>" * 3000 + "deep" + "</div>" * 3000
     rec = process_page("https://fuzz.example.com/deep", html)
     assert "deep" in rec["text"] or rec["success"] is False
+
+
+@given(st.lists(st.sampled_from([
+    "<div>", "</div>", "<p>", "</p>", "<em>", "</em>", "<strong>", "</strong>",
+    "<a href='/x'>", "<a>", "</a>", "<ul>", "<li>", "</ul>", "</li>",
+    "<pre>", "</pre>", "<code>", "</code>", "<table>", "<tr>", "<td>",
+    "</td>", "</tr>", "</table>", "<blockquote>", "</blockquote>",
+    "<img src='i'>", "<br>", "<hr>", "text &amp; more", "x*y_z",
+    "&rsquo;", "&#169;", "&bogus;", "é漢", "  spaced  ",
+]), min_size=0, max_size=60))
+@settings(max_examples=120, deadline=None)
+def test_markdown_renderer_total_and_deterministic(parts):
+    """The byte-parity markdown renderer must be TOTAL on arbitrary tag soup
+    (never raises) and deterministic (same bytes on re-render)."""
+    from crawl4ai_spark.html.markdown import add_citations, html_to_markdown
+
+    soup = "".join(parts)
+    md1 = html_to_markdown(soup, "https://fuzz.example/")
+    md2 = html_to_markdown(soup, "https://fuzz.example/")
+    assert md1 == md2
+    cited1 = add_citations(md1, "https://fuzz.example/")
+    assert cited1 == add_citations(md2, "https://fuzz.example/")
