@@ -68,8 +68,13 @@ class CrawlConfig:
     bm25_query: str | None = None
     n_salts: int = 8
     # CacheMode analog (ref cache_context.py:23-92 + async_webcrawler.py:267):
-    # "enabled" = skip urls already in the results table (cache read path =
-    # left anti-join, SURVEY §2 S7); "bypass" = always fetch+reprocess
+    # "enabled"    = read + write (skip urls already crawled successfully)
+    # "read_only"  = serve cache hits, but rows written now are NOT hits later
+    # "write_only" = ignore existing cache, rows written now ARE hits later
+    # "bypass"/"disabled" = neither (always fetch+reprocess; rows not hits)
+    # read path = left anti-join vs successful cached rows (SURVEY §2 S7);
+    # "write" here means the result rows carry cached=true — the results
+    # table itself is always persisted (it IS the output).
     cache_mode: str = "enabled"
     # deterministic rate-limit injection for tests/benchmarks: hosts matching
     # this regex answer 503 on their FIRST attempt (retry_count=0), exercising
@@ -153,6 +158,8 @@ class SparkWebEngine:
                 break
 
             results = self._fetch_and_process(batch, pages, cfg, gen)
+            results = results.withColumn(
+                "cached", F.lit(cfg.cache_mode in ("enabled", "write_only")))
             # piggyback the rate-limit counter on the results WRITE (zero
             # extra job) — it decides whether host_state needs folding
             obs = Observation(f"gen{gen}")
@@ -212,15 +219,20 @@ class SparkWebEngine:
         known_empty: bool | None = None
         cand = frontier.filter(F.col("status") == "QUEUED") \
                        .filter(F.col("retry_count") <= POL.MAX_RETRIES)
-        if cfg.cache_mode == "enabled":
+        if cfg.cache_mode in ("enabled", "read_only"):
             prior = self.store.read(self.spark, "results")
             if prior is not None:
                 # cache read path: successfully-crawled urls never reschedule
                 # (failed attempts are not cache hits — ref async_database.py
-                # aget_cached_url returns only stored successes)
-                cand = cand.join(
-                    prior.filter(F.col("success")).select("url").distinct(),
-                    on="url", how="left_anti")
+                # aget_cached_url returns only stored successes). Rows written
+                # under write-suppressing modes carry cached=false and are
+                # not hits either (ref CacheContext.should_write,
+                # cache_context.py:23-92).
+                hit = prior.filter(F.col("success"))
+                if "cached" in prior.columns:
+                    hit = hit.filter(F.coalesce(F.col("cached"), F.lit(True)))
+                cand = cand.join(hit.select("url").distinct(),
+                                 on="url", how="left_anti")
         if cfg.score_threshold is not None:
             cand = cand.filter(
                 (F.col("depth") == 0) | (F.col("score") >= cfg.score_threshold)

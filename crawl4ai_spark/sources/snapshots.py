@@ -96,7 +96,7 @@ class SnapshotStore:
         if sid is None:
             return None
         dirs = self._read_manifest(table, sid)["dirs"]
-        return spark.read.parquet(*dirs)
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def meta(self, table: str, snapshot_id: int | None = None) -> dict:
         sid = snapshot_id if snapshot_id is not None else self.latest_id(table)

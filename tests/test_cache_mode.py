@@ -32,3 +32,34 @@ def test_cache_enabled_skips_crawled(spark, tmp_store):
     third = eng3.run(pages, seeds, config=cfg_bypass)
     assert third.count() > n_first
     pages.unpersist()
+
+
+def test_read_only_and_write_only_modes(spark, tmp_store):
+    """READ_ONLY rows are not future cache hits; WRITE_ONLY ignores existing
+    hits but its rows do become hits (ref CacheContext read/write split)."""
+    import os
+
+    pages = generate_pages(spark, 2, 5).cache()
+    seeds = generate_seeds(spark, 2)
+    store = os.path.join(tmp_store, "rw")
+
+    # write_only first run: ignores (empty) cache, writes cached rows
+    cfg_w = CrawlConfig(max_depth=0, max_pages=10, check_robots_txt=False,
+                        cache_mode="write_only")
+    n1 = SparkWebEngine(spark, store).run(pages, seeds, config=cfg_w).count()
+
+    # enabled run now hits that cache → nothing refetched
+    cfg_e = CrawlConfig(max_depth=0, max_pages=10, check_robots_txt=False)
+    n2 = SparkWebEngine(spark, store).run(pages, seeds, config=cfg_e).count()
+    assert n2 == n1
+
+    # read_only run: no hits to add (all cached) → table unchanged; then
+    # against a FRESH store it writes rows that do NOT become hits
+    store2 = os.path.join(tmp_store, "ro")
+    cfg_r = CrawlConfig(max_depth=0, max_pages=10, check_robots_txt=False,
+                        cache_mode="read_only")
+    m1 = SparkWebEngine(spark, store2).run(pages, seeds, config=cfg_r).count()
+    m2 = SparkWebEngine(spark, store2).run(pages, seeds, config=cfg_e).count()
+    # the enabled run refetched everything (read_only rows aren't hits)
+    assert m2 == 2 * m1
+    pages.unpersist()
