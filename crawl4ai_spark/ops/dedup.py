@@ -216,6 +216,46 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id
 """
 
+def q_dedup_minhash_sig_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures computed per-document in ONE Arrow stage — zero
+    shuffle (the production path; like the simhash rewrite, the signature is
+    strictly per-row work). Bit-for-bit the same output as
+    q_dedup_minhash_sig, so it shares that query's DuckDB oracle: shingle
+    hashes are md5 hex, permutation p's element is the lexicographic min of
+    md5(p:shingle), the digest is md5 over the sorted "p=mh" list."""
+    import hashlib
+
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents")
+    perms = "0123456789abcdef"[:N_PERMS]
+
+    def sig(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = (text or "").lower()
+                if len(t) < SHINGLE_K:
+                    continue  # no shingles → no signature row (matches SQL)
+                shingles = {
+                    md5(t[i:i + SHINGLE_K].encode()).hexdigest()
+                    for i in range(0, len(t) - SHINGLE_K + 1, SHINGLE_STRIDE)
+                }
+                parts = []
+                for p in perms:
+                    prefix = (p + ":").encode()
+                    mh = min(md5(prefix + h.encode()).hexdigest()
+                             for h in shingles)
+                    parts.append(f"{p}={mh}")
+                digest = md5("|".join(sorted(parts)).encode()).hexdigest()
+                out.append((doc_id, digest, N_PERMS))
+            yield pd.DataFrame(out, columns=["doc_id", "sig_digest", "n_perms"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        sig, "doc_id long, sig_digest string, n_perms long")
+
+
 # 60-bit SimHash: 15 hex chars of each token's md5 → 4 bits each
 _N_HEX = 15
 
@@ -446,6 +486,7 @@ QUERIES = {
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
     "dedup_minhash_bands": q_dedup_minhash_bands,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -455,6 +496,7 @@ ORACLES = {
     "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
+    "dedup_minhash_sig_fast": SQL_DEDUP_MINHASH_SIG,  # same output, zero shuffle
     "dedup_minhash_bands": SQL_DEDUP_MINHASH_BANDS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
