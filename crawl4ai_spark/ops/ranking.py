@@ -137,11 +137,65 @@ FROM agg, nd
 """
 
 
+N_CONSISTENCY_DOCS = 20
+
+
+def q_adaptive_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-crawler consistency metric (ref adaptive_crawler.py:371-396:
+    mean pairwise Jaccard of document term SETS) over a deterministic
+    sample (lowest doc_ids). Pairs meet on a shared-token join — never a
+    cross join — exactly the near-dup scale shape."""
+    sample = (
+        _toks(spark, sf_dir)
+        .filter(F.col("doc_id") < N_CONSISTENCY_DOCS)
+        .distinct()
+    )
+    sizes = sample.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sample.alias("a")
+    b = sample.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("ni"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")), "d2")
+        .select(e6(F.col("ni") / (F.col("s1") + F.col("s2") - F.col("ni"))).alias("j_e6"))
+    )
+    # quantize per pair first (e6 ints), THEN average — engine-order-proof
+    return jac.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.floor(F.avg("j_e6")).cast("long").alias("mean_jaccard_e6"),
+    )
+
+
+SQL_ADAPTIVE_CONSISTENCY = f"""
+WITH toks AS (SELECT DISTINCT doc_id, tok FROM ({_SQL_TOKS}) WHERE doc_id < {N_CONSISTENCY_DOCS}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT CAST(ROUND(CAST(i.ni AS DOUBLE) / (s1.sz + s2.sz - i.ni) * 1e6) AS BIGINT) AS j_e6
+  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(floor(avg(j_e6)) AS BIGINT) AS mean_jaccard_e6
+FROM jac
+"""
+
+
 QUERIES = {
     "bm25_rank": q_bm25_rank,
+    "adaptive_consistency": q_adaptive_consistency,
     "adaptive_coverage": q_adaptive_coverage,
 }
 ORACLES = {
     "bm25_rank": SQL_BM25_RANK,
     "adaptive_coverage": SQL_ADAPTIVE_COVERAGE,
+    "adaptive_consistency": SQL_ADAPTIVE_CONSISTENCY,
 }
