@@ -123,3 +123,25 @@ def test_cdx_parsing_gz_and_pattern(spark):
     assert cc_index_glob("https://example.com?x#y") == "*.example.com/*"
     assert cc_index_glob("example.com/path") == "*.example.com/path*"
     assert cc_index_glob(".example.com") == "*.example.com/*"
+
+
+def test_cdx_to_seed_pipeline_with_url_relevance(spark):
+    """S5→F17→F18 chain: parsed CDX records (no head text) flow through
+    seed_urls, which scores them with the reference-exact URL-string
+    relevance fallback."""
+    from crawl4ai_spark.sources.seeder import (
+        parse_cc_index_blobs,
+        seed_urls,
+        synthetic_cdx_blobs,
+        url_relevance_score,
+    )
+
+    blobs = synthetic_cdx_blobs(spark, n_domains=3, urls_per_domain=12)
+    seeds = parse_cc_index_blobs(blobs)          # url/domain/... no head_text
+    out = seed_urls(seeds, query="cdx1 a2", max_urls=8).collect()
+    assert 0 < len(out) <= 8
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+    # spark-side scores equal the pure twin exactly
+    for r in out:
+        assert r.score == url_relevance_score("cdx1 a2", r.url)
