@@ -77,6 +77,22 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(table, sid))  # atomic publish
         return sid
 
+    def compact(self, spark: SparkSession, table: str,
+                target_partitions: int | None = None) -> int | None:
+        """Offline compaction: rewrite the CURRENT snapshot's (possibly many)
+        append-accumulated data dirs into one dir and publish it as a new
+        snapshot with identical rows — the Iceberg rewrite_data_files analog.
+        History stays intact (older snapshots still reference the old dirs).
+        Returns the new snapshot id, or None if the table doesn't exist."""
+        sid = self.latest_id(table)
+        if sid is None:
+            return None
+        df = self.read(spark, table)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        return self.commit(table, df, mode="overwrite",
+                           meta={**self.meta(table), "compacted_from": sid})
+
     def amend_meta(self, table: str, snapshot_id: int, extra: dict) -> None:
         """Merge extra keys into an existing snapshot's meta (driver-side
         bookkeeping discovered during/after the write, e.g. observed row

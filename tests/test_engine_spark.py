@@ -353,3 +353,29 @@ def test_run_many_and_run_one(spark, pages, tmp_store):
     rows = one.collect()
     assert len(rows) == 1 and rows[0]["success"]
     assert len(rows[0]["markdown"]["raw_markdown"]) > 0
+
+
+def test_snapshot_compaction_preserves_rows_and_history(spark, pages, tmp_store):
+    """Offline compaction folds an append-heavy table's dirs into one while
+    keeping rows identical and history (time travel) intact."""
+    import os
+
+    eng = SparkWebEngine(spark, os.path.join(tmp_store, "compact"))
+    eng.run(pages, generate_seeds(spark, N_HOSTS),
+            config=CrawlConfig(max_depth=2, max_pages=60, check_robots_txt=False))
+    store = eng.store
+    before_sid = store.latest_id("frontier")
+    before_dirs = len(store._read_manifest("frontier", before_sid)["dirs"])
+    assert before_dirs > 1  # append log accumulated per-generation dirs
+    before_rows = sorted(r["url"] + r["status"] + str(r["retry_count"])
+                         for r in store.read(spark, "frontier").collect())
+
+    new_sid = store.compact(spark, "frontier", target_partitions=2)
+    assert new_sid == before_sid + 1
+    assert len(store._read_manifest("frontier", new_sid)["dirs"]) == 1
+    after_rows = sorted(r["url"] + r["status"] + str(r["retry_count"])
+                        for r in store.read(spark, "frontier").collect())
+    assert after_rows == before_rows
+    # time travel to the pre-compaction snapshot still works
+    assert store.read(spark, "frontier", before_sid).count() == len(before_rows)
+    assert store.meta("frontier")["compacted_from"] == before_sid
