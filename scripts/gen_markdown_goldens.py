@@ -188,6 +188,25 @@ def feature_fixtures() -> dict[str, tuple[str, str]]:
     f["strong_em_mix"] = ("<p><strong><em>both</em></strong> "
                           "<em><strong>swap</strong></em> "
                           "<strong>out <em>in</em> side</strong></p>", B)
+    f["form_select"] = ('<form action="/s"><label>Q</label>'
+                        '<input type="text" name="q" value="v">'
+                        '<select><option>one</option><option selected>two</option>'
+                        '</select><button>Go</button></form><p>after</p>', B)
+    f["figure_caption"] = ('<figure><img src="f.png" alt="fig">'
+                           '<figcaption>The caption</figcaption></figure>', B)
+    f["details_summary"] = ("<details><summary>More</summary>"
+                            "<p>hidden body</p></details>", B)
+    f["video_audio"] = ('<video src="v.mp4" controls>fallback text</video>'
+                        '<audio src="a.mp3"></audio><p>after media</p>', B)
+    f["nav_aside"] = ('<nav><a href="/1">one</a> <a href="/2">two</a></nav>'
+                      '<aside><p>sidebar note</p></aside><main><p>main</p></main>', B)
+    f["iframe_embed"] = ('<p>before</p><iframe src="https://e.example/x">'
+                         'no frames</iframe><p>after</p>', B)
+    f["svg_math"] = ('<p>a</p><svg><circle r="1"/><text>svg text</text></svg>'
+                     '<math><mi>x</mi></math><p>b</p>', B)
+    f["spans_classes"] = ('<p><span class="a">one</span><span> two</span>'
+                          '<small>fine</small><mark>hi</mark>'
+                          '<sub>s</sub><sup>p</sup></p>', B)
     f["unicode"] = ("<p>caf\u00e9 \u2014 na\u00efve \u6f22\u5b57 \U0001f600</p>", B)
     f["base_rel"] = ('<p><a href="../up">up</a> <a href="sib">sib</a> '
                      '<a href="//proto.example/p">proto-rel</a> '

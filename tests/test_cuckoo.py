@@ -91,3 +91,14 @@ def test_engine_cuckoo_backend_matches_exact_path(spark, tmp_store):
         got[name] = {r["url"] for r in res.select("url").collect()}
     assert got["cuckoo"] == got["exact"]
     pages.unpersist()
+
+
+def test_overload_stays_fn_free(spark):
+    """Inserting well beyond a shard's capacity pushes fingerprints into the
+    stash — lookups stay false-negative-free even under overload."""
+    tiny_cap = 64
+    filt = build_cuckoo(_urls(spark, 0, 2000), n_shards=2,
+                        capacity_per_shard=tiny_cap)
+    out = filter_unseen_cuckoo(_urls(spark, 0, 2000), filt,
+                               n_shards=2, capacity_per_shard=tiny_cap)
+    assert out.count() == 0
