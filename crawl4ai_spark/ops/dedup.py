@@ -256,6 +256,57 @@ def q_dedup_minhash_sig_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, "doc_id long, sig_digest string, n_perms long")
 
 
+def q_dedup_minhash_bands_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band candidates with the signature computed per-doc in one Arrow
+    stage: each doc emits its N_BANDS (band, band_key) rows directly, so the
+    ONLY shuffle in the whole pipeline is the band-key bucket join — the
+    exact 100 TB shape (the relational form spends two extra hash
+    aggregations building signatures first). Output is bit-for-bit
+    q_dedup_minhash_bands', so it shares that oracle."""
+    import hashlib
+
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents")
+    perms = "0123456789abcdef"[:N_PERMS]
+
+    def bands(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = (text or "").lower()
+                if len(t) < SHINGLE_K:
+                    continue
+                shingles = {
+                    md5(t[i:i + SHINGLE_K].encode()).hexdigest()
+                    for i in range(0, len(t) - SHINGLE_K + 1, SHINGLE_STRIDE)
+                }
+                per_band: dict[int, list[str]] = {b: [] for b in range(N_BANDS)}
+                for pi, p in enumerate(perms):
+                    prefix = (p + ":").encode()
+                    mh = min(md5(prefix + h.encode()).hexdigest()
+                             for h in shingles)
+                    per_band[pi % N_BANDS].append(f"{p}={mh}")
+                for b, parts in per_band.items():
+                    key = md5("|".join(sorted(parts)).encode()).hexdigest()
+                    out.append((doc_id, b, key))
+            yield pd.DataFrame(out, columns=["doc_id", "band", "band_key"])
+
+    sig_bands = d.select("doc_id", "text").mapInPandas(
+        bands, "doc_id long, band long, band_key string")
+    a = sig_bands.alias("a")
+    b = sig_bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+        .select(F.col("d1").cast("long"), F.col("d2").cast("long"), "n_shared_bands")
+    )
+
+
 # 60-bit SimHash: 15 hex chars of each token's md5 → 4 bits each
 _N_HEX = 15
 
@@ -488,6 +539,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
     "dedup_minhash_bands": q_dedup_minhash_bands,
+    "dedup_minhash_bands_fast": q_dedup_minhash_bands_fast,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
@@ -498,6 +550,7 @@ ORACLES = {
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_sig_fast": SQL_DEDUP_MINHASH_SIG,  # same output, zero shuffle
     "dedup_minhash_bands": SQL_DEDUP_MINHASH_BANDS,
+    "dedup_minhash_bands_fast": SQL_DEDUP_MINHASH_BANDS,  # same output, 1 shuffle
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
 }
