@@ -1,0 +1,85 @@
+"""Skew-safety tests for the dedup layer (VERDICT r02 "what's wrong" #2).
+
+A boilerplate sentence shared by every document used to drive the
+ngram-pairs self-join quadratic: k docs sharing one shingle → k² join rows
+on a single key. The NGRAM_DF_CAP document-frequency cut must drop such
+shingles BEFORE the join, so a corpus whose only shared content is
+boilerplate yields zero candidate pairs — and the intermediate join stays
+linear in corpus size instead of quadratic.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from crawl4ai_spark.ops.dedup import (
+    NGRAM_DF_CAP,
+    SHINGLE_K,
+    _shingles,
+    q_dedup_ngram_pairs,
+)
+
+N_DOCS = 1000  # 10× the cap: uncapped, the hot shingles alone would
+               # produce ~N²/2 ≈ 500k join rows per boilerplate shingle
+
+
+@pytest.fixture(scope="module")
+def boiler_dir(tmp_path_factory):
+    """N_DOCS docs whose ONLY shared content is one boilerplate sentence;
+    the rest of each doc is unique (doc-id-salted) text."""
+    d = tmp_path_factory.mktemp("boiler")
+    import hashlib
+    boiler = "subscribe to our newsletter and accept all cookies today "
+    rows = []
+    for i in range(N_DOCS):
+        uniq = " ".join(
+            hashlib.md5(f"{i}-{j}".encode()).hexdigest() for j in range(15)
+        )
+        rows.append((i, boiler + uniq, "en", "synthetic", 0))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_boilerplate_shingles_exceed_cap(spark, boiler_dir):
+    """Sanity: the fixture really does contain shingles with DF > cap."""
+    from pyspark.sql import functions as F
+    sh = _shingles(spark, boiler_dir)
+    hot = (sh.groupBy("h").count()
+           .filter(F.col("count") > NGRAM_DF_CAP).count())
+    assert hot > 0, "fixture should contain boilerplate shingles above the DF cap"
+
+
+def test_ngram_pairs_boilerplate_immune(spark, boiler_dir):
+    """With the cap, the shared boilerplate (13 shingles in every doc)
+    contributes nothing: every surviving top-20 pair owes its overlap to
+    chance junction collisions (≤2 shingles), never the 13-shingle
+    boilerplate block that, uncapped, would put every one of the ~500k doc
+    pairs in the join."""
+    out = q_dedup_ngram_pairs(spark, boiler_dir)
+    rows = out.collect()
+    assert all(r.n_inter <= 2 for r in rows), (
+        f"boilerplate shingles leaked into the pair join: {rows[:5]}"
+    )
+
+
+def test_capped_join_row_bound(spark, boiler_dir):
+    """The candidate-join intermediate is bounded: after the DF cut, every
+    surviving shingle key has ≤ cap docs, so join rows ≤ cap × distinct
+    shingles of any one doc's worth — NOT N²."""
+    from pyspark.sql import functions as F
+    sh = _shingles(spark, boiler_dir)
+    hot = (sh.groupBy("h").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > NGRAM_DF_CAP).select("h"))
+    capped = sh.join(hot, on="h", how="left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    n_join_rows = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).count()
+    # the uncapped join would carry ≥ 13 boilerplate shingles ×
+    # N(N-1)/2 pairs ≈ 6.5M rows; capped, only chance junction collisions
+    # survive (expected ~100s) — assert we are linear-ish, not quadratic
+    assert n_join_rows < 10_000, f"join not skew-capped: {n_join_rows} rows"
+    assert SHINGLE_K == 12  # guard: fixture boilerplate is longer than K
