@@ -34,6 +34,7 @@ HEADLINE_QUERIES = [
     "sessionize_events", "events_windowed_counts",
     "url_normalize", "frontier_schedule", "bestfirst_order", "robots_gate",
     "dedup_exact", "dedup_minhash_bands",
+    "dedup_minhash_bands_fast", "dedup_minhash_bands2",
     "sim_ann_topk_pandas", "sim_lsh_buckets",
     "text_quality", "text_fingerprint", "bm25_rank",
 ]

@@ -327,6 +327,176 @@ def q_dedup_minhash_bands_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- mh2 family
+# Vectorized MinHash (VERDICT r02 "what's wrong" #3): the md5 family's fast
+# path had the right plan shape (one Arrow stage, zero shuffle) but spent
+# ~17 hashlib calls per shingle in a Python loop. This family replaces the
+# inner loop entirely with numpy:
+#   shingle hash  h64  = polynomial rolling hash over code points,
+#                        sum(cp_i * 31^(11-i)) mod 2^64
+#   permutation π_p    = (A_p * h64 + B_p) mod 2^64, A_p a 32-bit odd
+#                        multiplier (products fit HUGEINT on the oracle
+#                        side; numpy uint64 wraps to the same residue)
+#   signature element  = unsigned min over the doc's distinct shingle
+#                        hashes (np.minimum.reduceat across the batch)
+# Everything is exactly mirrored in DuckDB SQL (unicode()+HUGEINT
+# arithmetic), so the family carries its own oracle.
+import hashlib as _hashlib
+
+MH2_POW = [31 ** (SHINGLE_K - 1 - i) % (1 << 64) for i in range(SHINGLE_K)]
+MH2_A = [int(_hashlib.md5(f"perm-a-{pi}".encode()).hexdigest()[:8], 16) | 1
+         for pi in range(N_PERMS)]
+MH2_B = [int(_hashlib.md5(f"perm-b-{pi}".encode()).hexdigest()[:16], 16)
+         for pi in range(N_PERMS)]
+_MOD64 = "18446744073709551616"  # 2^64 (HUGEINT literal in DuckDB)
+
+# h64 of the shingle starting at 1-based position (4*i + 1) of lower(text)
+_SQL_MH2_H64 = "CAST((" + " + ".join(
+    f"CAST(unicode(substr(lower(d.text), CAST({SHINGLE_STRIDE} * p.i + 1 + {k} AS INT), 1)) AS HUGEINT) * {MH2_POW[k]}"
+    for k in range(SHINGLE_K)
+) + f") % {_MOD64} AS UBIGINT)"
+
+_SQL_MH2_SHINGLES = f"""
+  SELECT DISTINCT d.doc_id, {_SQL_MH2_H64} AS h64
+  FROM documents d,
+       unnest(range((length(d.text) - {SHINGLE_K}) // {SHINGLE_STRIDE} + 1)) p(i)
+  WHERE length(d.text) >= {SHINGLE_K}
+"""
+
+_SQL_MH2_PERMS = "SELECT * FROM (VALUES " + ", ".join(
+    f"({pi}, {MH2_A[pi]}, {MH2_B[pi]})" for pi in range(N_PERMS)
+) + ") t(pi, a, b)"
+
+# π_p(h64) with 128-bit intermediate, reduced mod 2^64
+_SQL_MH2_V = f"CAST((CAST(a AS HUGEINT) * CAST(h64 AS HUGEINT) + b) % {_MOD64} AS UBIGINT)"
+
+
+def _mh2_minima(batches):
+    """Shared mapInPandas core: yields (doc_id, mins[16]) per doc.
+    Per-doc work is the window/unique step; the 16-permutation minima are
+    computed for the WHOLE Arrow batch in one numpy reduceat."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pow_v = np.array(MH2_POW, dtype=np.uint64)
+    a_v = np.array(MH2_A, dtype=np.uint64)
+    b_v = np.array(MH2_B, dtype=np.uint64)
+    for pdf in batches:
+        ids, harrs, starts, off = [], [], [], 0
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            t = (text or "").lower()
+            if len(t) < SHINGLE_K:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) \
+                      .astype(np.uint64)
+            win = sliding_window_view(codes, SHINGLE_K)[::SHINGLE_STRIDE]
+            h = np.unique((win * pow_v[None, :]).sum(axis=1))
+            ids.append(doc_id)
+            harrs.append(h)
+            starts.append(off)
+            off += len(h)
+        if not ids:
+            yield []
+            continue
+        h_all = np.concatenate(harrs)
+        v = a_v[:, None] * h_all[None, :] + b_v[:, None]
+        mins = np.minimum.reduceat(v, np.array(starts), axis=1)  # (16, n_docs)
+        yield list(zip(ids, mins.T))
+
+
+def q_dedup_minhash_sig2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized MinHash signatures in ONE Arrow stage, zero shuffle, zero
+    per-shingle hashlib — the 100 TB production signature path. Output digest
+    = md5 over the ordered "pi=min" list, mirrored by the DuckDB oracle."""
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents")
+
+    def sig(batches):
+        md5 = _hashlib.md5
+        for docs in _mh2_minima(batches):
+            out = [
+                (doc_id,
+                 md5("|".join(f"{pi}={int(m)}" for pi, m in enumerate(mins))
+                     .encode()).hexdigest(),
+                 N_PERMS)
+                for doc_id, mins in docs
+            ]
+            yield pd.DataFrame(out, columns=["doc_id", "sig_digest", "n_perms"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        sig, "doc_id long, sig_digest string, n_perms long")
+
+
+SQL_DEDUP_MINHASH_SIG2 = f"""
+WITH sh AS ({_SQL_MH2_SHINGLES}),
+perms AS ({_SQL_MH2_PERMS}),
+mh AS (
+  SELECT doc_id, pi, min({_SQL_MH2_V}) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, pi
+)
+SELECT doc_id,
+       md5(string_agg(pi || '=' || mh, '|' ORDER BY pi)) AS sig_digest,
+       CAST(count(*) AS BIGINT) AS n_perms
+FROM mh GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_bands2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized LSH band candidates: per-doc band keys in one Arrow stage
+    (no hashlib in the shingle loop), single shuffle = the band-key bucket
+    join — the same shape as bands_fast with the md5 constant factor gone."""
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents")
+
+    def bands(batches):
+        md5 = _hashlib.md5
+        for docs in _mh2_minima(batches):
+            out = []
+            for doc_id, mins in docs:
+                for band in range(N_BANDS):
+                    parts = "|".join(
+                        f"{pi}={int(mins[pi])}"
+                        for pi in range(N_PERMS) if pi % N_BANDS == band)
+                    out.append((doc_id, band,
+                                md5(parts.encode()).hexdigest()))
+            yield pd.DataFrame(out, columns=["doc_id", "band", "band_key"])
+
+    sig_bands = d.select("doc_id", "text").mapInPandas(
+        bands, "doc_id long, band long, band_key string")
+    a = sig_bands.alias("a")
+    b = sig_bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+        .select(F.col("d1").cast("long"), F.col("d2").cast("long"), "n_shared_bands")
+    )
+
+
+SQL_DEDUP_MINHASH_BANDS2 = f"""
+WITH sh AS ({_SQL_MH2_SHINGLES}),
+perms AS ({_SQL_MH2_PERMS}),
+mh AS (
+  SELECT doc_id, pi, min({_SQL_MH2_V}) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, pi
+),
+bands AS (
+  SELECT doc_id, CAST(pi % {N_BANDS} AS BIGINT) AS band,
+         md5(string_agg(pi || '=' || mh, '|' ORDER BY pi)) AS band_key
+  FROM mh GROUP BY doc_id, pi % {N_BANDS}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS d1, CAST(b.doc_id AS BIGINT) AS d2,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
 # 60-bit SimHash: 15 hex chars of each token's md5 → 4 bits each
 _N_HEX = 15
 
@@ -558,8 +728,10 @@ QUERIES = {
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
+    "dedup_minhash_sig2": q_dedup_minhash_sig2,
     "dedup_minhash_bands": q_dedup_minhash_bands,
     "dedup_minhash_bands_fast": q_dedup_minhash_bands_fast,
+    "dedup_minhash_bands2": q_dedup_minhash_bands2,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
@@ -569,8 +741,10 @@ ORACLES = {
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_sig_fast": SQL_DEDUP_MINHASH_SIG,  # same output, zero shuffle
+    "dedup_minhash_sig2": SQL_DEDUP_MINHASH_SIG2,
     "dedup_minhash_bands": SQL_DEDUP_MINHASH_BANDS,
     "dedup_minhash_bands_fast": SQL_DEDUP_MINHASH_BANDS,  # same output, 1 shuffle
+    "dedup_minhash_bands2": SQL_DEDUP_MINHASH_BANDS2,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
 }
