@@ -67,6 +67,15 @@ class CrawlConfig:
     content_filter: str = "pruning"    # pruning | bm25
     bm25_query: str | None = None
     n_salts: int = 8
+    # auto-compaction cadence for the frontier event log (VERDICT r02
+    # "what's wrong" #5): once the log accumulates this many append dirs
+    # (≈ generations), the engine folds it to ONE row per (url, retry_count)
+    # event key — departure events override their enqueue events — and
+    # publishes the fold as a fresh snapshot. Keeps the per-generation
+    # `queued` reconstruction scan proportional to the LIVE set (+1 row per
+    # ever-seen url, which the exact URL-seen anti-join requires), not to
+    # run history. 0 disables.
+    compact_every: int = 16
     # CacheMode analog (ref cache_context.py:23-92 + async_webcrawler.py:267):
     # "enabled"    = read + write (skip urls already crawled successfully)
     # "read_only"  = serve cache hits, but rows written now are NOT hits later
@@ -176,6 +185,10 @@ class SparkWebEngine:
                               meta={"generation": gen,
                                     "pages_done": pages_done + n_sched})
             frontier = self.store.read(spark, "frontier")
+            if cfg.compact_every and \
+                    self.store.n_dirs("frontier") >= cfg.compact_every:
+                frontier = self._compact_frontier(
+                    gen=gen, pages_done=pages_done + n_sched)
 
             # host_state folds ONLY when there is backoff state to create or
             # decay — a clean generation (no 429/503, nothing tracked) skips
@@ -455,6 +468,31 @@ class SparkWebEngine:
 
         return done_delta.unionByName(new_rows).unionByName(requeue)
 
+    def _compact_frontier(self, *, gen: int, pages_done: int) -> DataFrame:
+        """Semantic event-log compaction (the Iceberg rewrite-with-MERGE
+        analog): fold to one row per (url, retry_count), preferring the
+        departure (non-QUEUED) event, latest generation as tie-break. Every
+        downstream read is invariant under the fold —
+          · `queued` = QUEUED anti-join non-QUEUED on (url, retry_count)
+          · exact URL-seen = anti-join on url (all urls retained)
+          · `frontier()` merge-on-read view
+        — while the log shrinks from ~2 rows per processed url (enqueue +
+        departure) to 1, and the append-dir count resets to a single dir.
+        History stays: old snapshots still reference the old dirs."""
+        from pyspark.sql.window import Window
+        fr = self.store.read(self.spark, "frontier")
+        w = Window.partitionBy("url", "retry_count").orderBy(
+            F.when(F.col("status") == "QUEUED", 1).otherwise(0).asc(),
+            F.col("generation").desc(),
+        )
+        folded = (fr.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+        self.store.commit(
+            "frontier", folded, mode="overwrite",
+            meta={"generation": gen, "pages_done": pages_done,
+                  "compacted_at_gen": gen})
+        return self.store.read(self.spark, "frontier")
+
     def _seen_backend(self, cfg: CrawlConfig):
         """(build, filter_unseen) callables for the configured F5 fast path."""
         if cfg.seen_backend == "cuckoo":
@@ -602,19 +640,20 @@ class SparkWebEngine:
         """Reconstructed current frontier view: every enqueued row with its
         latest status (merge-on-read over the single append-only event log:
         a departure event with the same (url, retry_count) key overrides
-        the QUEUED enqueue event)."""
+        the QUEUED enqueue event). Expressed as the same fold
+        ``_compact_frontier`` applies, so the view is invariant to whether
+        (and when) the log was compacted — a departure row carries the
+        enqueue row's url/depth/parent/score columns by construction."""
+        from pyspark.sql.window import Window
         fr = self.store.read(self.spark, "frontier")
         if fr is None:
             return None
-        latest = fr.filter(F.col("status") != "QUEUED") \
-                   .select("url", "retry_count", F.col("status").alias("__final"))
-        return (
-            fr.filter(F.col("status") == "QUEUED")
-            .drop("status")
-            .join(latest, on=["url", "retry_count"], how="left")
-            .withColumn("status", F.coalesce(F.col("__final"), F.lit("QUEUED")))
-            .drop("__final")
+        w = Window.partitionBy("url", "retry_count").orderBy(
+            F.when(F.col("status") == "QUEUED", 1).otherwise(0).asc(),
+            F.col("generation").desc(),
         )
+        return (fr.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
 
     def metrics(self) -> DataFrame | None:
         return self.store.read(self.spark, "metrics")

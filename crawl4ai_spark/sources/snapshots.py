@@ -93,6 +93,15 @@ class SnapshotStore:
         return self.commit(table, df, mode="overwrite",
                            meta={**self.meta(table), "compacted_from": sid})
 
+    def n_dirs(self, table: str) -> int:
+        """Data-dir count of the current snapshot — the driver-side (zero
+        Spark jobs) signal for append-accumulation: each append commit adds
+        one dir, so this ≈ generations since the last compaction."""
+        sid = self.latest_id(table)
+        if sid is None:
+            return 0
+        return len(self._read_manifest(table, sid)["dirs"])
+
     def amend_meta(self, table: str, snapshot_id: int, extra: dict) -> None:
         """Merge extra keys into an existing snapshot's meta (driver-side
         bookkeeping discovered during/after the write, e.g. observed row

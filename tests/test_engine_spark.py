@@ -379,3 +379,56 @@ def test_snapshot_compaction_preserves_rows_and_history(spark, pages, tmp_store)
     # time travel to the pre-compaction snapshot still works
     assert store.read(spark, "frontier", before_sid).count() == len(before_rows)
     assert store.meta("frontier")["compacted_from"] == before_sid
+
+
+def test_auto_compaction_invariant_and_resumable(spark, pages, tmp_store):
+    """Engine-driven semantic compaction (compact_every): the run's results
+    and final frontier view are identical to an uncompacted run, the log
+    folds to ≤1 row per (url, retry_count), and resume across a compacted
+    store reproduces the uninterrupted crawl."""
+    import os
+
+    robots = generate_robots(spark, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, n_hosts=N_HOSTS)
+    base = CrawlConfig(max_depth=3, max_pages=500, per_host_quota=10)
+
+    ref_root = os.path.join(tmp_store, "nocompact")
+    from dataclasses import replace
+    res_ref = SparkWebEngine(spark, ref_root).run(
+        pages, seeds, robots=robots, config=replace(base, compact_every=0))
+    ref = {(r.url, r.generation, r.status_code) for r in res_ref.collect()}
+
+    ac_root = os.path.join(tmp_store, "autocompact")
+    eng = SparkWebEngine(spark, ac_root)
+    res_ac = eng.run(pages, seeds, robots=robots,
+                     config=replace(base, compact_every=2))
+    got = {(r.url, r.generation, r.status_code) for r in res_ac.collect()}
+    assert got == ref
+
+    # the log actually folded: at most one row per (url, retry_count), and
+    # the manifest was reset to few dirs (compaction ran at least once)
+    fr = eng.store.read(spark, "frontier")
+    dup_keys = (fr.groupBy("url", "retry_count").count()
+                .filter(F.col("count") > 1).count())
+    assert dup_keys == 0
+    assert eng.store.meta("frontier").get("compacted_at_gen") is not None or \
+        eng.store.n_dirs("frontier") < 2
+    ref_eng = SparkWebEngine(spark, ref_root)
+    assert eng.store.n_dirs("frontier") < ref_eng.store.n_dirs("frontier")
+
+    # frontier merge-on-read view matches the uncompacted run's view
+    v_ref = {(r.url, r.retry_count, r.status)
+             for r in ref_eng.frontier().collect()}
+    v_ac = {(r.url, r.retry_count, r.status) for r in eng.frontier().collect()}
+    assert v_ac == v_ref
+
+    # resume across a compaction boundary reproduces the full crawl
+    part_root = os.path.join(tmp_store, "autocompact_part")
+    eng_p = SparkWebEngine(spark, part_root)
+    eng_p.run(pages, seeds, robots=robots,
+              config=replace(base, compact_every=2), max_generations=3)
+    eng_p2 = SparkWebEngine(spark, part_root)
+    res_p = eng_p2.run(pages, seeds, robots=robots,
+                       config=replace(base, compact_every=2), resume=True)
+    resumed = {(r.url, r.generation, r.status_code) for r in res_p.collect()}
+    assert resumed == ref
