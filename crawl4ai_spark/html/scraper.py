@@ -35,7 +35,10 @@ IMPORTANT_ATTRS = frozenset(     # ref config.py:94, + class/id kept for the
 _REMOVE_TAGS = frozenset({"script", "style", "link", "meta", "noscript", "template", "base"})
 _EMPTY_EXEMPT = frozenset({"pre", "code", "img", "br", "hr", "table", "td", "th",
                            "video", "audio", "iframe", "body", "html"})
-_BAD_IMG_RE = re.compile(r"icon|logo|sprite|avatar|badge|pixel|tracker", re.I)
+# superset of the reference's ["button","icon","logo"] chrome markers
+# (process_image early-returns on them; we score-penalize instead)
+_BAD_IMG_RE = re.compile(
+    r"button|icon|logo|sprite|avatar|badge|pixel|tracker", re.I)
 _WS = re.compile(r"\s+")
 
 
@@ -202,16 +205,25 @@ def _int_attr(node: Node, name: str) -> int:
     return int(m.group()) if m else 0
 
 
+# image-score decision constants (parity: content_scraping_strategy.py
+# process_image :410-515; frozen reference values in
+# tests/goldens/scrape_constants.json via scripts/gen_scrape_constants.py)
+IMG_DIM_THRESHOLD_PX = 150
+IMG_FORMATS = ("jpg", "jpeg", "png", "webp", "avif", "gif")
+IMG_CHROME_MARKERS = ("button", "icon", "logo")
+
+
 def score_image(node: Node) -> int:
     """Data-image vs chrome-image score (parity: content_scraping_strategy.py:410-515)."""
     src = node.get("src") or node.get("data-src") or ""
     score = 0
     if node.get("alt"):
         score += 1
-    if _int_attr(node, "width") >= 150 or _int_attr(node, "height") >= 150:
+    if _int_attr(node, "width") >= IMG_DIM_THRESHOLD_PX \
+            or _int_attr(node, "height") >= IMG_DIM_THRESHOLD_PX:
         score += 1
     fmt = src.rsplit(".", 1)[-1].lower().split("?")[0] if "." in src else ""
-    if fmt in ("jpg", "jpeg", "png", "webp"):
+    if fmt in IMG_FORMATS:
         score += 1
     if node.get("srcset") or (node.parent is not None and node.parent.tag == "picture"):
         score += 1
