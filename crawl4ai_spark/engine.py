@@ -109,6 +109,19 @@ class SparkWebEngine:
         self.spark = spark
         self.store = SnapshotStore(store_root)
 
+    def _read_frontier(self) -> DataFrame | None:
+        """Frontier log projected to its own schema. The unified event
+        commit stores frontier rows beside result rows in a shared parquet
+        dir, so a raw read carries merge-schema'd result columns (nested
+        markdown/links structs, null for frontier rows) — besides being
+        waste, feeding those null structs into a pandas-UDF's Arrow
+        conversion segfaults pyarrow. Projecting here keeps every frontier
+        consumer on the narrow columns (and lets parquet prune the rest)."""
+        fr = self.store.read(self.spark, "frontier")
+        if fr is None:
+            return None
+        return fr.select([f.name for f in FR.FRONTIER_SCHEMA.fields])
+
     # ------------------------------------------------------------------ run
     def run(self, pages: DataFrame, seeds: DataFrame, *,
             robots: DataFrame | None = None,
@@ -126,13 +139,13 @@ class SparkWebEngine:
         # rows in a SINGLE commit — it never rewrites the frontier (an
         # Iceberg MERGE-on-read layout; compaction is an offline concern).
         if resume and self.store.latest_id("frontier") is not None:
-            frontier = self.store.read(spark, "frontier")
+            frontier = self._read_frontier()
             start_gen = int(self.store.meta("frontier").get("generation", 0)) + 1
             pages_done = int(self.store.meta("frontier").get("pages_done", 0))
         else:
             frontier = FR.seeds_to_frontier(seeds)
             self.store.commit("frontier", frontier, meta={"generation": -1, "pages_done": 0})
-            frontier = self.store.read(spark, "frontier")
+            frontier = self._read_frontier()
             start_gen = 0
             pages_done = 0
 
@@ -169,22 +182,39 @@ class SparkWebEngine:
             results = self._fetch_and_process(batch, pages, cfg, gen)
             results = results.withColumn(
                 "cached", F.lit(cfg.cache_mode in ("enabled", "write_only")))
-            # piggyback the rate-limit counter on the results WRITE (zero
-            # extra job) — it decides whether host_state needs folding
-            obs = Observation(f"gen{gen}")
-            results = results.observe(
-                obs, F.sum(F.when(F.col("status_code").isin(429, 503), 1)
-                           .otherwise(0)).alias("n_limited"))
-            self.store.commit("results", results, mode="append",
-                              meta={"generation": gen})
-            n_limited = int(obs.get.get("n_limited") or 0)
-            results = self.store.read(spark, "results").filter(F.col("generation") == gen)
+            # the frontier delta derives from the result rows (outcome
+            # statuses, discovered links, requeues); persist so the unified
+            # write's branches share the one Arrow-processed pass instead of
+            # recomputing the pUDF per branch
+            results = results.persist()
+            frontier_delta = self._advance_frontier(
+                frontier, batch, results, cfg, gen)
 
-            frontier_delta = self._advance_frontier(frontier, batch, results, cfg, gen)
-            self.store.commit("frontier", frontier_delta, mode="append",
-                              meta={"generation": gen,
-                                    "pages_done": pages_done + n_sched})
-            frontier = self.store.read(spark, "frontier")
+            # ONE Spark action commits result rows AND the frontier-log
+            # delta (NOTES r02 #3 / VERDICT r02 next-round #7): the tagged
+            # union lands in a shared data dir; two filtered manifests
+            # publish it as both tables. The rate-limit counter piggybacks
+            # on the same write (zero extra job) — it decides whether
+            # host_state needs folding.
+            ev = results.withColumn("event_type", F.lit("result")).unionByName(
+                frontier_delta.withColumn("event_type", F.lit("frontier")),
+                allowMissingColumns=True)
+            obs = Observation(f"gen{gen}")
+            ev = ev.observe(
+                obs, F.sum(F.when((F.col("event_type") == "result")
+                                  & F.col("status_code").isin(429, 503), 1)
+                           .otherwise(0)).alias("n_limited"))
+            self.store.commit_unified(ev, [
+                ("results", "append",
+                 "event_type IS NULL OR event_type = 'result'",
+                 {"generation": gen}),
+                ("frontier", "append",
+                 "event_type IS NULL OR event_type = 'frontier'",
+                 {"generation": gen, "pages_done": pages_done + n_sched}),
+            ])
+            n_limited = int(obs.get.get("n_limited") or 0)
+            results.unpersist()
+            frontier = self._read_frontier()
             if cfg.compact_every and \
                     self.store.n_dirs("frontier") >= cfg.compact_every:
                 frontier = self._compact_frontier(
@@ -195,8 +225,10 @@ class SparkWebEngine:
             # the job entirely
             if n_limited > 0 or hosts_tracked:
                 prev_hs = self.store.read(spark, "host_state")
+                gen_res = self.store.read(spark, "results") \
+                              .filter(F.col("generation") == gen)
                 hs = POL.update_host_state(
-                    prev_hs, results.select("host", "status_code"), gen
+                    prev_hs, gen_res.select("host", "status_code"), gen
                 )
                 hobs = Observation(f"hs{gen}")
                 hs = hs.observe(hobs, F.count(F.lit(1)).alias("n_hosts"))
@@ -226,9 +258,9 @@ class SparkWebEngine:
                   cfg: CrawlConfig, pages_budget: int
                   ) -> tuple[DataFrame, bool | None]:
         """Build the scheduled batch. Returns (batch, known_empty):
-        known_empty is True/False when the BFS/DFS depth probe already
-        answered it (that agg doubles as the emptiness check — no separate
-        count job), None for best_first (caller probes with isEmpty)."""
+        known_empty stays None for every policy now that the BFS/DFS depth
+        gate is an in-plan broadcast aggregate — emptiness is answered by
+        the caller's batch count (which it needs anyway)."""
         known_empty: bool | None = None
         cand = frontier.filter(F.col("status") == "QUEUED") \
                        .filter(F.col("retry_count") <= POL.MAX_RETRIES)
@@ -250,19 +282,18 @@ class SparkWebEngine:
             cand = cand.filter(
                 (F.col("depth") == 0) | (F.col("score") >= cfg.score_threshold)
             )
-        if cfg.policy == "bfs":
-            # level-synchronous: only the shallowest queued depth runs
-            min_depth = cand.agg(F.min("depth")).collect()[0][0]
-            if min_depth is None:
-                return cand.limit(0), True
-            cand = cand.filter(F.col("depth") == min_depth)
-            known_empty = False
-        elif cfg.policy == "dfs":
-            max_depth = cand.agg(F.max("depth")).collect()[0][0]
-            if max_depth is None:
-                return cand.limit(0), True
-            cand = cand.filter(F.col("depth") == max_depth)
-            known_empty = False
+        if cfg.policy in ("bfs", "dfs"):
+            # level-synchronous: only the shallowest (BFS) / deepest (DFS)
+            # queued depth runs. The depth gate is a one-row broadcast-joined
+            # aggregate INSIDE the batch plan, not a driver-side collect —
+            # that probe used to cost a whole Spark action per generation,
+            # the dominant fixed cost at small batch sizes (NOTES r02 #3);
+            # emptiness now falls out of the batch count instead.
+            agg_f = F.min("depth") if cfg.policy == "bfs" else F.max("depth")
+            gate = cand.agg(agg_f.alias("__gate_depth"))
+            cand = cand.join(F.broadcast(gate),
+                             on=F.col("depth") == F.col("__gate_depth")) \
+                       .drop("__gate_depth")
         # best_first: no depth gate — global (score, depth, url) order
 
         global_limit = min(
@@ -480,7 +511,7 @@ class SparkWebEngine:
         departure) to 1, and the append-dir count resets to a single dir.
         History stays: old snapshots still reference the old dirs."""
         from pyspark.sql.window import Window
-        fr = self.store.read(self.spark, "frontier")
+        fr = self._read_frontier()
         w = Window.partitionBy("url", "retry_count").orderBy(
             F.when(F.col("status") == "QUEUED", 1).otherwise(0).asc(),
             F.col("generation").desc(),
@@ -491,7 +522,7 @@ class SparkWebEngine:
             "frontier", folded, mode="overwrite",
             meta={"generation": gen, "pages_done": pages_done,
                   "compacted_at_gen": gen})
-        return self.store.read(self.spark, "frontier")
+        return self._read_frontier()
 
     def _seen_backend(self, cfg: CrawlConfig):
         """(build, filter_unseen) callables for the configured F5 fast path."""
@@ -620,7 +651,7 @@ class SparkWebEngine:
         from micro-batch N>0 are not silently dropped — resume reads the
         frontier from the snapshot store and never looks at the ``seeds``
         argument (ADVICE r01 #1)."""
-        fr = self.store.read(self.spark, "frontier")
+        fr = self._read_frontier()
         rows = FR.seeds_to_frontier(seeds)
         if fr is not None:
             rows = rows.join(fr.select("url").distinct(),
@@ -645,7 +676,7 @@ class SparkWebEngine:
         (and when) the log was compacted — a departure row carries the
         enqueue row's url/depth/parent/score columns by construction."""
         from pyspark.sql.window import Window
-        fr = self.store.read(self.spark, "frontier")
+        fr = self._read_frontier()
         if fr is None:
             return None
         w = Window.partitionBy("url", "retry_count").orderBy(

@@ -77,6 +77,39 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(table, sid))  # atomic publish
         return sid
 
+    def commit_unified(self, df: DataFrame,
+                       specs: list[tuple[str, str, str, dict]]) -> dict[str, int]:
+        """ONE parquet write serving several tables: ``df`` (a tagged union)
+        lands in a single shared data dir, then each ``(table, mode,
+        filter_expr, meta)`` spec publishes a snapshot manifest referencing
+        that dir with a row filter. This is how a crawl generation commits
+        its result rows AND its frontier-log delta in one Spark action (the
+        Iceberg single-commit-multiple-table-branch analog): the per-
+        generation driver↔cluster round trips drop by one, which is the
+        entire cost floor at small batch sizes. ``read`` applies the filter,
+        so mixed manifests (legacy unfiltered dirs + shared tagged dirs)
+        stay correct — filters must be written as
+        ``col IS NULL OR col = 'tag'`` for that reason."""
+        shared = os.path.join(self.root, "_unified",
+                              f"u{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(shared)
+        sids: dict[str, int] = {}
+        for table, mode, filter_expr, meta in specs:
+            prev = self.latest_id(table)
+            sid = 0 if prev is None else prev + 1
+            dirs = [shared]
+            if mode == "append" and prev is not None:
+                dirs = self._read_manifest(table, prev)["dirs"] + dirs
+            os.makedirs(self._manifest_dir(table), exist_ok=True)
+            manifest = {"id": sid, "dirs": dirs, "meta": meta or {},
+                        "filter": filter_expr}
+            tmp = self._manifest_path(table, sid) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path(table, sid))
+            sids[table] = sid
+        return sids
+
     def compact(self, spark: SparkSession, table: str,
                 target_partitions: int | None = None) -> int | None:
         """Offline compaction: rewrite the CURRENT snapshot's (possibly many)
@@ -120,8 +153,13 @@ class SnapshotStore:
         sid = snapshot_id if snapshot_id is not None else self.latest_id(table)
         if sid is None:
             return None
-        dirs = self._read_manifest(table, sid)["dirs"]
-        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+        m = self._read_manifest(table, sid)
+        df = spark.read.option("mergeSchema", "true").parquet(*m["dirs"])
+        if m.get("filter"):
+            df = df.filter(m["filter"])
+            if "event_type" in df.columns:
+                df = df.drop("event_type")
+        return df
 
     def meta(self, table: str, snapshot_id: int | None = None) -> dict:
         sid = snapshot_id if snapshot_id is not None else self.latest_id(table)
