@@ -14,6 +14,7 @@ _MODULES = [
     "ranking",
     "multimodal",
     "extractq",
+    "pdfq",
     "pipelineq",
     "headq",
     "crawlq",

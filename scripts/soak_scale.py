@@ -137,6 +137,9 @@ def main() -> None:
     args = ap.parse_args()
 
     os.makedirs(SOAK_ROOT, exist_ok=True)
+    # 32 executor threads in one local JVM + a cached 1.6M-page corpus:
+    # the 8g default heap OOMs; the soak box has 128 GiB
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     from crawl4ai_spark.session import get_spark
     spark = get_spark("soak_scale", master=f"local[{args.cores}]",
                       shuffle_partitions=max(32, args.cores))
