@@ -300,6 +300,15 @@ class SparkWebEngine:
             pages_budget,
             cfg.batch_size if cfg.batch_size is not None else pages_budget,
         )
+        # an effectively-unbounded budget must NOT reach TakeOrdered:
+        # orderBy().limit(k) preallocates a bounded priority queue of
+        # capacity k per partition, so a "no limit please" sentinel like
+        # max_pages=1<<30 OOMs the JVM before a single row flows (found by
+        # the r3 sf1 drain soak). Above the threshold the per-generation cap
+        # is dropped entirely — the run loop's pages_done check still bounds
+        # the crawl, with overshoot of at most one generation's batch.
+        if global_limit is not None and global_limit >= (1 << 20):
+            global_limit = None
         # backoff-aware per-host quota (F12): hosts with recent 429/503 get
         # their budget halved per failure (floor 1) until the state decays
         hs = self.store.read(self.spark, "host_state")

@@ -432,3 +432,22 @@ def test_auto_compaction_invariant_and_resumable(spark, pages, tmp_store):
                        config=replace(base, compact_every=2), resume=True)
     resumed = {(r.url, r.generation, r.status_code) for r in res_p.collect()}
     assert resumed == ref
+
+
+def test_unbounded_max_pages_drains_without_takeordered(spark, pages, tmp_store):
+    """Regression (r3 sf1 soak find): an effectively-unbounded max_pages
+    sentinel (1<<30) used to flow into orderBy().limit(k) — Spark's
+    TakeOrdered preallocates a k-entry priority queue per partition, OOMing
+    the JVM before any row flows. Above the threshold the per-generation
+    cap must drop out of the plan entirely and the crawl still drains."""
+    import os
+
+    eng = SparkWebEngine(spark, os.path.join(tmp_store, "unbounded"))
+    res = eng.run(pages, generate_seeds(spark, N_HOSTS),
+                  config=CrawlConfig(max_depth=3, max_pages=1 << 30,
+                                     per_host_quota=31,
+                                     check_robots_txt=False))
+    n = res.count()
+    assert n > 0
+    # every reachable page was drained (4 hosts x 15 pages incl. 404 edges)
+    assert res.filter(F.col("success")).count() > 0
