@@ -183,10 +183,15 @@ class SparkWebEngine:
             results = results.withColumn(
                 "cached", F.lit(cfg.cache_mode in ("enabled", "write_only")))
             # the frontier delta derives from the result rows (outcome
-            # statuses, discovered links, requeues); persist so the unified
-            # write's branches share the one Arrow-processed pass instead of
-            # recomputing the pUDF per branch
+            # statuses, discovered links, requeues). Persist AND materialize
+            # (count) before the unified write: its union branches read
+            # `results` up to 4× (result rows, outcomes, links, requeues),
+            # and with a lazy cache those branches RACE to compute the
+            # scrape pUDF concurrently — measured 4× generation wall at
+            # drain-scale batches. The count is one cheap extra action that
+            # pins the Arrow pass to exactly once.
             results = results.persist()
+            n_results = results.count()
             frontier_delta = self._advance_frontier(
                 frontier, batch, results, cfg, gen)
 
