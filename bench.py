@@ -37,6 +37,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_bands_fast", "dedup_minhash_bands2",
     "sim_ann_topk_pandas", "sim_lsh_buckets",
     "text_quality", "text_fingerprint", "bm25_rank",
+    "pdf_extract",
 ]
 
 

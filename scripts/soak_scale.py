@@ -57,7 +57,7 @@ def drain(spark, n_hosts: int, pph: int, tag: str) -> dict:
     t0 = time.time()
     eng = SparkWebEngine(spark, store)
     res = eng.run(pages, seeds,
-                  config=CrawlConfig(max_depth=8, max_pages=1 << 30,
+                  config=CrawlConfig(max_depth=8, max_pages=1 << 30,  # unbounded: engine drops the TakeOrdered cap,
                                      per_host_quota=31, use_bloom=True,
                                      check_robots_txt=False))
     n_urls = res.count()
