@@ -15,6 +15,7 @@ _MODULES = [
     "multimodal",
     "extractq",
     "pdfq",
+    "clusterq",
     "pipelineq",
     "headq",
     "crawlq",
