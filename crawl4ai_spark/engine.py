@@ -64,6 +64,7 @@ class CrawlConfig:
     word_count_threshold: int = 1
     excluded_tags: list | None = None
     extraction_schema: dict | None = None
+    cosine_extraction: dict | None = None   # CosineClusterExtraction kwargs
     content_filter: str = "pruning"    # pruning | bm25
     bm25_query: str | None = None
     n_salts: int = 8
@@ -381,6 +382,7 @@ class SparkWebEngine:
             bm25_query=cfg.bm25_query,
             word_count_threshold=cfg.word_count_threshold,
             excluded_tags=cfg.excluded_tags,
+            cosine_config=cfg.cosine_extraction,
         )
         # re-attach host/depth (processed keeps url) + 404s for scheduled
         # urls missing from pages

@@ -76,7 +76,8 @@ RESULTS_SCHEMA = T.StructType([
 def process_page(url: str, html: str, *, extraction_schema_json: str | None = None,
                  content_filter: str = "pruning", bm25_query: str | None = None,
                  word_count_threshold: int = 1,
-                 excluded_tags: list[str] | None = None) -> dict:
+                 excluded_tags: list[str] | None = None,
+                 cosine_config: dict | None = None) -> dict:
     """Pure single-page pipeline — THE golden oracle for byte-identity tests."""
     try:
         s = scrape(url, html, word_count_threshold=word_count_threshold,
@@ -88,10 +89,21 @@ def process_page(url: str, html: str, *, extraction_schema_json: str | None = No
         else:
             filt = PruningContentFilter()
         fmd, fhtml = fit_markdown(html, filter_obj=filt, base_url=url)
-        extracted = (
-            extract_json_css_str(html, extraction_schema_json)
-            if extraction_schema_json else None
-        )
+        if extraction_schema_json:
+            extracted = extract_json_css_str(html, extraction_schema_json)
+        elif cosine_config is not None:
+            # CosineStrategy path (ref async_webcrawler.py:613-629): default
+            # input_format is markdown, chunked by RegexChunking (default
+            # '\n\n'; override via the 'chunk_patterns' key, the analog of
+            # passing RegexChunking(patterns=...)), then strategy.run(...)
+            from crawl4ai_spark.html.chunking import regex_chunk
+            from crawl4ai_spark.html.cosine_extract import CosineClusterExtraction
+            cc = dict(cosine_config)
+            patterns = cc.pop("chunk_patterns", None)
+            strat = CosineClusterExtraction(**cc)
+            extracted = json.dumps(strat.run(url, regex_chunk(raw_md, patterns)))
+        else:
+            extracted = None
         return {
             "url": url,
             "status_code": 200,
@@ -129,7 +141,8 @@ def process_page(url: str, html: str, *, extraction_schema_json: str | None = No
 def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = None,
                   content_filter: str = "pruning", bm25_query: str | None = None,
                   word_count_threshold: int = 1,
-                  excluded_tags: list[str] | None = None) -> DataFrame:
+                  excluded_tags: list[str] | None = None,
+                  cosine_config: dict | None = None) -> DataFrame:
     """pages(url, html binary, ...) → results (RESULTS_SCHEMA), one Arrow stage."""
     schema_json = (
         json.dumps(extraction_schema) if isinstance(extraction_schema, dict)
@@ -156,6 +169,7 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
                     content_filter=content_filter, bm25_query=bm25_query,
                     word_count_threshold=word_count_threshold,
                     excluded_tags=excluded_tags,
+                    cosine_config=cosine_config,
                 ))
             yield pd.DataFrame(rows)
 

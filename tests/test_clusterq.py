@@ -183,3 +183,31 @@ def test_run_joins_sections_like_reference():
     a = "alpha beta gamma delta"
     b = "zebra quokka wombat lemur"
     assert s.run("u", [a, b]) == s.extract("u", _mk_text(a, b))
+
+
+def test_cosine_extraction_through_page_pipeline(spark):
+    """Engine surface: cosine_config on process_pages produces the cluster
+    JSON in extracted_content (markdown input, \\n\\n-chunked — the
+    reference's default input_format + RegexChunking path)."""
+    import json
+
+    from crawl4ai_spark.functions.udfs import process_page, process_pages
+
+    html = ("<html><body>"
+            "<p>spark shuffle partition join broadcast hash spark shuffle</p>"
+            "<p>spark shuffle partition join broadcast hash spark merge</p>"
+            "<p>zebra quokka wombat lemur capuchin macaw iguana gecko</p>"
+            "</body></html>")
+    # single_line_break markdown (reference default) has no blank lines, so
+    # split per line — the RegexChunking(patterns=[...]) analog
+    cfg = {"max_dist": 0.4, "word_count_threshold": 3,
+           "chunk_patterns": ["\n"]}
+    pure = process_page("http://t.example/", html, cosine_config=cfg)
+    clusters = json.loads(pure["extracted_content"])
+    assert len(clusters) >= 2
+    assert all(set(c) == {"index", "tags", "content"} for c in clusters)
+
+    pages = spark.createDataFrame(
+        [("http://t.example/", html.encode())], "url string, html binary")
+    row = process_pages(pages, cosine_config=cfg).collect()[0]
+    assert row.extracted_content == pure["extracted_content"]
