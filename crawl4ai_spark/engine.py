@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.udfs import process_pages
+from crawl4ai_spark.operators import dispatch as DSP
 from crawl4ai_spark.operators import frontier as FR
 from crawl4ai_spark.operators import politeness as POL
 from crawl4ai_spark.operators.bloom import build_bloom, filter_unseen, merge_blooms
@@ -65,6 +66,13 @@ class CrawlConfig:
     excluded_tags: list | None = None
     extraction_schema: dict | None = None
     cosine_extraction: dict | None = None   # CosineClusterExtraction kwargs
+    # F13/F14 dispatcher analogs (operators/dispatch.py): admission control
+    # over the GENERATION batch size. "memory_adaptive" shrinks/defers the
+    # batch under memory pressure and folds the reference's fairness/aging
+    # priority into scheduling; "semaphore" pins a fixed batch. None (the
+    # default) leaves admission to max_pages/batch_size alone.
+    dispatcher: str | None = None
+    dispatcher_opts: dict = field(default_factory=dict)
     content_filter: str = "pruning"    # pruning | bm25
     bm25_query: str | None = None
     n_salts: int = 8
@@ -159,14 +167,42 @@ class SparkWebEngine:
         # max_generations is for tests / partial runs
         max_gens = max_generations if max_generations is not None else 1 << 20
 
-        while gen < start_gen + max_gens and pages_done < cfg.max_pages:
+        # F13/F14: generation-batch admission controller. Base batch = the
+        # configured cap (or the remaining budget when uncapped).
+        controller = None
+        check_interval = 1.0
+        if cfg.dispatcher:
+            opts = dict(cfg.dispatcher_opts)
+            check_interval = float(opts.pop("check_interval", 1.0))
+            opts.pop("fairness_timeout_gens", None)  # scheduling knob, below
+            controller = DSP.make_controller(
+                cfg.dispatcher,
+                cfg.batch_size if cfg.batch_size is not None
+                else min(cfg.max_pages, 1 << 19),
+                opts)
+
+        iters = 0
+        while iters < max_gens and pages_done < cfg.max_pages:
+            iters += 1  # deferred generations consume an iteration too
             t0 = time.time()
+            batch_cap = None
+            if controller is not None:
+                batch_cap = controller.admit()
+                if batch_cap == 0:
+                    # critical memory pressure: defer the generation —
+                    # queued rows simply stay queued (the requeue analog of
+                    # async_dispatcher.py:288-315). The controller's
+                    # pressure timer keeps running, so persistent pressure
+                    # raises MemoryError like the reference's wait timeout.
+                    time.sleep(check_interval)
+                    continue
             left = frontier.filter(F.col("status") != "QUEUED") \
                            .select("url", "retry_count")
             queued = frontier.filter(F.col("status") == "QUEUED") \
                              .join(left, on=["url", "retry_count"], how="left_anti")
             batch, known_empty = self._schedule(
-                queued, robots, cfg, pages_budget=cfg.max_pages - pages_done)
+                queued, robots, cfg, pages_budget=cfg.max_pages - pages_done,
+                gen=gen, batch_cap=batch_cap)
             if known_empty:
                 break
             # the batch feeds fetch, 404-detection, robots-403 rows and the
@@ -261,7 +297,8 @@ class SparkWebEngine:
 
     # ----------------------------------------------------------- internals
     def _schedule(self, frontier: DataFrame, robots: DataFrame | None,
-                  cfg: CrawlConfig, pages_budget: int
+                  cfg: CrawlConfig, pages_budget: int,
+                  gen: int = 0, batch_cap: int | None = None
                   ) -> tuple[DataFrame, bool | None]:
         """Build the scheduled batch. Returns (batch, known_empty):
         known_empty stays None for every policy now that the BFS/DFS depth
@@ -305,6 +342,7 @@ class SparkWebEngine:
         global_limit = min(
             pages_budget,
             cfg.batch_size if cfg.batch_size is not None else pages_budget,
+            batch_cap if batch_cap is not None else pages_budget,
         )
         # an effectively-unbounded budget must NOT reach TakeOrdered:
         # orderBy().limit(k) preallocates a bounded priority queue of
@@ -325,10 +363,22 @@ class SparkWebEngine:
                 F.expr(f"greatest(1, shiftright({cfg.per_host_quota}, "
                        "cast(least(fail_count, 3) as int)))").alias("quota"),
             )
+        # F13 fairness/aging (async_dispatcher.py:217-226) as a column in
+        # the scheduling rank — starved URLs jump the queue, retried URLs
+        # are demoted — instead of the reference's drain-and-reheap of the
+        # whole PriorityQueue each cycle (:470-520)
+        priority = None
+        if cfg.dispatcher == "memory_adaptive":
+            priority = DSP.priority_score(
+                (F.lit(gen) - F.col("generation")).cast("double"),
+                F.col("retry_count"),
+                fairness_timeout_gens=int(
+                    cfg.dispatcher_opts.get("fairness_timeout_gens", 3)),
+            )
         batch = POL.schedule_batch(
             cand, per_host_quota=cfg.per_host_quota,
             global_limit=global_limit, n_salts=cfg.n_salts,
-            host_quota=host_quota,
+            host_quota=host_quota, priority=priority,
         )
         if cfg.check_robots_txt and robots is not None:
             rb = robots

@@ -61,15 +61,20 @@ def base_delay(host: str, generation: int = 0) -> float:
 
 def schedule_batch(candidates: DataFrame, *, per_host_quota: int = 10,
                    global_limit: int | None = None, n_salts: int = 8,
-                   host_quota: DataFrame | None = None) -> DataFrame:
+                   host_quota: DataFrame | None = None,
+                   priority=None) -> DataFrame:
     """Pick ≤ quota URLs per host (highest score first, stable ties), then
     optionally cap the global batch by the same priority order.
 
     Two-stage top-k: salted local rank (kills host skew) → exact host rank.
     Ordering key = (score DESC, depth ASC, url ASC) — the best-first priority
     tuple of the reference (bff_strategy.py:19,130-215: (-score, depth, url)).
+    ``priority`` (a Column; lower first) prepends a dispatcher fairness rank
+    — F13's starvation/retry aging — without changing the tuple's tie order.
     """
     order = [F.col("score").desc(), F.col("depth").asc(), F.col("url").asc()]
+    if priority is not None:
+        order = [priority.asc()] + order
 
     salted = candidates.withColumn(
         "__salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))

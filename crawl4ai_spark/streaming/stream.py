@@ -15,7 +15,15 @@ same capabilities are expressed Spark-natively:
   (micro-batch per frontier generation, resumable via the snapshot store);
 - :func:`stream_sessionize_events` — a custom STATEFUL operator via
   ``applyInPandasWithState``: per-user gap sessionization whose state
-  survives across micro-batches (asserted equal to the batch query).
+  survives across micro-batches (asserted equal to the batch query);
+- :func:`stream_sessionize_events_tws` — the SAME operator on Spark 4's
+  successor stateful API (``transformWithStateInPandas`` +
+  ``StatefulProcessor``/``ValueState``), asserted equal to both the
+  applyInPandasWithState variant and the batch query. NOTE: the TWS state
+  protocol needs ``google.protobuf``, absent in this sandbox — the tests
+  skip with that reason and run wherever protobuf exists;
+- :func:`stream_dedup_exact` — streaming exact deduplication: first
+  arrival per normalized-content hash wins (``dropDuplicates`` state).
 
 All entry points accept ``trigger=availableNow`` so tests are hermetic.
 """
@@ -178,4 +186,84 @@ def stream_sessionize_events(spark: SparkSession, events_dir: str,
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_sessionize_events_tws(spark: SparkSession, events_dir: str,
+                                 gap_s: int = 1800,
+                                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Gap sessionization on ``transformWithStateInPandas`` — Spark 4's
+    successor to ``applyInPandasWithState`` (typed per-key ``ValueState``
+    instead of a single state tuple schema, timer support, state TTL).
+    Output contract matches :func:`stream_sessionize_events` exactly:
+    latest emission per (user_id, session_no) equals the batch
+    ``sessionize_events`` row."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class SessionizeTWS(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.state = handle.getValueState(
+                "sess",
+                "last_epoch long, session_no long, n_events long, "
+                "first_epoch long, sum_value_e6 long",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            if self.state.exists():
+                last, sess, n, first, sv = tuple(self.state.get())
+            else:
+                last, sess, n, first, sv = None, 0, 0, None, 0
+            touched: dict[int, list] = {}
+            for pdf in rows:
+                for ts, val in sorted(zip(pdf["ts"], pdf["value"]),
+                                      key=lambda x: x[0]):
+                    epoch = int(pd.Timestamp(ts).timestamp())
+                    if last is None or epoch - last > gap_s:
+                        sess += 1
+                        n, first, sv = 0, epoch, 0
+                    n += 1
+                    sv += int(round(float(val) * 1e6))
+                    last = epoch
+                    touched[sess] = [user_id, sess, n, last - first, sv]
+            self.state.update((last, sess, n, first, sv))
+            yield pd.DataFrame(
+                list(touched.values()),
+                columns=["user_id", "session_no", "n_events",
+                         "duration_s", "sum_value_e6"])
+
+        def close(self) -> None:
+            pass
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(events_dir).select("user_id", "ts", "value")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionizeTWS(),
+        outputStructType=("user_id long, session_no long, n_events long, "
+                          "duration_s long, sum_value_e6 long"),
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def stream_dedup_exact(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming exact dedup: normalize text, hash, keep the FIRST arrival
+    per content hash (``dropDuplicates`` keyed on the 16-byte hash — state
+    is one hash per distinct document; at production scale bound it with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` over the ingest
+    timestamp, exactly as the batch ``dedup_exact`` query shuffles once on
+    the same hash)."""
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .parquet(docs_dir)
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("content_hash"))
+        .dropDuplicates(["content_hash"])
     )
