@@ -66,6 +66,8 @@ class CrawlConfig:
     excluded_tags: list | None = None
     extraction_schema: dict | None = None
     cosine_extraction: dict | None = None   # CosineClusterExtraction kwargs
+    llm_extraction: dict | None = None      # LLMExtractionStrategy kwargs
+                                            # (+ "provider" callable)
     # F13/F14 dispatcher analogs (operators/dispatch.py): admission control
     # over the GENERATION batch size. "memory_adaptive" shrinks/defers the
     # batch under memory pressure and folds the reference's fairness/aging
@@ -433,6 +435,7 @@ class SparkWebEngine:
             word_count_threshold=cfg.word_count_threshold,
             excluded_tags=cfg.excluded_tags,
             cosine_config=cfg.cosine_extraction,
+            llm_extraction=cfg.llm_extraction,
         )
         # re-attach host/depth (processed keeps url) + 404s for scheduled
         # urls missing from pages

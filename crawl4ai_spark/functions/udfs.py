@@ -77,7 +77,8 @@ def process_page(url: str, html: str, *, extraction_schema_json: str | None = No
                  content_filter: str = "pruning", bm25_query: str | None = None,
                  word_count_threshold: int = 1,
                  excluded_tags: list[str] | None = None,
-                 cosine_config: dict | None = None) -> dict:
+                 cosine_config: dict | None = None,
+                 llm_extraction: dict | None = None) -> dict:
     """Pure single-page pipeline — THE golden oracle for byte-identity tests."""
     try:
         s = scrape(url, html, word_count_threshold=word_count_threshold,
@@ -91,6 +92,18 @@ def process_page(url: str, html: str, *, extraction_schema_json: str | None = No
         fmd, fhtml = fit_markdown(html, filter_obj=filt, base_url=url)
         if extraction_schema_json:
             extracted = extract_json_css_str(html, extraction_schema_json)
+        elif llm_extraction is not None:
+            # LLMExtractionStrategy path (ref async_webcrawler.py:613-629):
+            # default input_format markdown, RegexChunking sections, then
+            # strategy.run(url, sections) — the provider callable travels
+            # inside the config dict (cloudpickled into the Arrow workers)
+            from crawl4ai_spark.html.chunking import regex_chunk
+            from crawl4ai_spark.html.llm_strategies import LLMExtractionStrategy
+            lc = dict(llm_extraction)
+            patterns = lc.pop("chunk_patterns", None)
+            provider = lc.pop("provider", None)
+            strat = LLMExtractionStrategy(provider, **lc)
+            extracted = json.dumps(strat.run(url, regex_chunk(raw_md, patterns)))
         elif cosine_config is not None:
             # CosineStrategy path (ref async_webcrawler.py:613-629): default
             # input_format is markdown, chunked by RegexChunking (default
@@ -142,7 +155,8 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
                   content_filter: str = "pruning", bm25_query: str | None = None,
                   word_count_threshold: int = 1,
                   excluded_tags: list[str] | None = None,
-                  cosine_config: dict | None = None) -> DataFrame:
+                  cosine_config: dict | None = None,
+                  llm_extraction: dict | None = None) -> DataFrame:
     """pages(url, html binary, ...) → results (RESULTS_SCHEMA), one Arrow stage."""
     schema_json = (
         json.dumps(extraction_schema) if isinstance(extraction_schema, dict)
@@ -170,6 +184,7 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
                     word_count_threshold=word_count_threshold,
                     excluded_tags=excluded_tags,
                     cosine_config=cosine_config,
+                    llm_extraction=llm_extraction,
                 ))
             yield pd.DataFrame(rows)
 

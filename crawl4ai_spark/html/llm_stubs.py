@@ -1,9 +1,15 @@
-"""Interface stubs for the reference's model-backed strategies (E9/E14/E15).
+"""What remains genuinely model-bound in the LLM/embedding strategies.
 
-These need a network LLM endpoint or an embedding model — neither exists in
-this container, and shipping a fake would misrepresent results. The classes
-define the exact surface a deployment would implement; every method raises
-``NotImplementedError`` with the integration point spelled out.
+Round-3 status: E9 (``LLMContentFilter``) and E15 (``LLMExtractionStrategy``)
+are now IMPLEMENTED in :mod:`crawl4ai_spark.html.llm_strategies` — chunking,
+prompt assembly, response-parsing ladder, usage accounting are all real and
+golden-pinned; only the completion *provider* is injectable because no LLM
+endpoint exists in this container. They are re-exported here so older
+imports keep working; calling them without a provider raises with the
+wiring instructions. E14's clustering pipeline is implemented in
+:mod:`crawl4ai_spark.html.cosine_extract` (deterministic feature-hash
+embedder by default); the class below stubs only the sentence-transformer
+inference path.
 
 Parity targets:
 - LLMContentFilter      /root/reference/crawl4ai/content_filter_strategy.py:780-1063
@@ -13,6 +19,11 @@ Parity targets:
 
 from __future__ import annotations
 
+from crawl4ai_spark.html.llm_strategies import (  # noqa: F401
+    LLMContentFilter,
+    LLMExtractionStrategy,
+)
+
 _MSG = (
     "{name} needs {dep}; none is available in this environment. "
     "Wire it by implementing {hook} — the Spark plumbing (Arrow batching via "
@@ -21,38 +32,12 @@ _MSG = (
 )
 
 
-class LLMContentFilter:
-    """E9: chunk html → prompt an LLM per chunk → filtered markdown."""
-
-    def __init__(self, instruction: str | None = None, **_: object):
-        self.instruction = instruction
-
-    def filter_content(self, html: str) -> list[str]:
-        raise NotImplementedError(_MSG.format(
-            name="LLMContentFilter", dep="an LLM endpoint",
-            hook="filter_content(html) -> list[str] over chunk_documents() output"))
-
-
-class LLMExtractionStrategy:
-    """E15: schema/instruction-driven extraction through an LLM."""
-
-    def __init__(self, schema: dict | None = None, instruction: str | None = None,
-                 **_: object):
-        self.schema = schema
-        self.instruction = instruction
-
-    def run(self, url: str, sections: list[str]) -> list[dict]:
-        raise NotImplementedError(_MSG.format(
-            name="LLMExtractionStrategy", dep="an LLM endpoint",
-            hook="run(url, sections) -> list[dict] (JSON per merged chunk)"))
-
-
 class CosineStrategy:
-    """E14: embedding + hierarchical clustering extraction.
-
-    Note: the *retrieval* side of this capability IS implemented Spark-side
-    over precomputed embeddings (crawl4ai_spark.ops.similarity: cosine top-k,
-    LSH, IVF); only the embedding-model inference is stubbed."""
+    """E14 model-inference stub: the clustering/extraction pipeline is
+    implemented (html/cosine_extract.CosineClusterExtraction over a
+    deterministic feature-hash embedder; distributed forms in
+    ops/clusterq.py) — THIS class is the slot for a real sentence-embedding
+    model, which does not exist in this container."""
 
     def __init__(self, semantic_filter: str | None = None, **_: object):
         self.semantic_filter = semantic_filter
@@ -60,4 +45,5 @@ class CosineStrategy:
     def run(self, url: str, sections: list[str]) -> list[dict]:
         raise NotImplementedError(_MSG.format(
             name="CosineStrategy", dep="a sentence-embedding model",
-            hook="run(url, sections) using ops.similarity over the embedded chunks"))
+            hook="run(url, sections) via cosine_extract.CosineClusterExtraction"
+                 "(embedder=<model>)"))
