@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--quota", type=int, default=10)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--use-bloom", action="store_true")
+    # F13/F14 generation-batch admission (operators/dispatch.py)
+    ap.add_argument("--dispatcher", default=None,
+                    choices=["memory_adaptive", "semaphore"])
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="per-generation URL cap (semaphore count / "
+                         "memory-adaptive base batch)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,6 +53,12 @@ def main() -> None:
             max_depth=args.max_depth, max_pages=args.max_pages,
             policy=args.policy, per_host_quota=args.quota,
             use_bloom=args.use_bloom,
+            batch_size=args.batch_size,
+            dispatcher=args.dispatcher,
+            dispatcher_opts=(
+                {"semaphore_count": args.batch_size}
+                if args.dispatcher == "semaphore" and args.batch_size
+                else {}),
         ),
     )
     n = results.count()
