@@ -463,6 +463,60 @@ FROM walk GROUP BY node
 """
 
 
+def q_dispatch_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 dispatcher fairness/aging rank (ref async_dispatcher.py:217-226)
+    as data: items waiting longer than the fairness window jump the queue
+    with priority -wait (longest wait first), others rank by retry_count;
+    per-host admission order = (priority ASC, score DESC, id ASC), top-5
+    admitted per host."""
+    from crawl4ai_spark.operators.dispatch import priority_score
+
+    ev = tbl(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("host_id"),
+        F.col("event_id").cast("long").alias("item_id"),
+        (F.col("event_id") % 9).cast("double").alias("wait_gens"),
+        (F.col("user_id") % 5).cast("int").alias("retry_count"),
+        (F.col("event_id") % 100).cast("double").alias("score"),
+    )
+    ranked = base.withColumn(
+        "priority", priority_score(F.col("wait_gens"), F.col("retry_count")),
+    ).withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("host_id").orderBy(
+                F.col("priority").asc(), F.col("score").desc(),
+                F.col("item_id").asc())),
+    )
+    return ranked.filter(F.col("rk") <= 5).select(
+        "host_id", "item_id",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rk").cast("long").alias("rk"))
+
+
+SQL_DISPATCH_PRIORITY = """
+WITH base AS (
+  SELECT user_id % 10 AS host_id, event_id AS item_id,
+         CAST(event_id % 9 AS DOUBLE) AS wait_gens,
+         user_id % 5 AS retry_count,
+         CAST(event_id % 100 AS DOUBLE) AS score
+  FROM events
+), p AS (
+  SELECT host_id, item_id, score,
+         CASE WHEN wait_gens > 3 THEN -wait_gens
+              ELSE CAST(retry_count AS DOUBLE) END AS priority
+  FROM base
+), r AS (
+  SELECT host_id, item_id, priority,
+         row_number() OVER (PARTITION BY host_id
+                            ORDER BY priority ASC, score DESC, item_id ASC) AS rk
+  FROM p
+)
+SELECT CAST(host_id AS BIGINT) AS host_id, CAST(item_id AS BIGINT) AS item_id,
+       CAST(priority AS BIGINT) AS priority, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "url_normalize": q_url_normalize,
     "url_canonical_groups": q_url_canonical_groups,
@@ -474,6 +528,7 @@ QUERIES = {
     "bestfirst_order": q_bestfirst_order,
     "url_seen_antijoin": q_url_seen_antijoin,
     "bfs_reachability": q_bfs_reachability,
+    "dispatch_priority": q_dispatch_priority,
 }
 ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
@@ -486,4 +541,5 @@ ORACLES = {
     "bestfirst_order": SQL_BESTFIRST_ORDER,
     "url_seen_antijoin": SQL_URL_SEEN_ANTIJOIN,
     "bfs_reachability": SQL_BFS_REACHABILITY,
+    "dispatch_priority": SQL_DISPATCH_PRIORITY,
 }
