@@ -83,7 +83,10 @@ class MemoryAdaptiveController:
         self.critical_threshold_percent = critical_threshold_percent
         self.recovery_threshold_percent = recovery_threshold_percent
         self.memory_wait_timeout = memory_wait_timeout
-        self.min_batch = max(1, min_batch)
+        # pressure must never ADMIT MORE than the configured batch: clamp
+        # the floor to the ceiling (min_batch=64 with batch_size=10 would
+        # otherwise grow the batch under pressure)
+        self.min_batch = max(1, min(min_batch, batch_size))
         self._read = memory_reader or proc_meminfo_percent
         self._clock = clock or time.time
         self.memory_pressure_mode = False

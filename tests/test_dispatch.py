@@ -40,6 +40,16 @@ def test_pressure_halves_then_recovery_doubles():
     assert c.admit() == 1024     # capped at the configured batch
 
 
+def test_min_batch_clamped_to_batch_size():
+    # min_batch above the configured batch must not GROW the batch under
+    # pressure — the floor clamps to the ceiling
+    c = MemoryAdaptiveController(10, min_batch=64,
+                                 memory_reader=_scripted([91, 92]),
+                                 memory_wait_timeout=None)
+    assert c.admit() == 10   # max(min(64,10), 10//2) = 10
+    assert c.admit() == 10
+
+
 def test_pressure_floor_is_min_batch():
     c = MemoryAdaptiveController(256, min_batch=64,
                                  memory_reader=_scripted([91] * 5),
