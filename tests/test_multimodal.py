@@ -48,3 +48,41 @@ def test_resize_images_binary_roundtrip(spark):
                for r in out)
     # distinct inputs -> distinct transformed payloads
     assert bytes(out[0].payload) != bytes(out[1].payload)
+
+
+def test_real_decode_wav_bmp_roundtrip():
+    """r3: WAV/BMP decode is REAL — writer → stdlib/struct parser
+    roundtrip recovers the exact construction parameters."""
+    from crawl4ai_spark.ops.multimodal import build_bmp, build_wav, real_decode
+
+    for i in (0, 2, 56, 100):
+        m = real_decode(build_wav(i))
+        assert m["kind"] == "wav"
+        assert m["sample_rate"] == 8000 + (i % 3) * 4000
+        assert m["n_frames"] == 200 + i % 57
+        assert m["duration_us"] == (m["n_frames"] * 1_000_000) // m["sample_rate"]
+        assert m["feat0_e6"] == round((i * 31) % 256 / 255.0 * 1e6)
+    for i in (1, 3, 13, 99):
+        m = real_decode(build_bmp(i))
+        assert m["kind"] == "bmp"
+        assert (m["width"], m["height"]) == (4 + i % 13, 3 + i % 7)
+        assert m["n_frames"] == 1
+        assert m["feat0_e6"] == round(i % 256 / 255.0 * 1e6)
+
+
+def test_real_decode_unknown_format_stays_stubbed():
+    from crawl4ai_spark.ops.multimodal import real_decode
+
+    assert real_decode(b"\x89PNG\r\n\x1a\n....") is None  # PNG → stub seam
+    assert real_decode(b"\xff\xd8\xff\xe0JFIF") is None   # JPEG → stub seam
+
+
+def test_multimodal_decode_real_query(spark):
+    from crawl4ai_spark.ops.multimodal import q_multimodal_decode_real
+
+    out = q_multimodal_decode_real(spark, "/root/testdata/sf0.001")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 500
+    assert rows[0].kind == "wav" and rows[1].kind == "bmp"
+    assert rows[2].sample_rate == 8000 + (2 % 3) * 4000
+    assert rows[3].width == 4 + 3 % 13 and rows[3].height == 3 + 3 % 7
