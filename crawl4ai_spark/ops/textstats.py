@@ -207,15 +207,70 @@ GROUP BY doc_id
 """
 
 
+def q_text_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy — the CCNet/Gopher rare-ngram signal with
+    integer arithmetic instead of a transcendental log (libm log differs in
+    the last ulp across engines; mean document-frequency ranks documents the
+    same way and the oracle is exact): char-trigram DF over the corpus,
+    then per-doc mean DF of its trigrams. Garbled/unusual text scores low,
+    boilerplate scores high. Scale shape: the DF table is bounded by the
+    trigram alphabet (≤ ~50k keys over [a-z0-9 ]) so the re-join broadcasts;
+    the only real shuffle is the per-doc re-aggregation. (At extreme corpus
+    sizes sum_df*1e6 needs decimal(38) headroom; at any bench sf it is far
+    inside bigint.)"""
+    d = tbl(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")
+    t = d.select("doc_id", norm.alias("t")).filter(F.length("t") >= 3)
+    tri = (
+        t.select("doc_id", "t",
+                 F.explode(F.expr("sequence(1, length(t) - 2)")).alias("i"))
+        .select("doc_id",
+                F.expr("substring(t, cast(i as int), 3)").alias("g"))
+    )
+    dfreq = tri.distinct().groupBy("g").agg(
+        F.count("*").cast("long").alias("df"))
+    return (
+        tri.join(F.broadcast(dfreq), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_trigrams"),
+             F.sum("df").alias("sum_df"))
+        .select("doc_id", "n_trigrams",
+                F.expr("CAST(sum_df * 1000000 div n_trigrams AS BIGINT)")
+                .alias("mean_df_e6"))
+    )
+
+
+SQL_TEXT_TRIGRAM_SCORE = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS t
+  FROM documents
+), tt AS (
+  SELECT doc_id, t FROM t WHERE length(t) >= 3
+), tri AS (
+  SELECT doc_id, substr(t, CAST(p.i AS INT), 3) AS g
+  FROM tt, unnest(range(1, length(t) - 1)) p(i)
+), dfreq AS (
+  SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tri GROUP BY g
+)
+SELECT tri.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST((SUM(df) * 1000000) // COUNT(*) AS BIGINT) AS mean_df_e6
+FROM tri JOIN dfreq USING (g)
+GROUP BY tri.doc_id
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_trigram_score": q_text_trigram_score,
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_trigram_score": SQL_TEXT_TRIGRAM_SCORE,
 }
