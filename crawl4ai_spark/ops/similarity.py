@@ -388,10 +388,114 @@ FROM (
 """
 
 
+def q_sim_ivf_topk_mprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (r3): queries probe their TOP-2 coarse cells instead
+    of one — the standard recall fix for query vectors near a cell boundary
+    (FAISS nprobe semantics). Targets keep their rk=1 assignment; the
+    candidate set is the union of the probed cells, deduped per (q, t)
+    before exact scoring. Same plan shape as single-probe: centroid scoring
+    broadcasts, candidates shuffle on cell id, exact cosine runs on
+    candidates only."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    ce = _elements(cent, "cid").withColumnRenamed("x", "cx")
+    te = _elements(emb, "vid").withColumnRenamed("x", "tx")
+    dots0 = (
+        te.join(ce, "pos")
+        .groupBy("vid", "cid")
+        .agg(F.sum(F.col("tx") * F.col("cx")).alias("dot"))
+    )
+    cn = _norms(cent, "cid").withColumnRenamed("nrm", "cn")
+    vn = _norms(emb, "vid").withColumnRenamed("nrm", "vn")
+    cells = (
+        dots0.join(cn, "cid").join(vn, "vid")
+        .withColumn("acos_e6",
+                    F.round(F.col("dot") / (F.col("cn") * F.col("vn")) * 1e6)
+                    .cast("long"))
+    )
+    w0 = Window.partitionBy("vid").orderBy(F.desc("acos_e6"), F.asc("cid"))
+    ranked = cells.withColumn("crk", F.row_number().over(w0)).cache()
+    probes = ranked.filter((F.col("vid") < N_QUERIES) & (F.col("crk") <= 2)) \
+                   .select(F.col("vid").alias("qid"), F.col("cid"))
+    t_assign = ranked.filter(F.col("crk") == 1) \
+                     .select(F.col("vid").alias("tid"), F.col("cid"))
+    cand = probes.join(t_assign, "cid").select("qid", "tid").distinct()
+
+    qe = _elements(emb.filter(F.col("vec_id") < N_QUERIES), "qid") \
+        .withColumnRenamed("x", "qx")
+    te2 = _elements(emb, "tid").withColumnRenamed("x", "tx")
+    dots = (
+        cand.join(qe, "qid").join(te2, ["tid", "pos"])
+        .groupBy("qid", "tid")
+        .agg(F.sum(F.col("qx") * F.col("tx")).alias("dot"))
+    )
+    qn = _norms(emb, "qid").withColumnRenamed("nrm", "qn")
+    tn = _norms(emb, "tid").withColumnRenamed("nrm", "tn")
+    cos = (
+        dots.join(qn, "qid").join(tn, "tid")
+        .withColumn("cos_e6",
+                    F.round(F.col("dot") / (F.col("qn") * F.col("tn")) * 1e6)
+                    .cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.asc("tid"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("qid").cast("long"), F.col("tid").cast("long"),
+                "cos_e6", "rk")
+    )
+
+
+SQL_SIM_IVF_TOPK_MPROBE = f"""
+WITH el AS ({_SQL_ELEMS.format(dim=DIM)}),
+norms AS ({_SQL_NORMS}),
+cdots AS (
+  SELECT t.vec_id AS vid, c.vec_id AS cid, sum(t.x * c.x) AS dot
+  FROM el t JOIN el c ON t.pos = c.pos
+  WHERE c.vec_id < {N_CENTROIDS}
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT d.vid, d.cid,
+         CAST(ROUND(d.dot / (nc.nrm * nv.nrm) * 1e6) AS BIGINT) AS acos_e6
+  FROM cdots d JOIN norms nc ON nc.vec_id = d.cid
+               JOIN norms nv ON nv.vec_id = d.vid
+),
+ranked AS (
+  SELECT vid, cid,
+         row_number() OVER (PARTITION BY vid ORDER BY acos_e6 DESC, cid ASC) AS crk
+  FROM cells
+),
+cand AS (
+  SELECT DISTINCT q.vid AS qid, t.vid AS tid
+  FROM ranked q JOIN ranked t ON q.cid = t.cid AND t.crk = 1
+  WHERE q.vid < {N_QUERIES} AND q.crk <= 2
+),
+dots AS (
+  SELECT cand.qid, cand.tid, sum(e1.x * e2.x) AS dot
+  FROM cand JOIN el e1 ON e1.vec_id = cand.qid
+            JOIN el e2 ON e2.vec_id = cand.tid AND e2.pos = e1.pos
+  GROUP BY cand.qid, cand.tid
+),
+cos AS (
+  SELECT d.qid, d.tid,
+         CAST(ROUND(d.dot / (nq.nrm * nt.nrm) * 1e6) AS BIGINT) AS cos_e6
+  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+              JOIN norms nt ON nt.vec_id = d.tid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(tid AS BIGINT) AS tid, cos_e6, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, tid ASC) AS BIGINT) AS rk
+  FROM cos
+) WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_verified": q_sim_lsh_verified,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_topk_mprobe": q_sim_ivf_topk_mprobe,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_lsh_candidates": q_sim_lsh_candidates,
     "sim_ivf_assign": q_sim_ivf_assign,
@@ -401,6 +505,7 @@ ORACLES = {
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_lsh_verified": SQL_SIM_LSH_VERIFIED,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
+    "sim_ivf_topk_mprobe": SQL_SIM_IVF_TOPK_MPROBE,
     "sim_lsh_buckets": SQL_SIM_LSH_BUCKETS,
     "sim_lsh_candidates": SQL_SIM_LSH_CANDIDATES,
     "sim_ivf_assign": SQL_SIM_IVF_ASSIGN,
