@@ -38,6 +38,8 @@ HEADLINE_QUERIES = [
     "sim_ann_topk_pandas", "sim_lsh_buckets",
     "text_quality", "text_fingerprint", "bm25_rank",
     "pdf_extract",
+    "text_trigram_score", "sim_ivf_topk_mprobe", "multimodal_decode_real",
+    "dispatch_priority",
 ]
 
 
