@@ -491,11 +491,143 @@ FROM (
 """
 
 
+# ------------------------------------------------------------ PQ (r3)
+# Product quantization: DIM=64 splits into M=4 subspaces of 16 dims; the
+# per-subspace codebook is the first N_CODES vectors' subvectors (the same
+# deterministic-codebook trick as IVF centroids = vec_id < 8). Assignment
+# is argmin squared L2 per subspace; search is asymmetric distance
+# computation (ADC): a per-query lookup table of partial distances to each
+# codeword, summed over the target's M codes. Partial distances quantize
+# to e6 BEFORE the cross-subspace sum so both engines add exact integers.
+# Scale shape: codebook and LUT are tiny broadcasts; each vector carries M
+# small codes (64 floats → 4 bytes, the whole point of PQ); the only
+# shuffle is the final top-k.
+PQ_M = 4
+PQ_SUBDIM = DIM // PQ_M
+N_CODES = 8
+
+
+def _pq_elements(df: DataFrame, id_out: str, x_out: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_out),
+        F.posexplode(F.col("embedding")).alias("pos", x_out),
+    ).select(
+        id_out,
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"),
+        F.pmod(F.col("pos"), F.lit(PQ_SUBDIM)).alias("sp"),
+        F.col(x_out).cast("double").alias(x_out),
+    )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    cw = _pq_elements(emb.filter(F.col("vec_id") < N_CODES), "code", "cx")
+    ve = _pq_elements(emb, "vid", "vx")
+    d2 = (
+        ve.join(F.broadcast(cw), ["m", "sp"])
+        .groupBy("vid", "m", "code")
+        .agg(F.round(F.sum(F.pow(F.col("vx") - F.col("cx"), 2)) * 1e6)
+             .cast("long").alias("d2_e6"))
+    )
+    w = Window.partitionBy("vid", "m").orderBy(F.asc("d2_e6"), F.asc("code"))
+    return d2.withColumn("crk", F.row_number().over(w)) \
+             .filter(F.col("crk") == 1).select("vid", "m", "code", "d2_e6")
+
+
+def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: every vector compresses to M=4 subspace code ids."""
+    return _pq_codes(spark, sf_dir).select(
+        F.col("vid").cast("long").alias("vec_id"),
+        F.col("m").cast("long").alias("m"),
+        F.col("code").cast("long").alias("code"), "d2_e6")
+
+
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via ADC: per-query LUT of partial distances to every
+    (subspace, codeword), summed over each target's codes; top-5 nearest
+    per query (approx distance ASC, tid ASC)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    codes = _pq_codes(spark, sf_dir).select(
+        F.col("vid").alias("tid"), "m", "code")
+    cw = _pq_elements(emb.filter(F.col("vec_id") < N_CODES), "code", "cx")
+    qe = _pq_elements(emb.filter(F.col("vec_id") < N_QUERIES), "qid", "qx")
+    lut = (
+        qe.join(F.broadcast(cw), ["m", "sp"])
+        .groupBy("qid", "m", "code")
+        .agg(F.round(F.sum(F.pow(F.col("qx") - F.col("cx"), 2)) * 1e6)
+             .cast("long").alias("pd_e6"))
+    )
+    dist = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("qid", "tid")
+        .agg(F.sum("pd_e6").alias("adist_e6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist_e6"), F.asc("tid"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("qid").cast("long"), F.col("tid").cast("long"),
+                F.col("adist_e6").cast("long").alias("adist_e6"), "rk")
+    )
+
+
+_SQL_PQ_ELEMS = f"""
+  SELECT vec_id, CAST(i // {PQ_SUBDIM} AS INT) AS m, i % {PQ_SUBDIM} AS sp,
+         CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS x
+  FROM embeddings, range({DIM}) r(i)
+"""
+
+_SQL_PQ_CODES = f"""
+  SELECT vid, m, code, d2_e6 FROM (
+    SELECT v.vec_id AS vid, v.m, c.vec_id AS code,
+           CAST(ROUND(sum((v.x - c.x) * (v.x - c.x)) * 1e6) AS BIGINT) AS d2_e6,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.m
+             ORDER BY CAST(ROUND(sum((v.x - c.x) * (v.x - c.x)) * 1e6) AS BIGINT) ASC,
+                      c.vec_id ASC) AS crk
+    FROM pe v JOIN pe c ON v.m = c.m AND v.sp = c.sp AND c.vec_id < {N_CODES}
+    GROUP BY v.vec_id, v.m, c.vec_id
+  ) WHERE crk = 1
+"""
+
+SQL_SIM_PQ_CODES = f"""
+WITH pe AS ({_SQL_PQ_ELEMS})
+SELECT CAST(vid AS BIGINT) AS vec_id, CAST(m AS BIGINT) AS m,
+       CAST(code AS BIGINT) AS code, d2_e6
+FROM ({_SQL_PQ_CODES})
+"""
+
+SQL_SIM_PQ_ADC_TOPK = f"""
+WITH pe AS ({_SQL_PQ_ELEMS}),
+codes AS ({_SQL_PQ_CODES}),
+lut AS (
+  SELECT q.vec_id AS qid, q.m, c.vec_id AS code,
+         CAST(ROUND(sum((q.x - c.x) * (q.x - c.x)) * 1e6) AS BIGINT) AS pd_e6
+  FROM pe q JOIN pe c ON q.m = c.m AND q.sp = c.sp AND c.vec_id < {N_CODES}
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, q.m, c.vec_id
+),
+dist AS (
+  SELECT lut.qid, codes.vid AS tid, SUM(lut.pd_e6) AS adist_e6
+  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+  GROUP BY lut.qid, codes.vid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(tid AS BIGINT) AS tid,
+       CAST(adist_e6 AS BIGINT) AS adist_e6, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist_e6 ASC, tid ASC) AS BIGINT) AS rk
+  FROM dist
+) WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_verified": q_sim_lsh_verified,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_topk_mprobe": q_sim_ivf_topk_mprobe,
+    "sim_pq_codes": q_sim_pq_codes,
+    "sim_pq_adc_topk": q_sim_pq_adc_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_lsh_candidates": q_sim_lsh_candidates,
     "sim_ivf_assign": q_sim_ivf_assign,
@@ -506,6 +638,8 @@ ORACLES = {
     "sim_lsh_verified": SQL_SIM_LSH_VERIFIED,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_ivf_topk_mprobe": SQL_SIM_IVF_TOPK_MPROBE,
+    "sim_pq_codes": SQL_SIM_PQ_CODES,
+    "sim_pq_adc_topk": SQL_SIM_PQ_ADC_TOPK,
     "sim_lsh_buckets": SQL_SIM_LSH_BUCKETS,
     "sim_lsh_candidates": SQL_SIM_LSH_CANDIDATES,
     "sim_ivf_assign": SQL_SIM_IVF_ASSIGN,
