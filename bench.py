@@ -33,13 +33,12 @@ HEADLINE_QUERIES = [
     "agg_pricing_summary", "join_top_customers", "window_order_ranks",
     "sessionize_events", "events_windowed_counts",
     "url_normalize", "frontier_schedule", "bestfirst_order", "robots_gate",
-    "dedup_exact", "dedup_minhash_bands",
-    "dedup_minhash_bands_fast", "dedup_minhash_bands2",
-    "sim_ann_topk_pandas", "sim_lsh_buckets",
+    "dedup_exact", "dedup_minhash_bands2",
+    "sim_ann_topk_pandas", "sim_lsh_verified",
     "text_quality", "text_fingerprint", "bm25_rank",
     "pdf_extract",
-    "text_trigram_score", "sim_ivf_topk_mprobe", "multimodal_decode_real",
-    "dispatch_priority",
+    "text_trigram_score", "sim_ivf_topk_mprobe", "sim_pq_adc_topk",
+    "multimodal_decode_real", "dispatch_priority",
 ]
 
 

@@ -150,6 +150,16 @@ class SparkWebEngine:
         # rows in a SINGLE commit — it never rewrites the frontier (an
         # Iceberg MERGE-on-read layout; compaction is an offline concern).
         if resume and self.store.latest_id("frontier") is not None:
+            # Heal the commit_unified crash window: if a crash landed between
+            # the results manifest rename and the frontier one, the results
+            # table carries generations the frontier never committed — the
+            # resumed loop would re-run them and append duplicates. Roll the
+            # orphans back (their data dirs stay, unreferenced).
+            f_gen = int(self.store.meta("frontier").get("generation", 0))
+            while (self.store.latest_id("results") is not None
+                   and int(self.store.meta("results")
+                           .get("generation", -(1 << 30))) > f_gen):
+                self.store.drop_latest("results")
             frontier = self._read_frontier()
             start_gen = int(self.store.meta("frontier").get("generation", 0)) + 1
             pages_done = int(self.store.meta("frontier").get("pages_done", 0))

@@ -58,24 +58,48 @@ def _esc(s: str) -> bytes:
 
 def build_pdf(pages: list[str], *, title: str = "", author: str = "",
               creation_date: str = "D:20240101000000",
-              compress: bool = True) -> bytes:
-    """Minimal deterministic PDF: one Tj line per text line per page."""
-    objs: list[bytes] = []  # 1-indexed body objects
+              compress: bool = True,
+              images: list[list[dict]] | None = None) -> bytes:
+    """Minimal deterministic PDF: one Tj line per text line per page.
 
-    def add(body: bytes) -> int:
-        objs.append(body)
-        return len(objs)
-
+    ``images`` (optional) embeds per-page image XObjects — reference parity
+    for ``NaivePDFProcessorStrategy``'s ``extract_images=True`` per-page
+    ``images`` list (processors/pdf/processor.py:41,58-70). One list per
+    page; each image is ``{"width": int, "height": int, "pixels": bytes
+    (w*h*3 DeviceRGB), "compress": bool}`` — ``compress=True`` stores the
+    sample stream FlateDecode'd, else raw (the two filters the naive parser
+    decodes)."""
     page_obj_ids = []
     content_ids = []
     n = max(1, len(pages))
-    # object layout: 1=catalog, 2=pages, 3=font, then per page (content, page)
-    # build bodies first with predicted ids
+    # object layout: 1=catalog, 2=pages, 3=font, then per page
+    # ([image XObjects...], content, page) — build bodies with predicted ids
     catalog_id, pages_id, font_id = 1, 2, 3
     next_id = 4
     bodies: dict[int, bytes] = {}
     for i in range(n):
         text = pages[i] if pages else ""
+        page_images = (images[i] if images and i < len(images) else []) or []
+        img_ids: list[int] = []
+        for img in page_images:
+            iid = next_id
+            next_id += 1
+            w, h = int(img["width"]), int(img["height"])
+            raw = bytes(img["pixels"])
+            if len(raw) != w * h * 3:
+                raise ValueError(f"image sample size {len(raw)} != {w}x{h}x3")
+            hdr = (b"<< /Type /XObject /Subtype /Image /Width "
+                   + str(w).encode() + b" /Height " + str(h).encode()
+                   + b" /ColorSpace /DeviceRGB /BitsPerComponent 8")
+            if img.get("compress", True):
+                z = zlib.compress(raw)
+                bodies[iid] = (hdr + b" /Filter /FlateDecode /Length "
+                               + str(len(z)).encode() + b" >>\nstream\n" + z
+                               + b"\nendstream")
+            else:
+                bodies[iid] = (hdr + b" /Length " + str(len(raw)).encode()
+                               + b" >>\nstream\n" + raw + b"\nendstream")
+            img_ids.append(iid)
         lines = text.split("\n") if text else [""]
         ops = [b"BT /F1 12 Tf 72 720 Td 14 TL"]
         for j, line in enumerate(lines):
@@ -83,6 +107,12 @@ def build_pdf(pages: list[str], *, title: str = "", author: str = "",
                 ops.append(b"T*")
             ops.append(b"(" + _esc(line) + b") Tj")
         ops.append(b"ET")
+        for k, img in enumerate(page_images):
+            # paint each image at its natural size, stacked from the origin
+            ops.append(b"q " + str(int(img["width"]) * 8).encode() + b" 0 0 "
+                       + str(int(img["height"]) * 8).encode() + b" 72 "
+                       + str(72 + 80 * k).encode()
+                       + b" cm /Im" + str(k).encode() + b" Do Q")
         stream = b"\n".join(ops)
         cid, pid = next_id, next_id + 1
         next_id += 2
@@ -94,8 +124,14 @@ def build_pdf(pages: list[str], *, title: str = "", author: str = "",
         else:
             bodies[cid] = (b"<< /Length " + str(len(stream)).encode()
                            + b" >>\nstream\n" + stream + b"\nendstream")
+        res = b"/Font << /F1 3 0 R >>"
+        if img_ids:
+            res += (b" /XObject << "
+                    + b" ".join(b"/Im%d %d 0 R" % (k, iid)
+                                for k, iid in enumerate(img_ids))
+                    + b" >>")
         bodies[pid] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                       b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+                       b"/Resources << " + res + b" >> /Contents "
                        + str(cid).encode() + b" 0 R >>")
         content_ids.append(cid)
         page_obj_ids.append(pid)
@@ -268,9 +304,10 @@ def parse_pdf(data: bytes) -> dict:
             break
 
     # page tree: /Type /Pages carries /Count; each /Type /Page carries
-    # /Contents N 0 R
+    # /Contents N 0 R and (optionally) /Resources /XObject image refs
     n_pages = 0
     page_content_ids: list[int] = []
+    page_image_ids: list[list[int]] = []
     for obj in objects.values():
         if re.search(rb"/Type\s*/Pages\b", obj):
             m = re.search(rb"/Count\s+(\d+)", obj)
@@ -280,16 +317,18 @@ def parse_pdf(data: bytes) -> dict:
             m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", obj)
             if m:
                 page_content_ids.append(int(m.group(1)))
+                # /ImK N 0 R refs in resource order (sorted by K)
+                refs = re.findall(rb"/Im(\d+)\s+(\d+)\s+\d+\s+R", obj)
+                page_image_ids.append(
+                    [int(oid) for _, oid in
+                     sorted(refs, key=lambda r: int(r[0]))])
     if n_pages == 0:
         n_pages = len(page_content_ids)
 
-    pages: list[str] = []
-    for cid in page_content_ids:
-        obj = objects.get(cid, b"")
+    def _stream_bytes(obj: bytes) -> bytes | None:
         start = re.search(rb"stream\r?\n", obj)
         if not start:
-            pages.append("")
-            continue
+            return None
         ln = re.search(rb"/Length\s+(\d+)", obj)
         if ln:
             # exact byte count from /Length — a delimiter regex would eat a
@@ -301,7 +340,38 @@ def parse_pdf(data: bytes) -> dict:
             raw = sm.group(1) if sm else b""
         if re.search(rb"/Filter\s*/FlateDecode", obj):
             raw = zlib.decompress(raw)
-        pages.append(_stream_text(raw))
+        return raw
+
+    pages: list[str] = []
+    for cid in page_content_ids:
+        raw = _stream_bytes(objects.get(cid, b""))
+        pages.append(_stream_text(raw) if raw is not None else "")
+
+    # per-page image XObjects (reference processor.py:58-70 extract_images):
+    # everything below is re-derived from the PDF bytes alone
+    images: list[list[dict]] = []
+    for img_ids in page_image_ids:
+        page_imgs = []
+        for oid in img_ids:
+            obj = objects.get(oid, b"")
+            if not re.search(rb"/Subtype\s*/Image\b", obj):
+                continue
+            w = re.search(rb"/Width\s+(\d+)", obj)
+            h = re.search(rb"/Height\s+(\d+)", obj)
+            cs = re.search(rb"/ColorSpace\s*/(\w+)", obj)
+            bpc = re.search(rb"/BitsPerComponent\s+(\d+)", obj)
+            data = _stream_bytes(obj) or b""
+            page_imgs.append({
+                "width": int(w.group(1)) if w else 0,
+                "height": int(h.group(1)) if h else 0,
+                "colorspace": cs.group(1).decode() if cs else None,
+                "bits_per_component": int(bpc.group(1)) if bpc else None,
+                "filter": ("FlateDecode"
+                           if re.search(rb"/Filter\s*/FlateDecode", obj)
+                           else "raw"),
+                "data": data,
+            })
+        images.append(page_imgs)
 
     return {
         "version": version,
@@ -312,5 +382,6 @@ def parse_pdf(data: bytes) -> dict:
         "n_pages": n_pages,
         "encrypted": encrypted,
         "pages": pages,
+        "images": images,
         "text": "\n".join(pages),
     }

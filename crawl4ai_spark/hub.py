@@ -8,7 +8,7 @@ Same mechanics here, Spark-shaped: a pack's ``run`` takes
 — a preset bundle of CrawlConfig + extraction schema + seed policy over a
 pre-fetched pages table. The reference's shipped packs (google_search,
 amazon_product) are browser+LLM-bound and stay out of scope; the shipped
-``docs_site`` pack demonstrates the registry with a fully in-sandbox
+``product_catalog`` pack demonstrates the registry with a fully in-sandbox
 deterministic preset.
 """
 

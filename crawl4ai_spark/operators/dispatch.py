@@ -102,6 +102,7 @@ class MemoryAdaptiveController:
         if pct >= self.memory_threshold_percent:
             if not self.memory_pressure_mode:
                 self.memory_pressure_mode = True
+            if self._high_memory_start is None:
                 self._high_memory_start = now
             elif (self.memory_wait_timeout is not None
                   and self._high_memory_start is not None
@@ -109,9 +110,16 @@ class MemoryAdaptiveController:
                 raise MemoryError(
                     f"Memory usage above {self.memory_threshold_percent}% for "
                     f"more than {self.memory_wait_timeout} seconds")
-        elif self.memory_pressure_mode and pct <= self.recovery_threshold_percent:
-            self.memory_pressure_mode = False
+        else:
+            # Reference semantics (async_dispatcher.py _memory_monitor_task):
+            # the wait-timeout clock resets whenever usage drops below the
+            # memory threshold — even in the 85-90% hysteresis band where
+            # pressure mode (halved batch) persists.  Without this, usage
+            # oscillating at e.g. 86-91% accumulates wall-clock toward
+            # memory_wait_timeout and raises a spurious MemoryError.
             self._high_memory_start = None
+            if self.memory_pressure_mode and pct <= self.recovery_threshold_percent:
+                self.memory_pressure_mode = False
 
         if pct >= self.critical_threshold_percent:
             return 0

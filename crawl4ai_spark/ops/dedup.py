@@ -350,17 +350,21 @@ MH2_B = [int(_hashlib.md5(f"perm-b-{pi}".encode()).hexdigest()[:16], 16)
          for pi in range(N_PERMS)]
 _MOD64 = "18446744073709551616"  # 2^64 (HUGEINT literal in DuckDB)
 
-# h64 of the shingle starting at 1-based position (4*i + 1) of lower(text)
+# h64 of the shingle starting at 1-based position (4*i + 1) of lower(text).
+# Window positions and count are derived from length(lower(text)) — lowered
+# ONCE in the subquery — matching the Python path's len(text.lower()): for
+# characters whose lowercase mapping changes string length (e.g. 'İ' → 'i̇'),
+# deriving positions from the un-lowered length would misalign the oracle.
 _SQL_MH2_H64 = "CAST((" + " + ".join(
-    f"CAST(unicode(substr(lower(d.text), CAST({SHINGLE_STRIDE} * p.i + 1 + {k} AS INT), 1)) AS HUGEINT) * {MH2_POW[k]}"
+    f"CAST(unicode(substr(d.t, CAST({SHINGLE_STRIDE} * p.i + 1 + {k} AS INT), 1)) AS HUGEINT) * {MH2_POW[k]}"
     for k in range(SHINGLE_K)
 ) + f") % {_MOD64} AS UBIGINT)"
 
 _SQL_MH2_SHINGLES = f"""
   SELECT DISTINCT d.doc_id, {_SQL_MH2_H64} AS h64
-  FROM documents d,
-       unnest(range((length(d.text) - {SHINGLE_K}) // {SHINGLE_STRIDE} + 1)) p(i)
-  WHERE length(d.text) >= {SHINGLE_K}
+  FROM (SELECT doc_id, lower(text) AS t FROM documents) d,
+       unnest(range((length(d.t) - {SHINGLE_K}) // {SHINGLE_STRIDE} + 1)) p(i)
+  WHERE length(d.t) >= {SHINGLE_K}
 """
 
 _SQL_MH2_PERMS = "SELECT * FROM (VALUES " + ", ".join(

@@ -144,11 +144,107 @@ FROM n, unnest(range(np)) p(i)
 """
 
 
+def _doc_images(doc_id: int, n_pages: int) -> list[list[dict]]:
+    """Deterministic per-page image plan — the construction inputs the
+    DuckDB oracle recomputes (reference extract_images parity,
+    processors/pdf/processor.py:41,58-70): 1-2 small DeviceRGB images per
+    page, alternating raw/FlateDecode storage, pixel j of image (d,i,k)
+    = (d+i+k+j) mod 256."""
+    pages = []
+    for i in range(n_pages):
+        imgs = []
+        for k in range(1 + (doc_id + i) % 2):
+            w = 2 + (doc_id + 7 * i + 3 * k) % 6
+            h = 2 + (3 * doc_id + i + 5 * k) % 5
+            px = bytes((doc_id + i + k + j) % 256 for j in range(w * h * 3))
+            imgs.append({"width": w, "height": h, "pixels": px,
+                         "compress": (doc_id + i + k) % 2 == 0})
+        pages.append(imgs)
+    return pages
+
+
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page image XObject enumeration (processor.py extract_images=True
+    parity): build real PDFs with embedded raw/Flate DeviceRGB images, parse
+    the bytes back, emit per-image format/dims/sample digest. Single
+    row-expanding Arrow stage, zero shuffle — strictly per-row work, the
+    100 TB shape. The parser re-derives width/height/colorspace/filter/
+    samples from the PDF bytes alone; the oracle recomputes them from the
+    construction formulas, never seeing the bytes."""
+    import hashlib
+
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents")
+
+    def explode(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                page_texts = _doc_pages(text)
+                n_pages = max(1, len(page_texts))
+                blob = build_pdf(page_texts, title=f"doc-{doc_id}",
+                                 author=AUTHOR,
+                                 images=_doc_images(int(doc_id), n_pages))
+                r = parse_pdf(blob)
+                for i, page_imgs in enumerate(r["images"]):
+                    for k, img in enumerate(page_imgs):
+                        out.append((
+                            doc_id, i + 1, k, img["width"], img["height"],
+                            img["colorspace"], img["filter"],
+                            len(img["data"]),
+                            hashlib.md5(img["data"].hex().encode()).hexdigest()))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "page_number", "image_index", "width", "height",
+                "colorspace", "filter", "n_bytes", "pixels_md5"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        explode,
+        "doc_id long, page_number long, image_index long, width long, "
+        "height long, colorspace string, filter string, n_bytes long, "
+        "pixels_md5 string")
+
+
+SQL_PDF_IMAGES = f"""
+WITH src AS (
+  SELECT doc_id, substr(text, 1, {MAX_CHARS}) AS s FROM documents
+),
+n AS (
+  SELECT doc_id,
+         CASE WHEN length(s) = 0 THEN 1
+              ELSE CAST(ceil(length(s) / {PAGE_CHARS}.0) AS INT) END AS np
+  FROM src
+),
+imgs AS (
+  SELECT doc_id, CAST(p.i AS BIGINT) AS pg, CAST(k.i AS BIGINT) AS k,
+         2 + (doc_id + 7 * p.i + 3 * k.i) % 6 AS w,
+         2 + (3 * doc_id + p.i + 5 * k.i) % 5 AS h,
+         (doc_id + p.i + k.i) % 2 = 0 AS compressed
+  FROM n, unnest(range(np)) p(i),
+       unnest(range(1 + (doc_id + p.i) % 2)) k(i)
+)
+SELECT doc_id,
+       pg + 1 AS page_number,
+       k AS image_index,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       'DeviceRGB' AS colorspace,
+       CASE WHEN compressed THEN 'FlateDecode' ELSE 'raw' END AS filter,
+       CAST(w * h * 3 AS BIGINT) AS n_bytes,
+       md5((SELECT string_agg(printf('%02x', (doc_id + pg + k + b.i) % 256),
+                              '' ORDER BY b.i)
+            FROM unnest(range(w * h * 3)) b(i))) AS pixels_md5
+FROM imgs
+"""
+
+
 QUERIES = {
     "pdf_extract": q_pdf_extract,
     "pdf_pages": q_pdf_pages,
+    "pdf_images": q_pdf_images,
 }
 ORACLES = {
     "pdf_extract": SQL_PDF_EXTRACT,
     "pdf_pages": SQL_PDF_PAGES,
+    "pdf_images": SQL_PDF_IMAGES,
 }

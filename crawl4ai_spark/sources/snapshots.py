@@ -89,11 +89,19 @@ class SnapshotStore:
         entire cost floor at small batch sizes. ``read`` applies the filter,
         so mixed manifests (legacy unfiltered dirs + shared tagged dirs)
         stay correct — filters must be written as
-        ``col IS NULL OR col = 'tag'`` for that reason."""
+        ``col IS NULL OR col = 'tag'`` for that reason.
+
+        Atomicity contract: the DATA lands in one atomic write, but the
+        per-table manifests publish via N sequential renames, so a crash
+        mid-publish can leave a prefix of ``specs`` committed (e.g. results
+        without the matching frontier delta). All tmp manifests are staged
+        BEFORE the first rename to narrow that window, and the engine heals
+        the remainder at resume by rolling back manifests whose ``meta
+        generation`` exceeds the frontier's (see ``drop_latest``)."""
         shared = os.path.join(self.root, "_unified",
                               f"u{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(shared)
-        sids: dict[str, int] = {}
+        staged: list[tuple[str, str, int]] = []  # (tmp, final, sid) per table
         for table, mode, filter_expr, meta in specs:
             prev = self.latest_id(table)
             sid = 0 if prev is None else prev + 1
@@ -103,12 +111,30 @@ class SnapshotStore:
             os.makedirs(self._manifest_dir(table), exist_ok=True)
             manifest = {"id": sid, "dirs": dirs, "meta": meta or {},
                         "filter": filter_expr}
-            tmp = self._manifest_path(table, sid) + f".tmp-{uuid.uuid4().hex[:8]}"
+            final = self._manifest_path(table, sid)
+            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
-            os.replace(tmp, self._manifest_path(table, sid))
+            staged.append((tmp, final, sid))
+        sids: dict[str, int] = {}
+        for (tmp, final, sid), (table, *_rest) in zip(staged, specs):
+            os.replace(tmp, final)  # atomic per-table publish
             sids[table] = sid
         return sids
+
+    def drop_latest(self, table: str) -> int | None:
+        """Roll back the latest snapshot by removing its manifest (data dirs
+        stay on disk — unreferenced, harmless). Used to heal the
+        ``commit_unified`` crash window where a prefix of the per-table
+        manifests published: the engine drops result snapshots whose
+        generation exceeds the frontier's before resuming, so the re-run
+        generation cannot append duplicate result rows. Returns the dropped
+        snapshot id (None if the table has no snapshots)."""
+        sid = self.latest_id(table)
+        if sid is None:
+            return None
+        os.remove(self._manifest_path(table, sid))
+        return sid
 
     def compact(self, spark: SparkSession, table: str,
                 target_partitions: int | None = None) -> int | None:

@@ -61,10 +61,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     sys.path.insert(0, "/root/repo")
-    from crawl4ai_spark.ops import registry
+    from crawl4ai_spark.ops import registry_full
     from crawl4ai_spark.session import get_spark
 
-    queries, oracles = registry()
+    queries, oracles = registry_full()
     spark = get_spark("paritycheck", master="local[8]", shuffle_partitions=8)
     failed = []
     for name, fn in sorted(queries.items()):

@@ -82,6 +82,35 @@ def test_memory_wait_timeout_raises():
         c.admit()
 
 
+def test_oscillation_resets_wait_timer():
+    # usage oscillating across the memory threshold (91, 87, 91, 87, ...)
+    # must NOT accumulate wall-clock toward memory_wait_timeout: the
+    # reference's _memory_monitor_task sets the timer to None whenever
+    # usage < memory_threshold, even inside the 85-90 hysteresis band
+    # where pressure mode (halved batch) persists (ADVICE r03 #1).
+    t = iter([0.0, 200.0, 400.0, 800.0, 1300.0, 1900.0])
+    c = MemoryAdaptiveController(1024, min_batch=64,
+                                 memory_reader=_scripted([91, 87, 91, 87, 91, 87]),
+                                 memory_wait_timeout=600.0,
+                                 clock=lambda: next(t))
+    sizes = [c.admit() for _ in range(6)]  # no MemoryError despite 1900 s span
+    assert sizes == [512, 256, 128, 64, 64, 64]
+    assert c.memory_pressure_mode  # hysteresis band: still halved
+
+
+def test_sustained_rerise_still_times_out():
+    # after a dip resets the timer, a new SUSTAINED episode above the
+    # threshold must still trip the timeout from its own start time
+    t = iter([0.0, 100.0, 200.0, 900.0])
+    c = MemoryAdaptiveController(1024, min_batch=64,
+                                 memory_reader=_scripted([91, 87, 91, 92]),
+                                 memory_wait_timeout=600.0,
+                                 clock=lambda: next(t))
+    c.admit(); c.admit(); c.admit()  # dip at t=100 resets; re-rise at t=200
+    with pytest.raises(MemoryError):
+        c.admit()  # t=900: 700 s into the SECOND episode
+
+
 def test_threshold_validation():
     with pytest.raises(ValueError):
         MemoryAdaptiveController(10, memory_threshold_percent=80,

@@ -131,6 +131,36 @@ def test_resume_equals_uninterrupted(spark, pages, tmp_store):
     assert resumed == full
 
 
+def test_resume_heals_orphan_results_commit(spark, pages, tmp_store):
+    """commit_unified crash window (ADVICE r03 #3): results manifest
+    published, frontier manifest NOT. Resume must roll the orphan results
+    snapshot back before re-running the generation — otherwise the re-run
+    appends duplicate result rows."""
+    import os
+
+    robots = generate_robots(spark, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, n_hosts=N_HOSTS)
+    cfg = CrawlConfig(max_depth=3, max_pages=500, per_host_quota=10)
+
+    full_root = os.path.join(tmp_store, "full_heal")
+    res_full = SparkWebEngine(spark, full_root).run(pages, seeds, robots=robots, config=cfg)
+    full = sorted((r.url, r.generation, r.status_code) for r in res_full.collect())
+
+    part_root = os.path.join(tmp_store, "part_heal")
+    eng = SparkWebEngine(spark, part_root)
+    eng.run(pages, seeds, robots=robots, config=cfg, max_generations=2)
+    # simulate the crash: drop the LAST frontier manifest so the results
+    # table is one generation ahead of the frontier table
+    eng.store.drop_latest("frontier")
+    assert int(eng.store.meta("results")["generation"]) \
+        > int(eng.store.meta("frontier")["generation"])
+
+    eng2 = SparkWebEngine(spark, part_root)
+    res2 = eng2.run(pages, seeds, robots=robots, config=cfg, resume=True)
+    resumed = sorted((r.url, r.generation, r.status_code) for r in res2.collect())
+    assert resumed == full  # sorted WITH duplicates: re-run appended none
+
+
 # ----------------------------------------------------- politeness/robots ----
 def test_per_host_quota_enforced(spark):
     cand = spark.range(1000).selectExpr(

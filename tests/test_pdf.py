@@ -82,3 +82,46 @@ def test_octal_escape_decoding():
     assert _unesc(rb"\101\102\103") == "ABC"
     assert _unesc(rb"\0501\051") == "(1)"
     assert _unesc(rb"line\nbreak") == "line\nbreak"
+
+
+# ----------------------------------------------------------- image XObjects
+# (reference processor.py:41,58-70: extract_images=True per-page images)
+
+def test_image_roundtrip_both_filters():
+    imgs = [
+        [{"width": 3, "height": 2, "pixels": bytes(range(18)), "compress": True},
+         {"width": 2, "height": 2, "pixels": bytes(range(100, 112)), "compress": False}],
+        [],
+        [{"width": 1, "height": 1, "pixels": b"\x00\x80\xff", "compress": False}],
+    ]
+    blob = build_pdf(["page one", "page two", "page three"], images=imgs)
+    r = parse_pdf(blob)
+    # text extraction is unaffected by the embedded images
+    assert r["pages"] == ["page one", "page two", "page three"]
+    assert [len(p) for p in r["images"]] == [2, 0, 1]
+    for pi, page in enumerate(imgs):
+        for k, exp in enumerate(page):
+            got = r["images"][pi][k]
+            assert got["width"] == exp["width"]
+            assert got["height"] == exp["height"]
+            assert got["data"] == bytes(exp["pixels"])
+            assert got["colorspace"] == "DeviceRGB"
+            assert got["bits_per_component"] == 8
+            assert got["filter"] == ("FlateDecode" if exp["compress"] else "raw")
+
+
+def test_image_sample_size_validated():
+    with pytest.raises(ValueError):
+        build_pdf(["x"], images=[[{"width": 2, "height": 2, "pixels": b"abc"}]])
+
+
+def test_image_raw_bytes_survive_binary_delimiters():
+    # raw (uncompressed) sample streams containing PDF delimiter bytes
+    # ( ) \ \r \n must come back intact — /Length-based slicing, not regex
+    px = b"()\\\r\nstream\rendst" + bytes(range(223))
+    px = (px + bytes(240))[:240]  # 16*5*3 samples
+    blob = build_pdf(["p"], images=[[{"width": 16, "height": 5,
+                                      "pixels": px,
+                                      "compress": False}]])
+    r = parse_pdf(blob)
+    assert r["images"][0][0]["data"][:len(px)] == px
