@@ -1,14 +1,18 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-Decode status (r3): WAV and BMP decode are REAL — a from-scratch BMP
-writer+parser and the stdlib ``wave`` parser, with a deterministic media
-corpus so the decoded fields are oracle-checked end-to-end
-(``q_multimodal_decode_real``, the same discipline as the PDF source).
-Formats that need codec libraries (JPEG/PNG/MP4) stay behind the
-clearly-marked ``fake_decode`` STUB seam; the Spark-side plumbing around
-both — binary columns, Arrow-batched ``mapInPandas`` with a typed output
-schema, partition-friendly batch shapes — is identical, so swapping the
-stub for PIL/ffmpeg is a one-function change.
+Decode status (r4): WAV, BMP and PNG decode are REAL — a from-scratch BMP
+writer+parser, the stdlib ``wave`` parser, and a from-scratch PNG
+writer+parser (zlib inflate + full scanline-filter reconstruction:
+None/Sub/Up/Average/Paeth, CRC-verified chunks) — with a deterministic
+media corpus so the decoded fields are oracle-checked end-to-end
+(``q_multimodal_decode_real``, the same discipline as the PDF source; the
+``pixel_sum`` column proves every scanline of every filter type
+reconstructed exactly). Formats that genuinely need codec libraries
+(JPEG/MP4) stay behind the clearly-marked ``fake_decode`` STUB seam; the
+Spark-side plumbing around both — binary columns, Arrow-batched
+``mapInPandas`` with a typed output schema, partition-friendly batch
+shapes — is identical, so swapping the stub for PIL/ffmpeg is a
+one-function change.
 """
 
 from __future__ import annotations
@@ -245,9 +249,146 @@ def build_bmp(doc_id: int) -> bytes:
     return header + info + pixels
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png_filter_row(ftype: int, row: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw scanline (ISO/IEC 15948 §9)."""
+    out = bytearray(len(row))
+    for i in range(len(row)):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (row[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int = 3
+                      ) -> bytearray:
+    """Reverse a PNG scanline filter in place (reconstruction, §9.2)."""
+    for i in range(len(row)):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        row[i] = (row[i] + pred) & 0xFF
+    return row
+
+
+def build_png(doc_id: int, *, level: int = 0) -> bytes:
+    """Deterministic 8-bit RGB PNG: 4+id%11 × 3+id%6, raw pixel byte
+    j = (id*3 + j) % 256, scanline r filtered with type (id + r) % 5 — every
+    filter type appears in the corpus. ``level=0`` stores the zlib stream
+    uncompressed (stored deflate blocks), making the total byte count pure
+    construction arithmetic for the oracle: 68 + h*(1 + 3w) for sub-64 KiB
+    payloads (still a real zlib stream — inflate runs on parse)."""
+    import struct
+    import zlib as _z
+
+    w = 4 + doc_id % 11
+    h = 3 + doc_id % 6
+    stride = 3 * w
+    raw = bytes((doc_id * 3 + j) % 256 for j in range(stride * h))
+    prev = bytes(stride)
+    filtered = bytearray()
+    for r in range(h):
+        row = raw[r * stride:(r + 1) * stride]
+        ftype = (doc_id + r) % 5
+        filtered.append(ftype)
+        filtered += _png_filter_row(ftype, row, prev)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no interlace
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(filtered), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def parse_png(payload: bytes) -> dict:
+    """From-scratch PNG parse for the naive subset (8-bit RGB, no
+    interlace): CRC-verified chunk walk, IDAT concat + zlib inflate, full
+    filter reconstruction. Returns width/height/raw pixel bytes."""
+    import struct
+    import zlib as _z
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if _z.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_img, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if (depth, ctype_img, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG variant (naive subset is "
+                                 "8-bit RGB, no interlace)")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    dec = _z.decompress(bytes(idat))
+    stride = 3 * width
+    if len(dec) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    prev = bytes(stride)
+    raw = bytearray()
+    for r in range(height):
+        off = r * (stride + 1)
+        line = _png_unfilter_row(dec[off], bytearray(dec[off + 1:off + 1 + stride]),
+                                 prev)
+        raw += line
+        prev = bytes(line)
+    return {"width": width, "height": height, "pixels": bytes(raw)}
+
+
 def real_decode(payload: bytes) -> dict | None:
-    """Parse a WAV (stdlib ``wave``) or BMP (struct) payload into typed
-    metadata; returns None for formats that still need the stub seam."""
+    """Parse a WAV (stdlib ``wave``), BMP (struct) or PNG (from-scratch
+    zlib+filter parser) payload into typed metadata; returns None for
+    formats that still need the stub seam (JPEG/MP4). ``pixel_sum`` is the
+    sum of every decoded sample byte — for PNG that means all scanlines of
+    all filter types reconstructed exactly."""
     import io
     import struct
     import wave
@@ -256,21 +397,33 @@ def real_decode(payload: bytes) -> dict | None:
         with wave.open(io.BytesIO(payload)) as w:
             rate = w.getframerate()
             n = w.getnframes()
-            frames = w.readframes(min(n, 8))
+            frames = w.readframes(n)
         return {
             "kind": "wav", "width": 0, "height": 0, "n_frames": n,
             "sample_rate": rate,
             "duration_us": (n * 1_000_000) // rate,
             "feat0_e6": int(round(frames[0] / 255.0 * 1e6)) if frames else 0,
+            "pixel_sum": sum(frames),
         }
     if payload[:2] == b"BM":
         _, _, _, offset = struct.unpack_from("<IHHI", payload, 2)
         _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
-        first = payload[offset]
+        rowsize = ((bpp // 8 * w + 3) // 4) * 4
+        samples = payload[offset:offset + rowsize * abs(h)]
         return {
             "kind": "bmp", "width": w, "height": abs(h), "n_frames": 1,
             "sample_rate": 0, "duration_us": 0,
-            "feat0_e6": int(round(first / 255.0 * 1e6)),
+            "feat0_e6": int(round(samples[0] / 255.0 * 1e6)),
+            "pixel_sum": sum(samples),
+        }
+    if payload[:8] == PNG_SIG:
+        r = parse_png(payload)
+        px = r["pixels"]
+        return {
+            "kind": "png", "width": r["width"], "height": r["height"],
+            "n_frames": 1, "sample_rate": 0, "duration_us": 0,
+            "feat0_e6": int(round(px[0] / 255.0 * 1e6)),
+            "pixel_sum": sum(px),
         }
     return None
 
@@ -285,14 +438,17 @@ REAL_DECODE_SCHEMA = T.StructType([
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("duration_us", T.LongType()),
     T.StructField("feat0_e6", T.LongType()),
+    T.StructField("pixel_sum", T.LongType()),
 ])
+
+_BUILDERS = (build_wav, build_bmp, build_png)
 
 
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Writer→parser roundtrip over a synthesized media corpus: even doc_ids
-    carry WAV audio, odd ones BMP images; one Arrow stage builds the real
-    bytes and decodes them back; the oracle recomputes every field from the
-    construction arithmetic."""
+    """Writer→parser roundtrip over a synthesized media corpus: doc_id % 3
+    picks WAV / BMP / PNG; one Arrow stage builds the real bytes and decodes
+    them back; the oracle recomputes every field — including the full
+    decoded-byte sum — from the construction arithmetic alone."""
     import pandas as pd
 
     d = tbl(spark, sf_dir, "documents").select("doc_id")
@@ -304,7 +460,7 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                blob = build_wav(i) if i % 2 == 0 else build_bmp(i)
+                blob = _BUILDERS[i % 3](i)
                 meta = real_decode(blob)
                 rows.append({"doc_id": i, "n_bytes": len(blob), **meta})
             yield pd.DataFrame(rows)
@@ -312,23 +468,50 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(run, REAL_DECODE_SCHEMA)
 
 
+# construction arithmetic per kind (doc_id % 3):
+#   wav: n = 200+id%57 samples of (id*31 + 7i)%256 at 8000+(id%3)*4000 Hz
+#        (id%3==0 here, so the rate term is always 8000); blob = 44 + n
+#   bmp: (4+id%13) x (3+id%7), row-aligned; pixel byte j = (id+j)%256;
+#        blob = 54 + rowsize*h
+#   png: (4+id%11) x (3+id%6); raw byte j = (id*3+j)%256; stored-block zlib
+#        -> blob = 68 + h*(1+3w)  (8 sig + 25 IHDR + 12+11+D IDAT + 12 IEND)
 SQL_MULTIMODAL_DECODE_REAL = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS kind,
-       CAST(CASE WHEN doc_id % 2 = 0
-                 THEN 44 + 200 + doc_id % 57
-                 ELSE 54 + ((3 * (4 + doc_id % 13) + 3) // 4) * 4 * (3 + doc_id % 7)
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 3 AS k,
+         200 + doc_id % 57 AS wav_n,
+         4 + doc_id % 13 AS bmp_w, 3 + doc_id % 7 AS bmp_h,
+         ((3 * (4 + doc_id % 13) + 3) // 4) * 4 AS bmp_row,
+         4 + doc_id % 11 AS png_w, 3 + doc_id % 6 AS png_h
+  FROM documents
+),
+sums AS (
+  SELECT doc_id,
+         CASE k
+           WHEN 0 THEN (SELECT sum((doc_id * 31 + 7 * s.i) % 256)
+                        FROM unnest(range(wav_n)) s(i))
+           WHEN 1 THEN (SELECT sum((doc_id + s.i) % 256)
+                        FROM unnest(range(bmp_row * bmp_h)) s(i))
+           ELSE (SELECT sum((doc_id * 3 + s.i) % 256)
+                 FROM unnest(range(3 * png_w * png_h)) s(i))
+         END AS pixel_sum
+  FROM base
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CASE b.k WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'png' END AS kind,
+       CAST(CASE b.k WHEN 0 THEN 44 + wav_n
+                     WHEN 1 THEN 54 + bmp_row * bmp_h
+                     ELSE 68 + png_h * (1 + 3 * png_w)
             END AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 4 + doc_id % 13 END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 3 + doc_id % 7 END AS INT) AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 200 + doc_id % 57 ELSE 1 END AS INT) AS n_frames,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 3) * 4000 ELSE 0 END AS INT) AS sample_rate,
-       CAST(CASE WHEN doc_id % 2 = 0
-                 THEN ((200 + doc_id % 57) * 1000000) // (8000 + (doc_id % 3) * 4000)
-                 ELSE 0 END AS BIGINT) AS duration_us,
-       CAST(ROUND(((doc_id * CASE WHEN doc_id % 2 = 0 THEN 31 ELSE 1 END) % 256)
-                  / 255.0 * 1000000) AS BIGINT) AS feat0_e6
-FROM documents
+       CAST(CASE b.k WHEN 0 THEN 0 WHEN 1 THEN bmp_w ELSE png_w END AS INT) AS width,
+       CAST(CASE b.k WHEN 0 THEN 0 WHEN 1 THEN bmp_h ELSE png_h END AS INT) AS height,
+       CAST(CASE b.k WHEN 0 THEN wav_n ELSE 1 END AS INT) AS n_frames,
+       CAST(CASE b.k WHEN 0 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
+       CAST(CASE b.k WHEN 0 THEN (wav_n * 1000000) // 8000 ELSE 0 END AS BIGINT) AS duration_us,
+       CAST(ROUND(((b.doc_id * CASE b.k WHEN 0 THEN 31 WHEN 1 THEN 1 ELSE 3 END) % 256)
+                  / 255.0 * 1000000) AS BIGINT) AS feat0_e6,
+       CAST(s.pixel_sum AS BIGINT) AS pixel_sum
+FROM base b JOIN sums s ON b.doc_id = s.doc_id
 """
 
 

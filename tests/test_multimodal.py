@@ -70,11 +70,39 @@ def test_real_decode_wav_bmp_roundtrip():
         assert m["feat0_e6"] == round(i % 256 / 255.0 * 1e6)
 
 
+def test_real_decode_png_roundtrip():
+    """r4: PNG decode is REAL — from-scratch writer → zlib inflate + filter
+    reconstruction recovers the exact raw pixels for every filter type."""
+    from crawl4ai_spark.ops.multimodal import build_png, parse_png, real_decode
+
+    for i in (2, 5, 17, 101, 254):
+        w, h = 4 + i % 11, 3 + i % 6
+        exp = bytes((i * 3 + j) % 256 for j in range(w * h * 3))
+        for level in (0, 6):
+            r = parse_png(build_png(i, level=level))
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["pixels"] == exp
+        m = real_decode(build_png(i))
+        assert m["kind"] == "png"
+        assert m["pixel_sum"] == sum(exp)
+        assert m["feat0_e6"] == round((i * 3) % 256 / 255.0 * 1e6)
+
+
+def test_png_crc_mismatch_raises():
+    from crawl4ai_spark.ops.multimodal import build_png, parse_png
+    import pytest as _pytest
+
+    blob = bytearray(build_png(7))
+    blob[20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(blob))
+
+
 def test_real_decode_unknown_format_stays_stubbed():
     from crawl4ai_spark.ops.multimodal import real_decode
 
-    assert real_decode(b"\x89PNG\r\n\x1a\n....") is None  # PNG → stub seam
     assert real_decode(b"\xff\xd8\xff\xe0JFIF") is None   # JPEG → stub seam
+    assert real_decode(b"\x00\x00\x00 ftypisom") is None   # MP4 → stub seam
 
 
 def test_multimodal_decode_real_query(spark):
@@ -83,6 +111,7 @@ def test_multimodal_decode_real_query(spark):
     out = q_multimodal_decode_real(spark, "/root/testdata/sf0.001")
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == 500
-    assert rows[0].kind == "wav" and rows[1].kind == "bmp"
-    assert rows[2].sample_rate == 8000 + (2 % 3) * 4000
-    assert rows[3].width == 4 + 3 % 13 and rows[3].height == 3 + 3 % 7
+    assert rows[0].kind == "wav" and rows[1].kind == "bmp" and rows[2].kind == "png"
+    assert rows[3].sample_rate == 8000
+    assert rows[4].width == 4 + 4 % 13 and rows[4].height == 3 + 4 % 7
+    assert rows[5].width == 4 + 5 % 11 and rows[5].height == 3 + 5 % 6
