@@ -202,3 +202,120 @@ def test_llm_extraction_through_page_pipeline(spark):
         [("http://t.example/", html.encode())], "url string, html binary")
     row = process_pages(pages, llm_extraction=cfg).collect()[0]
     assert row.extracted_content == pure["extracted_content"]
+
+
+# ------------------------------------------------ generate_schema (r4)
+# structural decisions pinned to reference-run goldens
+# (scripts/gen_schema_goldens.py → tests/goldens/schema_gen.jsonl)
+
+import os as _os
+
+_SCHEMA_GOLDENS = [
+    json.loads(l) for l in open(_os.path.join(
+        _os.path.dirname(__file__), "goldens", "schema_gen.jsonl"))
+]
+
+
+def _our_branch(prompt: str) -> str:
+    from crawl4ai_spark.html.llm_strategies import SCHEMA_REMINDER
+    for name in ("query_only", "example_only", "neither"):
+        if SCHEMA_REMINDER[name] in prompt:
+            return name
+    return "both"
+
+
+@pytest.mark.parametrize(
+    "rec", [r for r in _SCHEMA_GOLDENS if "inputs" in r],
+    ids=[r["fixture"] for r in _SCHEMA_GOLDENS if "inputs" in r])
+def test_generate_schema_matches_reference_decisions(rec):
+    from crawl4ai_spark.html.llm_strategies import (
+        PROMPT_SCHEMA_BUILDER_CSS, PROMPT_SCHEMA_BUILDER_XPATH,
+        build_schema_prompt, generate_schema)
+
+    inp = rec["inputs"]
+    prompt = build_schema_prompt(inp["html"], schema_type=inp["schema_type"],
+                                 query=inp["query"],
+                                 target_json_example=inp["example"])
+    # same reminder branch as the reference chose for this input combo
+    assert _our_branch(prompt) == rec["branch"]
+    # same builder-template selection
+    tmpl = {"CSS": PROMPT_SCHEMA_BUILDER_CSS,
+            "XPATH": PROMPT_SCHEMA_BUILDER_XPATH}[rec["template_kind"]]
+    assert tmpl in prompt
+    other = (PROMPT_SCHEMA_BUILDER_XPATH if rec["template_kind"] == "CSS"
+             else PROMPT_SCHEMA_BUILDER_CSS)
+    assert other not in prompt
+    # verbatim embedding + section order, exactly as the reference's prompt
+    assert rec["contains_html"] and inp["html"] in prompt
+    if inp["query"]:
+        assert rec["contains_query"] and inp["query"] in prompt
+        assert (prompt.find(inp["html"]) < prompt.find(inp["query"])) \
+            == rec["html_before_query"]
+    if inp["example"]:
+        assert rec["contains_example"] and inp["example"] in prompt
+    if inp["query"] and inp["example"]:
+        assert (prompt.find(inp["query"]) < prompt.find(inp["example"])) \
+            == rec["query_before_example"]
+    # forced-JSON response contract: provider text is json.loads'd directly
+    assert rec["json_response"] is True
+    out = generate_schema(inp["html"], schema_type=inp["schema_type"],
+                          query=inp["query"],
+                          target_json_example=inp["example"],
+                          provider=lambda p: json.dumps(rec["returned_schema"]))
+    assert out == rec["returned_schema"]
+
+
+@pytest.mark.parametrize(
+    "rec", [r for r in _SCHEMA_GOLDENS if r.get("raises")],
+    ids=[r["fixture"] for r in _SCHEMA_GOLDENS if r.get("raises")])
+def test_generate_schema_deprecated_params_raise(rec):
+    from crawl4ai_spark.html.llm_strategies import generate_schema
+
+    kw = {"deprecated_provider": {"provider": "openai/gpt-4o"},
+          "deprecated_api_token": {"api_token": "x"}}[rec["fixture"]]
+    with pytest.raises(AttributeError, match="deprecated"):
+        generate_schema("<p>x</p>", **kw)
+
+
+def test_generate_schema_validates_response():
+    from crawl4ai_spark.html.llm_strategies import generate_schema
+
+    # non-JSON → ValueError with context
+    with pytest.raises(ValueError, match="non-JSON"):
+        generate_schema("<p>x</p>", provider=lambda p: "not json")
+    # structurally broken schema → every violation named
+    bad = {"name": "x", "fields": [
+        {"name": "a", "type": "attribute"},           # missing 'attribute'
+        {"type": "text"},                             # missing 'name'
+        {"name": "n", "type": "nested", "selector": "div",
+         "fields": [{"name": "r", "type": "regex"}]},  # missing 'pattern'
+        {"name": "u", "type": "wat"},                 # unknown type
+    ]}
+    with pytest.raises(ValueError) as ei:
+        generate_schema("<p>x</p>", provider=lambda p: json.dumps(bad))
+    msg = str(ei.value)
+    for frag in ("baseSelector", "requires 'attribute'", "missing/empty 'name'",
+                 "requires 'pattern'", "unknown type 'wat'"):
+        assert frag in msg, (frag, msg)
+
+
+def test_generate_schema_no_provider_raises_wiring_hint():
+    from crawl4ai_spark.html.llm_strategies import generate_schema
+
+    with pytest.raises(RuntimeError, match="completion provider"):
+        generate_schema("<p>x</p>")
+
+
+def test_generated_schema_drives_extraction():
+    """The canned schema the goldens return is directly consumable by the
+    E10 interpreter — the full hub-pack story: generate → validate →
+    extract."""
+    from crawl4ai_spark.html.extraction import extract_json_css
+    from crawl4ai_spark.html.llm_strategies import generate_schema
+
+    schema_rec = next(r for r in _SCHEMA_GOLDENS if r["fixture"] == "plain_css")
+    schema = generate_schema(
+        schema_rec["inputs"]["html"],
+        provider=lambda p: json.dumps(schema_rec["returned_schema"]))
+    rows = extract_json_css(schema_rec["inputs"]["html"], schema)
+    assert rows == [{"title": "A", "price": "$1"}, {"title": "B", "price": "$2"}]
