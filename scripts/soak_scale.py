@@ -78,6 +78,10 @@ def drain(spark, n_hosts: int, pph: int, tag: str) -> dict:
             {"gen": g, "batch": n, "wall_s": round(w, 1),
              "urls_per_sec": round(n / w, 1) if w else None}
             for g, n, w in gens],
+        # r4 (VERDICT r03 #8): per-stage breakdown of the LAST generations,
+        # so a drain-tail anomaly (the unexplained sf0.1 105 s generation in
+        # SOAK_r03) is attributable to a stage, not guessed at
+        "tail_profile": eng.gen_profile[-4:],
     }
     print(json.dumps(out))
     return out

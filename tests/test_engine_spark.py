@@ -161,6 +161,38 @@ def test_resume_heals_orphan_results_commit(spark, pages, tmp_store):
     assert resumed == full  # sorted WITH duplicates: re-run appended none
 
 
+def test_resume_rebuilds_stale_seen_filter(spark, pages, tmp_store):
+    """r4: the unified publish order is results → frontier → url_seen, so a
+    crash can leave the seen filter one generation behind. Resume must
+    rebuild it from the frontier (full-scan bootstrap) — otherwise stale-
+    filter re-admission enqueues duplicate QUEUED rows."""
+    import os
+
+    seeds = generate_seeds(spark, N_HOSTS)
+    cfg = CrawlConfig(max_depth=3, max_pages=500, per_host_quota=10,
+                      check_robots_txt=False, use_bloom=True,
+                      bloom_shards=4, bloom_capacity_per_shard=4096)
+
+    full_root = os.path.join(tmp_store, "bloom_full")
+    res_full = SparkWebEngine(spark, full_root).run(pages, seeds, config=cfg)
+    full = sorted((r.url, r.generation) for r in res_full.collect())
+
+    part_root = os.path.join(tmp_store, "bloom_part")
+    eng = SparkWebEngine(spark, part_root)
+    eng.run(pages, seeds, config=cfg, max_generations=2)
+    # simulate the crash window: frontier published, url_seen not
+    eng.store.drop_latest("url_seen")
+    assert int(eng.store.meta("url_seen")["generation"]) \
+        < int(eng.store.meta("frontier")["generation"])
+
+    eng2 = SparkWebEngine(spark, part_root)
+    res2 = eng2.run(pages, seeds, config=cfg, resume=True)
+    assert any(eng2.store.meta("url_seen", sid).get("rebuilt_on_resume")
+               for sid in eng2.store.snapshot_ids("url_seen"))
+    resumed = sorted((r.url, r.generation) for r in res2.collect())
+    assert resumed == full  # sorted WITH duplicates — none were re-crawled
+
+
 # ----------------------------------------------------- politeness/robots ----
 def test_per_host_quota_enforced(spark):
     cand = spark.range(1000).selectExpr(
