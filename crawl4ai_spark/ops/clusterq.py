@@ -514,14 +514,97 @@ JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1) s
 """
 
 
+def q_cluster_embeddings_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the 10^10-edge production shape q_cluster_embeddings'
+    docstring points at: min-label propagation needs O(diameter) rounds,
+    large/small-star converges in O(log n) with the SAME per-round shape
+    (groupBy min + equi-join), so chain-heavy graphs stop being the worst
+    case. Same output and same DuckDB oracle as q_cluster_embeddings;
+    pytest asserts row-for-row equality between the two.
+
+    large-star(u): m = min(N(u) ∪ {u}); for v ∈ N(u), v > u → edge (v, m)
+    small-star(u): over edges keyed by their larger endpoint,
+                   m = min(N(u)); for v ∈ N(u) ∪ {u}, v ≠ m → edge (v, m)
+    Converged when small-star's canonical edge set stops changing; the
+    remaining edges form stars (node → component root)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    pairs = q_sim_lsh_verified(spark, sf_dir).select("v1", "v2")
+    return connected_components_bigstar(
+        emb.select(F.col("vec_id").alias("node")), pairs)
+
+
+def connected_components_bigstar(nodes: DataFrame, pairs: DataFrame,
+                                 max_rounds: int = 30) -> DataFrame:
+    """Core large-star/small-star loop over an arbitrary (nodes, v1/v2
+    pairs) graph — unit-testable on synthetic chains where min-label
+    propagation would need O(n) rounds."""
+    edges = pairs.filter(F.col("v1") != F.col("v2")) \
+                 .select(F.least("v1", "v2").alias("a"),
+                         F.greatest("v1", "v2").alias("b")) \
+                 .distinct().localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: key every edge on BOTH endpoints
+        nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+                    .unionByName(edges.select(F.col("b").alias("u"),
+                                              F.col("a").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("a"),
+                    F.greatest("v", "m").alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct()
+        )
+        # small-star: key on the larger endpoint (a < b by construction)
+        smins = large.groupBy(F.col("b").alias("u")) \
+                     .agg(F.min("a").alias("m"))
+        small = (
+            large.join(smins, large.b == smins.u)
+            .select(F.col("a").alias("v"), "m")
+            .unionByName(smins.select(F.col("u").alias("v"), "m"))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct().localCheckpoint(eager=True)  # plan truncation, as above
+        )
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h")).collect()[0]
+        edges = small
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # stars: b → a is node → root; isolated nodes label themselves. The
+    # min-agg keeps the result well-formed even if the 30-round cap fires
+    # before a perfect fixed point (a node then still takes its smallest
+    # root candidate — one row per node either way).
+    labels = nodes \
+                .join(edges.select(F.col("b").alias("node"),
+                                   F.col("a").alias("root")), "node", "left") \
+                .groupBy("node") \
+                .agg(F.min(F.coalesce("root", "node")).alias("lbl"))
+    sizes = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(F.col("node").cast("long").alias("vec_id"),
+                F.col("lbl").cast("long").alias("cluster_id"),
+                "cluster_size")
+    )
+
+
 QUERIES = {
     "cluster_embeddings": q_cluster_embeddings,
+    "cluster_embeddings_bigstar": q_cluster_embeddings_bigstar,
     "cosine_cluster_chunks": q_cosine_cluster_chunks,
     "cosine_cluster_ward": q_cosine_cluster_ward,
     "cosine_prefilter": q_cosine_prefilter,
 }
 ORACLES = {
     "cluster_embeddings": SQL_CLUSTER_EMBEDDINGS,
+    "cluster_embeddings_bigstar": SQL_CLUSTER_EMBEDDINGS,
     "cosine_cluster_chunks": SQL_COSINE_CLUSTER_CHUNKS,
     "cosine_prefilter": SQL_COSINE_PREFILTER,
 }

@@ -211,3 +211,40 @@ def test_cosine_extraction_through_page_pipeline(spark):
         [("http://t.example/", html.encode())], "url string, html binary")
     row = process_pages(pages, cosine_config=cfg).collect()[0]
     assert row.extracted_content == pure["extracted_content"]
+
+
+# ---------------------------------------------- large-star/small-star (r4)
+
+def test_bigstar_chain_converges_logarithmically(spark):
+    """A 200-node path graph is min-label propagation's worst case
+    (O(n) rounds to drag label 0 down the chain); large-star/small-star
+    must collapse it to one component rooted at 0 within the 30-round cap
+    (O(log n) — the Kiveris et al. convergence bound)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.ops.clusterq import connected_components_bigstar
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("v1"), (F.col("id") + 1).alias("v2"))
+    out = connected_components_bigstar(nodes, pairs).collect()
+    assert len(out) == n
+    assert all(r.cluster_id == 0 and r.cluster_size == n for r in out)
+
+
+def test_bigstar_isolated_and_multi_component(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.ops.clusterq import connected_components_bigstar
+
+    nodes = spark.range(10).select(F.col("id").alias("node"))
+    # components: {0,1,2}, {5,6}, isolated 3,4,7,8,9
+    pairs = spark.createDataFrame(
+        [(1, 0), (2, 1), (6, 5)], "v1 long, v2 long")
+    rows = {r.vec_id: (r.cluster_id, r.cluster_size)
+            for r in connected_components_bigstar(nodes, pairs).collect()}
+    assert rows[0] == (0, 3) and rows[1] == (0, 3) and rows[2] == (0, 3)
+    assert rows[5] == (5, 2) and rows[6] == (5, 2)
+    for iso in (3, 4, 7, 8, 9):
+        assert rows[iso] == (iso, 1)
