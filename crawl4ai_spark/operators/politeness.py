@@ -155,6 +155,137 @@ def robots_allowed_col(df: DataFrame, robots: DataFrame, *,
 
 
 # ---------------------------------------------------------------------------
+# robots gate, native fast path (r4): compile once, gate with expressions
+# ---------------------------------------------------------------------------
+# robots_allowed_col spins a Python stage EVERY generation — measured ~20-25%
+# of the small-shape e2e wall. The rules side is fully resolvable at compile
+# time for a fixed user agent (stdlib robotparser: entry selection, rule
+# order, quoted rule paths — can_fetch() above is ordered-prefix matching
+# after that), so compile the robots DIM once per run into per-host ordered
+# (prefix, allow) arrays via robotparser itself, then gate each generation
+# with pure column expressions: filename = quote(path-and-after), first
+# matching prefix decides, no rules → allow. The per-URL quote() transform
+# is reproduced natively for ASCII ``%``-free URLs (the exact-parity
+# domain); rows outside it route through the pUDF gate, which then
+# processes ~zero rows.
+
+RULES_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("__robots_rules", T.ArrayType(T.StructType([
+        T.StructField("prefix", T.StringType()),
+        T.StructField("allow", T.BooleanType()),
+    ]))),
+])
+
+# characters urllib.parse.quote(safe='/') leaves untouched
+_QUOTE_SAFE_RE = "[A-Za-z0-9_.~/-]"
+
+
+def compile_robots_rules(robots: DataFrame, *, user_agent: str = "*",
+                         host_col: str = "host") -> DataFrame:
+    """One Arrow pass over the robots dim (one row per host — runs ONCE per
+    crawl, not per generation): resolve each host's robots.txt through
+    stdlib robotparser for ``user_agent`` into the ordered (prefix, allow)
+    list can_fetch() would scan. disallow_all → [('*', False)]; allow_all /
+    no applicable entry → empty list (default allow)."""
+
+    def compile_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        agent_token = user_agent.split("/")[0].lower()
+        for pdf in batches:
+            rows = []
+            for host, rules in zip(pdf[host_col], pdf["rules"]):
+                if rules is None or (isinstance(rules, float) and pd.isna(rules)):
+                    continue  # no rules row → gate fail-opens via left join
+                rp = urllib.robotparser.RobotFileParser()
+                try:
+                    rp.parse(str(rules).splitlines())
+                except Exception:
+                    rows.append((host, []))  # fail-open, like the pUDF gate
+                    continue
+                if rp.disallow_all:
+                    rows.append((host, [("*", False)]))
+                    continue
+                if rp.allow_all:
+                    rows.append((host, []))
+                    continue
+                entry = next((e for e in rp.entries
+                              if e.applies_to(agent_token)), rp.default_entry)
+                if entry is None:
+                    rows.append((host, []))
+                    continue
+                rows.append((host, [(ln.path, bool(ln.allowance))
+                                    for ln in entry.rulelines]))
+            yield pd.DataFrame(rows, columns=["host", "__robots_rules"])
+
+    return robots.select(F.col(host_col).alias("host"), "rules") \
+                 .mapInPandas(compile_batch, RULES_SCHEMA)
+
+
+def _native_filename(url_col: str):
+    """can_fetch()'s per-URL normalization as expressions, for URLs in the
+    exact-parity domain (printable ASCII, no '%'): filename = quote(path +
+    [;params][?query][#fragment]) or '/'. quote() over ASCII = percent-
+    encode every char outside the always-safe set."""
+    after_host = F.regexp_extract(F.col(url_col),
+                                  r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(.*)$", 1)
+    quoted = F.array_join(
+        F.transform(
+            # split('', '') yields ['']; filter the empties
+            F.filter(F.split(after_host, ""), lambda c: c != F.lit("")),
+            lambda c: F.when(c.rlike(f"^{_QUOTE_SAFE_RE}$"), c)
+                       .otherwise(F.concat(F.lit("%"),
+                                           F.hex(F.ascii(c)))),
+        ), "")
+    return F.when(quoted == "", F.lit("/")).otherwise(quoted)
+
+
+def robots_allowed_col_native(df: DataFrame, compiled_rules: DataFrame, *,
+                              url_col: str = "url", host_col: str = "host"
+                              ) -> DataFrame:
+    """Expression-only robots gate over pre-compiled rules. URLs outside the
+    native quote() parity domain get robots_allowed = NULL here — callers
+    route those rows through the pUDF gate (robots_allowed_col)."""
+    joined = df.join(
+        F.broadcast(compiled_rules.withColumnRenamed("host", host_col)),
+        on=host_col, how="left")
+    safe = F.col(url_col).rlike(r"^[\x20-\x7e]*$") \
+        & ~F.col(url_col).contains("%")
+    filename = _native_filename(url_col)
+    # rules arrays preserve file order → the first surviving element is the
+    # first RuleLine whose path applies (prefix or '*'), can_fetch exactly.
+    # F.get (0-based) returns NULL past the end — element_at throws under
+    # ANSI when no rule matches.
+    first = F.get(
+        F.filter(F.col("__robots_rules"),
+                 lambda r: (r["prefix"] == F.lit("*"))
+                 | filename.startswith(r["prefix"])), 0)
+    allowed = F.when(F.col("__robots_rules").isNull(), F.lit(True)) \
+               .otherwise(F.coalesce(first["allow"], F.lit(True)))
+    return joined.withColumn(
+        "robots_allowed",
+        F.when(safe, allowed).otherwise(F.lit(None).cast("boolean"))
+    ).drop("__robots_rules")
+
+
+def robots_allowed_col_fast(df: DataFrame, robots: DataFrame,
+                            compiled_rules: DataFrame, *,
+                            user_agent: str = "*", url_col: str = "url",
+                            host_col: str = "host") -> DataFrame:
+    """Full-fidelity gate: native expressions for the parity domain, the
+    robotparser pUDF ONLY for rows the native path abstained on (NULL).
+    When every URL is ASCII and %-free — the common crawl-frontier case —
+    the Python stage's input is empty and its tasks are no-ops."""
+    native = robots_allowed_col_native(df, compiled_rules,
+                                       url_col=url_col, host_col=host_col)
+    decided = native.filter(F.col("robots_allowed").isNotNull())
+    undecided = native.filter(F.col("robots_allowed").isNull()) \
+                      .drop("robots_allowed")
+    fallback = robots_allowed_col(undecided, robots, user_agent=user_agent,
+                                  url_col=url_col, host_col=host_col)
+    return decided.unionByName(fallback)
+
+
+# ---------------------------------------------------------------------------
 # host state update (F12 backoff/decay, F16 retries)
 # ---------------------------------------------------------------------------
 

@@ -452,7 +452,8 @@ def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH-verified pair graph (sim_lsh_verified, cos ≥ 0.2), label = min
     vec_id. Iterative min-label propagation — each round one equi-join on
     vec id; near-dup components are shallow so rounds ≈ log(diameter).
-    (At 10^10 nodes the same join shape runs as large-star/small-star.)"""
+    (At 10^10 nodes / chain-heavy graphs, use q_cluster_embeddings_bigstar
+    below — large-star/small-star, O(log n) rounds, same oracle.)"""
     emb = tbl(spark, sf_dir, "embeddings")
     pairs = q_sim_lsh_verified(spark, sf_dir).select("v1", "v2")
     edges = (
