@@ -200,6 +200,16 @@ def stream_sessionize_events_tws(spark: SparkSession, events_dir: str,
     ``sessionize_events`` row."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
+    # TWS state lives in named column families, which only the RocksDB
+    # provider supports — the default HDFSBackedStateStoreProvider aborts
+    # with UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES. RocksDB
+    # serves every other stateful operator too, so flipping the session
+    # default here is safe (and required for any TWS query).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+
     class SessionizeTWS(StatefulProcessor):
         def init(self, handle) -> None:
             self.state = handle.getValueState(

@@ -118,12 +118,11 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
     assert a == b
 
 
-# transformWithStateInPandas ships its state protocol over protobuf; this
-# sandbox has no google.protobuf, so even the canonical upstream example
-# dies in the driver worker with STREAMING_PYTHON_RUNNER_INITIALIZATION_
-# FAILURE (ImportError: google.protobuf.descriptor). The operator is
-# implemented and these tests run wherever protobuf exists — the same
-# blocked-not-skipped posture as the lxml byte-parity generators.
+# transformWithStateInPandas ships its state protocol over protobuf. This
+# sandbox has no pip-installed google.protobuf; conftest's
+# _enable_protobuf_shim() activates the Google Cloud SDK's bundled
+# pure-python runtime when present, so these run green here — and the
+# skipif stays as the honest gate for environments with neither.
 try:
     import google.protobuf  # noqa: F401
     _HAS_PROTOBUF = True
