@@ -123,9 +123,6 @@ class SparkWebEngine:
         # clocks only (schedule / fetch+extract / commit / compact /
         # host_state), for soak drain-tail attribution
         self.gen_profile: list[dict] = []
-        # (user_agent, persisted compiled-rules DF) — the run-scoped cache
-        # behind the native robots gate
-        self._robots_rules: tuple[str, DataFrame] | None = None
 
     def _read_frontier(self) -> DataFrame | None:
         """Frontier log projected to its own schema. The unified event
@@ -447,30 +444,22 @@ class SparkWebEngine:
             host_quota=host_quota, priority=priority,
         )
         if cfg.check_robots_txt and robots is not None:
+            # the Arrow robotparser gate, deliberately: a compile-once
+            # expression gate (POL.robots_allowed_col_fast) was built and
+            # A/B-measured — pUDF won at the 2k e2e shape (~85 vs ~80
+            # urls/s, 6/6 interleaved pairs) and tied at 1M rows, because
+            # robotparser itself is ~1.5 µs/row while the native form pays
+            # an extra broadcast join + a 30-replace quote() chain in front
+            # of the same Arrow stage (BASELINE.md "robots gate A/B"). The
+            # native gate stays available as a library operator with
+            # equivalence tests (tests/test_robots_native.py).
             rb = robots
             if cfg.robots_ttl_s is not None and "fetch_time" in robots.columns:
-                # TTL makes the effective rule set time-varying — the
-                # compile-once cache doesn't apply; keep the pUDF gate
                 cutoff = time.time() - cfg.robots_ttl_s
                 rb = robots.filter(F.col("fetch_time") >= F.lit(cutoff))
-                batch = POL.robots_allowed_col(
-                    batch, rb, user_agent=cfg.user_agent
-                )
-            else:
-                # r4 native gate: rules compiled through robotparser ONCE
-                # per (run, user_agent) and persisted; the per-generation
-                # check is then pure column expressions (the pUDF fallback
-                # stage only sees URLs outside the native quote() parity
-                # domain — typically zero rows)
-                if self._robots_rules is None or \
-                        self._robots_rules[0] != cfg.user_agent:
-                    compiled = POL.compile_robots_rules(
-                        rb, user_agent=cfg.user_agent).persist()
-                    compiled.count()
-                    self._robots_rules = (cfg.user_agent, compiled)
-                batch = POL.robots_allowed_col_fast(
-                    batch, rb, self._robots_rules[1],
-                    user_agent=cfg.user_agent)
+            batch = POL.robots_allowed_col(
+                batch, rb, user_agent=cfg.user_agent
+            )
         else:
             batch = batch.withColumn("robots_allowed", F.lit(True))
         return batch, known_empty

@@ -260,12 +260,208 @@ GROUP BY tri.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (r4)
+# ---------------------------------------------------------------------------
+# The repetition family from Gopher (Rae et al. 2021, Table A1) / the C4 and
+# MassiveText cleaning recipes — the standard pretraining-corpus filters for
+# boilerplate and degenerate text. All integer arithmetic (num * 1e6 div
+# den), so the DuckDB oracles are exact. Two deliberate simplifications vs
+# the paper, stated here so nobody mistakes this for byte-parity Gopher:
+# duplicate n-gram coverage is an occurrence fraction (grams whose value
+# repeats / all grams), not the paper's character-marking coverage; and
+# "characters in the top n-gram" counts token characters (separator spaces
+# excluded) against the document's total token characters.
+
+
+def q_text_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-line fraction + duplicate-line character fraction per doc
+    (Gopher thresholds: drop at >0.30 / >0.20). Lines are '\\n'-split,
+    empties dropped; docs with no non-empty line emit no row. One
+    (doc_id, line) shuffle then a per-doc fold — line keys are doc-scoped,
+    so a corpus-wide hot line ('', 'Home', …) cannot skew a reducer."""
+    d = tbl(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", "\n"),
+                           lambda x: x != F.lit(""))).alias("line"))
+    per = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    dup = F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+    return (
+        per.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_lines"),
+             F.sum(dup).alias("n_dup"),
+             F.sum(F.col("c") * F.length("line")).alias("chars"),
+             F.sum(dup * F.length("line")).alias("dup_chars"))
+        .select("doc_id",
+                F.col("n_lines").cast("long").alias("n_lines"),
+                F.expr("CAST(n_dup * 1000000 div n_lines AS BIGINT)")
+                .alias("dup_line_frac_e6"),
+                F.expr("CAST(dup_chars * 1000000 div chars AS BIGINT)")
+                .alias("dup_char_frac_e6"))
+    )
+
+
+SQL_TEXT_DUP_LINES = """
+WITH l AS (
+  SELECT doc_id, line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(line)
+  WHERE line <> ''
+), per AS (
+  SELECT doc_id, line, count(*) AS c FROM l GROUP BY doc_id, line
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000
+            // sum(c) AS BIGINT) AS dup_line_frac_e6,
+       CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) * 1000000
+            // sum(c * length(line)) AS BIGINT) AS dup_char_frac_e6
+FROM per
+GROUP BY doc_id
+"""
+
+
+def _word_ngrams(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g) word n-grams, space-joined, from the shared [a-z0-9]+
+    tokenization; docs with fewer than n words emit nothing."""
+    w = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    return (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select("doc_id", F.explode(F.expr(
+            f"transform(sequence(0, size(w) - {n}),"
+            f" i -> concat_ws(' ', slice(w, i + 1, {n})))")).alias("g"))
+    )
+
+
+def _top_gram(d: DataFrame, n: int, prefix: str) -> DataFrame:
+    """Per doc: the most frequent word n-gram (ties → lexicographically
+    smallest) and the e6 fraction of token characters its occurrences
+    cover. struct(-c, g) min-fold = (count desc, gram asc) in one pass —
+    no per-doc sort window."""
+    per = _word_ngrams(d, n).groupBy("doc_id", "g") \
+                            .agg(F.count("*").alias("c"))
+    top = (
+        per.groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("g"))).alias("t"),
+             F.sum("c").alias("n_grams"))
+        .select("doc_id", (-F.col("t.nc")).cast("long").alias(f"{prefix}_c"),
+                F.col("t.g").alias(f"{prefix}_g"),
+                F.col("n_grams").cast("long").alias(f"{prefix}_n"))
+    )
+    # token chars in the gram = length minus the (n-1) separator spaces
+    return top.withColumn(
+        f"{prefix}_chars",
+        F.col(f"{prefix}_c") * (F.length(f"{prefix}_g") - F.lit(n - 1)))
+
+
+def q_text_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2-gram / top-3-gram character-coverage per doc — the Gopher
+    boilerplate signal (drop at top-2 > 0.20, top-3 > 0.18). Coverage =
+    occurrences × token-chars of the gram over the doc's total token chars.
+    Domain: docs with ≥ 3 words (inner join of the two gram tables)."""
+    d = tbl(spark, sf_dir, "documents")
+    total = d.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+        .alias("tok_chars")).filter(F.col("tok_chars") > 0)
+    t2 = _top_gram(d, 2, "top2")
+    t3 = _top_gram(d, 3, "top3")
+    return (
+        total.join(t2, "doc_id").join(t3, "doc_id")
+        .select("doc_id",
+                F.col("top2_g").alias("top2_gram"),
+                F.col("top2_c").alias("top2_count"),
+                F.expr("CAST(top2_chars * 1000000 div tok_chars AS BIGINT)")
+                .alias("top2_char_frac_e6"),
+                F.col("top3_g").alias("top3_gram"),
+                F.col("top3_c").alias("top3_count"),
+                F.expr("CAST(top3_chars * 1000000 div tok_chars AS BIGINT)")
+                .alias("top3_char_frac_e6"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_TOP_NGRAM = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS tok_chars
+  FROM documents
+), g2 AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM w, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2
+), g3 AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM w, unnest(range(1, len(w) - 1)) t(i) WHERE len(w) >= 3
+), c2 AS (
+  SELECT doc_id, g, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rk
+  FROM g2 GROUP BY doc_id, g
+), c3 AS (
+  SELECT doc_id, g, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rk
+  FROM g3 GROUP BY doc_id, g
+)
+SELECT w.doc_id,
+       c2.g AS top2_gram, CAST(c2.c AS BIGINT) AS top2_count,
+       CAST(c2.c * (length(c2.g) - 1) * 1000000 // w.tok_chars AS BIGINT)
+         AS top2_char_frac_e6,
+       c3.g AS top3_gram, CAST(c3.c AS BIGINT) AS top3_count,
+       CAST(c3.c * (length(c3.g) - 2) * 1000000 // w.tok_chars AS BIGINT)
+         AS top3_char_frac_e6
+FROM w
+JOIN c2 ON c2.doc_id = w.doc_id AND c2.rk = 1
+JOIN c3 ON c3.doc_id = w.doc_id AND c3.rk = 1
+WHERE w.tok_chars > 0
+ORDER BY w.doc_id
+"""
+
+
+def q_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-5-gram occurrence fraction per doc (the Gopher dup-ngram
+    family at n=5; occurrence fraction, not char-marking coverage — see
+    section note). Docs with < 5 words emit no row."""
+    per = _word_ngrams(tbl(spark, sf_dir, "documents"), 5) \
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"),
+             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+             .alias("n_dup"))
+        .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+                F.expr("CAST(n_dup * 1000000 div n_grams AS BIGINT)")
+                .alias("dup_5gram_frac_e6"))
+    )
+
+
+SQL_TEXT_DUP_NGRAMS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+), g5 AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM w, unnest(range(1, len(w) - 3)) t(i) WHERE len(w) >= 5
+), per AS (
+  SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000
+            // sum(c) AS BIGINT) AS dup_5gram_frac_e6
+FROM per
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_trigram_score": q_text_trigram_score,
+    "text_dup_lines": q_text_dup_lines,
+    "text_top_ngram": q_text_top_ngram,
+    "text_dup_ngrams": q_text_dup_ngrams,
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
@@ -273,4 +469,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_trigram_score": SQL_TEXT_TRIGRAM_SCORE,
+    "text_dup_lines": SQL_TEXT_DUP_LINES,
+    "text_top_ngram": SQL_TEXT_TOP_NGRAM,
+    "text_dup_ngrams": SQL_TEXT_DUP_NGRAMS,
 }
