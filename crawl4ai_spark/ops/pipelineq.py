@@ -206,13 +206,137 @@ GROUP BY doc_id, s
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher rule filter (r4): the absolute-threshold document gate from Rae et
+# al. 2021 Table A1, composed from the textstats signals — the standard
+# first-pass quality cut of a pretraining corpus build (word-count bounds,
+# mean-word-length bounds, >= 2 distinct stop words, alphabetic-word
+# fraction, top-2-gram coverage, duplicate-line fraction). Integer e6
+# thresholds; every signal exact in both engines. Thresholds follow the
+# paper where our signal definition matches and are noted where adapted.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_E6 = 3_000_000     # mean word length in [3, 10]
+GOPHER_MAX_MWL_E6 = 10_000_000
+GOPHER_MIN_STOP = 2               # >= 2 distinct stop words
+GOPHER_MIN_ALPHA_E6 = 800_000     # >= 80% words with an alphabetic char
+GOPHER_MAX_TOP2_E6 = 200_000      # top-2-gram coverage <= 0.20
+GOPHER_MAX_DUPLINE_E6 = 300_000   # duplicate-line fraction <= 0.30
+
+_STOPS = "the|and|of|to|in|is|a|for|on|with"
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher rule verdict: the six absolute-threshold rules over
+    exact integer signals, with each rule's boolean exposed so a corpus
+    build can report WHY documents were dropped. Scale shape: one narrow
+    per-doc expression pass plus two left joins on doc_id against the
+    (already doc-keyed) top-ngram and dup-line aggregates — every join key
+    is the grouping key, no new shuffle axes."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+        .alias("tok_chars"),
+        F.size(F.array_distinct(F.expr(
+            f"regexp_extract_all(lower(text), '\\\\b({_STOPS})\\\\b', 0)")))
+        .cast("long").alias("n_stop_distinct"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("long").alias("n_alpha_words"),
+    ).filter(F.col("n_words") > 0).select(
+        "doc_id", "n_words", "n_stop_distinct",
+        F.expr("CAST(tok_chars * 1000000 div n_words AS BIGINT)")
+        .alias("mean_wl_e6"),
+        F.expr("CAST(n_alpha_words * 1000000 div n_words AS BIGINT)")
+        .alias("alpha_frac_e6"),
+    )
+    top2 = TS.q_text_top_ngram(spark, sf_dir) \
+        .select("doc_id", "top2_char_frac_e6")
+    dupl = TS.q_text_dup_lines(spark, sf_dir) \
+        .select("doc_id", "dup_line_frac_e6")
+    j = (
+        base.join(top2, "doc_id", "left").join(dupl, "doc_id", "left")
+        .withColumn("top2_char_frac_e6",
+                    F.coalesce("top2_char_frac_e6", F.lit(0)))
+        .withColumn("dup_line_frac_e6",
+                    F.coalesce("dup_line_frac_e6", F.lit(0)))
+    )
+    rules = {
+        "ok_words": F.col("n_words").between(GOPHER_MIN_WORDS,
+                                             GOPHER_MAX_WORDS),
+        "ok_mwl": F.col("mean_wl_e6").between(GOPHER_MIN_MWL_E6,
+                                              GOPHER_MAX_MWL_E6),
+        "ok_stop": F.col("n_stop_distinct") >= GOPHER_MIN_STOP,
+        "ok_alpha": F.col("alpha_frac_e6") >= GOPHER_MIN_ALPHA_E6,
+        "ok_top2": F.col("top2_char_frac_e6") <= GOPHER_MAX_TOP2_E6,
+        "ok_dupline": F.col("dup_line_frac_e6") <= GOPHER_MAX_DUPLINE_E6,
+    }
+    out = j
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+SQL_GOPHER_FILTER = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_words,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS tok_chars,
+         CAST(len(list_distinct(
+           regexp_extract_all(lower(text), '\\b({_STOPS})\\b'))) AS BIGINT)
+           AS n_stop_distinct,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                              t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+           AS n_alpha_words
+  FROM documents
+), sig AS (
+  SELECT doc_id, n_words, n_stop_distinct,
+         CAST(tok_chars * 1000000 // n_words AS BIGINT) AS mean_wl_e6,
+         CAST(n_alpha_words * 1000000 // n_words AS BIGINT) AS alpha_frac_e6
+  FROM base WHERE n_words > 0
+), t2 AS (
+  SELECT doc_id, top2_char_frac_e6 FROM ({TS.SQL_TEXT_TOP_NGRAM}) x
+), dl AS (
+  SELECT doc_id, dup_line_frac_e6 FROM ({TS.SQL_TEXT_DUP_LINES}) y
+), j AS (
+  SELECT s.doc_id, s.n_words, s.n_stop_distinct, s.mean_wl_e6,
+         s.alpha_frac_e6,
+         COALESCE(t2.top2_char_frac_e6, 0) AS top2_char_frac_e6,
+         COALESCE(dl.dup_line_frac_e6, 0) AS dup_line_frac_e6
+  FROM sig s LEFT JOIN t2 USING (doc_id) LEFT JOIN dl USING (doc_id)
+)
+SELECT *,
+       (ok_words AND ok_mwl AND ok_stop AND ok_alpha AND ok_top2
+        AND ok_dupline) AS keep
+FROM (
+  SELECT *,
+         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_words,
+         mean_wl_e6 BETWEEN {GOPHER_MIN_MWL_E6} AND {GOPHER_MAX_MWL_E6} AS ok_mwl,
+         n_stop_distinct >= {GOPHER_MIN_STOP} AS ok_stop,
+         alpha_frac_e6 >= {GOPHER_MIN_ALPHA_E6} AS ok_alpha,
+         top2_char_frac_e6 <= {GOPHER_MAX_TOP2_E6} AS ok_top2,
+         dup_line_frac_e6 <= {GOPHER_MAX_DUPLINE_E6} AS ok_dupline
+  FROM j
+)
+"""
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
     "dedup_pipeline": q_dedup_pipeline,
     "chunk_sliding": q_chunk_sliding,
+    "gopher_filter": q_gopher_filter,
 }
 ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "chunk_sliding": SQL_CHUNK_SLIDING,
+    "gopher_filter": SQL_GOPHER_FILTER,
 }

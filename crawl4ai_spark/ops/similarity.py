@@ -775,6 +775,141 @@ def q_sim_pq_adc_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# k-means training (r4): the IVF "train" step the assign/search family
+# presumes. Distributed Lloyd iterations in the treeAggregate shape —
+# centroids broadcast into ONE Arrow stage per round that emits per-batch
+# partial (count, sum-vector) rows, folded by a K-row native aggregate; the
+# per-vector data is never shuffled. All arithmetic is integer e6
+# (inputs quantized once; new centroid = sum div count, truncating — both
+# engines truncate toward zero), so the DuckDB oracle (Lloyd unrolled
+# KMEANS_ITERS times as CTEs) is exact, not approximate. Init = the first
+# K vectors by vec_id; ties in assignment break to the smaller centroid
+# id; an emptied cluster keeps its previous centroid.
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 3
+
+_KMEANS_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("cid", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.ArrayType(T.LongType())),
+])
+
+
+def _trunc_div(s, n):
+    """Truncate-toward-zero integer division (numpy int64), matching
+    Spark's `div` and DuckDB's `//` (both -7/2 -> -3; python // floors)."""
+    import numpy as np
+    return np.sign(s) * (np.abs(s) // n)
+
+
+def q_sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings (K = N_CENTROIDS, KMEANS_ITERS
+    rounds). Returns one row per (centroid_id, pos): the trained centroid
+    coordinates in e6 plus the final member count. Scale shape per round:
+    centroids (K x DIM ints) broadcast into a mapInPandas scorer that emits
+    K partial-sum rows per Arrow batch; the only shuffle is the K-row fold
+    (groupBy cid over <= K x n_partitions rows) — vectors themselves never
+    move, which is the property that survives 10^9 rows."""
+    import numpy as np
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(round(v * 1e6) as bigint))")
+        .alias("xe"))
+    # init: first K by vec_id — K x DIM ints, a bounded collect by design
+    init = emb.filter(F.col("vec_id") < N_CENTROIDS) \
+              .orderBy("vec_id").collect()
+    cents = np.array([r.xe for r in init], dtype=np.int64)
+
+    members = None
+    for _ in range(KMEANS_ITERS):
+        c_bc = cents.copy()
+
+        def partials(batches: Iterator[pd.DataFrame],
+                     _c=c_bc) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(pdf["xe"].tolist(), dtype=np.int64)
+                # argmin squared L2; ties -> smallest cid (np.argmin takes
+                # the first max/min, and cids are in index order)
+                d = ((x[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                rows = [(int(c), int((a == c).sum()),
+                         x[a == c].sum(axis=0).tolist())
+                        for c in range(len(_c)) if (a == c).any()]
+                yield pd.DataFrame(rows, columns=["cid", "n", "s"])
+
+        folded = (
+            emb.mapInPandas(partials, _KMEANS_PARTIAL_SCHEMA)
+            .groupBy("cid")
+            .agg(F.sum("n").alias("n"),
+                 F.array(*[F.sum(F.element_at("s", i + 1))
+                           for i in range(DIM)]).alias("s"))
+            .collect()  # <= K rows
+        )
+        members = {r.cid: r.n for r in folded}
+        new = cents.copy()  # emptied cluster keeps its previous centroid
+        for r in folded:
+            new[r.cid] = _trunc_div(np.array(r.s, dtype=np.int64), r.n)
+        cents = new
+
+    out = [(int(c), int(p), int(cents[c, p]), int(members.get(c, 0)))
+           for c in range(N_CENTROIDS) for p in range(DIM)]
+    return spark.createDataFrame(
+        out, "centroid_id long, pos long, val_e6 long, n_members long")
+
+
+def _sql_kmeans_round(prev: str, cur: str, a: str) -> str:
+    """One unrolled Lloyd round: assignment CTE `a` against centroids
+    `prev`, then centroid update CTE `cur` (sum // count, truncating;
+    emptied cluster keeps prev)."""
+    return f"""
+{a} AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid,
+           row_number() OVER (PARTITION BY vid ORDER BY dist ASC, cid ASC) AS rk
+    FROM (
+      SELECT x.vec_id AS vid, c.cid,
+             sum((x.v - c.v) * (x.v - c.v)) AS dist
+      FROM xe x JOIN {prev} c USING (pos)
+      GROUP BY x.vec_id, c.cid
+    )
+  ) WHERE rk = 1
+),
+{cur} AS (
+  SELECT p.cid, p.pos,
+         CASE WHEN agg.n IS NULL THEN p.v ELSE agg.sv // agg.n END AS v
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT a.cid, x.pos, sum(x.v) AS sv, count(*) AS n
+    FROM {a} a JOIN xe x ON x.vec_id = a.vid
+    GROUP BY a.cid, x.pos
+  ) agg ON agg.cid = p.cid AND agg.pos = p.pos
+)"""
+
+
+SQL_SIM_KMEANS_TRAIN = f"""
+WITH xe AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(ROUND(embedding[CAST(i + 1 AS INT)] * 1e6) AS BIGINT) AS v
+  FROM embeddings, range({DIM}) r(i)
+),
+c0 AS (
+  SELECT vec_id AS cid, pos, v FROM xe WHERE vec_id < {N_CENTROIDS}
+),{",".join(_sql_kmeans_round(f"c{i}", f"c{i + 1}", f"a{i + 1}")
+            for i in range(KMEANS_ITERS))}
+SELECT c.cid AS centroid_id, CAST(c.pos AS BIGINT) AS pos,
+       CAST(c.v AS BIGINT) AS val_e6,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members
+FROM c{KMEANS_ITERS} c
+LEFT JOIN (SELECT cid, count(*) AS n FROM a{KMEANS_ITERS} GROUP BY cid) m
+  USING (cid)
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_verified": q_sim_lsh_verified,
@@ -790,6 +925,7 @@ QUERIES = {
     "sim_lsh_candidates": q_sim_lsh_candidates,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_ann_topk_pandas": lambda spark, sf_dir: ann_topk_pandas(spark, sf_dir),
+    "sim_kmeans_train": q_sim_kmeans_train,
 }
 ORACLES = {
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
@@ -804,5 +940,6 @@ ORACLES = {
     "sim_lsh_candidates": SQL_SIM_LSH_CANDIDATES,
     "sim_ivf_assign": SQL_SIM_IVF_ASSIGN,
     # the pandas fast path answers the same question as sim_cosine_topk
-    "sim_ann_topk_pandas": SQL_SIM_COSINE_TOPK.replace("rk <= 10", "rk <= 10")
+    "sim_ann_topk_pandas": SQL_SIM_COSINE_TOPK.replace("rk <= 10", "rk <= 10"),
+    "sim_kmeans_train": SQL_SIM_KMEANS_TRAIN,
 }
