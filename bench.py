@@ -39,6 +39,9 @@ HEADLINE_QUERIES = [
     "pdf_extract",
     "text_trigram_score", "sim_ivf_topk_mprobe", "sim_pq_adc_topk",
     "multimodal_decode_real", "dispatch_priority",
+    # r4 additions (pytest/paritycheck-oracled; not on the 50-row driver
+    # correctness surface)
+    "gopher_filter", "sim_kmeans_train",
 ]
 
 
@@ -211,12 +214,14 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from crawl4ai_spark.ops import registry
+    # full registry: the bench times pytest-oracled r4 queries too, which
+    # the 50-row driver correctness surface doesn't carry
+    from crawl4ai_spark.ops import registry_full
     from crawl4ai_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
-    queries, _ = registry()
+    queries, _ = registry_full()
 
     t_suite0 = time.time()
     q_times: dict[str, float] = {}

@@ -910,6 +910,69 @@ LEFT JOIN (SELECT cid, count(*) AS n FROM a{KMEANS_ITERS} GROUP BY cid) m
 """
 
 
+_ASSIGN_TRAINED_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("centroid_id", T.LongType()),
+    T.StructField("dist", T.LongType()),
+])
+
+
+def q_sim_ivf_assign_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→index composition: every vector assigned to its nearest
+    TRAINED centroid (q_sim_kmeans_train output, not the raw first-K init
+    that `sim_ivf_assign` uses), squared-L2 in exact e6 integers. Scale
+    shape: the trained codebook is K x DIM ints — collected once (bounded
+    by construction) and broadcast into a single Arrow argmin pass; shuffle
+    key downstream is the cell id, same as `sim_ivf_assign`."""
+    import numpy as np
+
+    trained = q_sim_kmeans_train(spark, sf_dir).collect()
+    cents = np.zeros((N_CENTROIDS, DIM), dtype=np.int64)
+    for r in trained:
+        cents[r.centroid_id, r.pos] = r.val_e6
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(round(v * 1e6) as bigint))")
+        .alias("xe"))
+
+    def assign(batches: Iterator[pd.DataFrame],
+               _c=cents) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["xe"].tolist(), dtype=np.int64)
+            d = ((x[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # first min = smallest cid on ties
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "centroid_id": a.astype("int64"),
+                "dist": d[np.arange(len(a)), a],
+            })
+
+    return emb.mapInPandas(assign, _ASSIGN_TRAINED_SCHEMA)
+
+
+SQL_SIM_IVF_ASSIGN_TRAINED = f"""
+WITH trained AS ({SQL_SIM_KMEANS_TRAIN}),
+xe2 AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(ROUND(embedding[CAST(i + 1 AS INT)] * 1e6) AS BIGINT) AS v
+  FROM embeddings, range({DIM}) r(i)
+)
+SELECT vec_id, centroid_id, dist FROM (
+  SELECT x.vec_id, t.centroid_id,
+         sum((x.v - t.val_e6) * (x.v - t.val_e6)) AS dist,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY sum((x.v - t.val_e6) * (x.v - t.val_e6)) ASC,
+                    t.centroid_id ASC) AS rk
+  FROM xe2 x JOIN trained t ON x.pos = t.pos
+  GROUP BY x.vec_id, t.centroid_id
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_verified": q_sim_lsh_verified,
@@ -926,6 +989,7 @@ QUERIES = {
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_ann_topk_pandas": lambda spark, sf_dir: ann_topk_pandas(spark, sf_dir),
     "sim_kmeans_train": q_sim_kmeans_train,
+    "sim_ivf_assign_trained": q_sim_ivf_assign_trained,
 }
 ORACLES = {
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
@@ -942,4 +1006,5 @@ ORACLES = {
     # the pandas fast path answers the same question as sim_cosine_topk
     "sim_ann_topk_pandas": SQL_SIM_COSINE_TOPK.replace("rk <= 10", "rk <= 10"),
     "sim_kmeans_train": SQL_SIM_KMEANS_TRAIN,
+    "sim_ivf_assign_trained": SQL_SIM_IVF_ASSIGN_TRAINED,
 }
