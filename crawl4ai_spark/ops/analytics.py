@@ -183,12 +183,112 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the events click-graph (r4): THE canonical web-scale
+# iterative operator, expressed as pure DataFrame rounds with an exact
+# integer oracle. Nodes = the props.k page ids; edges = consecutive events
+# per user ordered by (ts, event_id), kept with multiplicity. Damping 0.85
+# in e6 integers: r0 = 1e6; r_{t+1}(v) = 150000 +
+# (850000 * sum_{u->v} (r_t(u) div outdeg(u))) div 1e6 — every step integer
+# and identical in both engines, so PAGERANK_ITERS unrolled CTEs give an
+# EXACT oracle. Dangling-node mass is dropped (the deterministic variant;
+# documented, not the redistribute form). Scale shape per round: one
+# equi-join of the rank table on src + one groupBy dst — the standard
+# distributed PageRank plan; node/edge tables shuffle on their own keys
+# only.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PR_DAMP_E6 = 850_000
+PR_BASE_E6 = 150_000
+
+
+def _pr_graph(spark: SparkSession, sf_dir: str):
+    """(nodes, edges, outdeg) from events: node = props.k, edge =
+    consecutive (k, next k) per user by (ts, event_id)."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("dst", F.lead("k").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("k").alias("src"), "dst")
+    )
+    nodes = ev.select(F.col("k").alias("node")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    return nodes, edges, outdeg
+
+
+def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges, outdeg = _pr_graph(spark, sf_dir)
+    r = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(s, nodes["node"] == s["dst"], "left")
+            .select("node",
+                    (F.lit(PR_BASE_E6)
+                     + F.expr(f"CAST({PR_DAMP_E6} * coalesce(s, 0) "
+                              f"div 1000000 AS BIGINT)")).alias("r"))
+        )
+    return r.select(F.col("node").cast("long"),
+                    F.col("r").cast("long").alias("rank_e6"))
+
+
+def _sql_pr_round(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node,
+         CAST({PR_BASE_E6} + {PR_DAMP_E6} * COALESCE(s.s, 0) // 1000000
+              AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.r // d.d) AS s
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = n.node
+)"""
+
+
+SQL_EVENTS_PAGERANK = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT src, dst FROM e0 WHERE dst IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), outdeg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+),{",".join(_sql_pr_round(f"r{i}", f"r{i + 1}")
+            for i in range(PAGERANK_ITERS))}
+SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_e6
+FROM r{PAGERANK_ITERS}
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_customers": q_join_top_customers,
     "window_order_ranks": q_window_order_ranks,
     "sessionize_events": q_sessionize_events,
     "events_windowed_counts": q_events_windowed_counts,
+    "events_pagerank": q_events_pagerank,
 }
 ORACLES = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
@@ -196,4 +296,5 @@ ORACLES = {
     "window_order_ranks": SQL_WINDOW_ORDER_RANKS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
+    "events_pagerank": SQL_EVENTS_PAGERANK,
 }
