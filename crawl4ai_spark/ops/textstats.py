@@ -14,6 +14,8 @@ no Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -453,6 +455,140 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (r4): the production distinct-count estimator a corpus
+# build uses to size dedup/shuffle stages without a COUNT(DISTINCT) pass.
+# Built from md5 so the sketch is DETERMINISTIC and the register table has
+# an exact oracle: bucket = first hash byte (m = 256), register = position
+# of the first 1-bit in the next 64 hash bits (capped at 33 so the
+# estimate's 2^(32-M) terms stay integer). The estimate is Flajolet's raw
+# alpha_m * m^2 / sum(2^-M) — evaluated with one double division in an
+# identical expression both engines (the cos_e6 precedent) — switching to
+# the linear-counting correction in the small-range regime (see _HLL_LC
+# below); the exact distinct count is emitted alongside so accuracy is
+# asserted rather than assumed. Scale shape: one (group, bucket) shuffle
+# of <= m rows per group — the whole point of the sketch.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256                 # 2^8 buckets
+HLL_RHO_CAP = 33            # max register: 32 zero bits + 1
+# e0 suffixes: a bare 0.7181089 parses as DECIMAL in DuckDB and the
+# decimal product overflows; scientific notation is DOUBLE in both engines
+_HLL_ALPHA_M2_2_32 = "0.7181089e0 * 65536e0 * 4294967296e0"
+
+# Linear-counting correction (the HLL small-range regime, raw <= 2.5m,
+# where the raw estimator is badly biased): LC = m * ln(m / empty). ln is
+# transcendental — libm results differ in the last ulp across engines (the
+# trigram-score lesson) — but its domain here is the 256 possible
+# empty-bucket counts, so the whole function is this precomputed integer
+# table, identical by construction in both dialects. _HLL_LC[v] (1-based)
+# = round(256 * ln(256 / v)).
+_HLL_LC = [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+_HLL_LC_SQL = "[" + ", ".join(str(v) for v in _HLL_LC) + "]"
+# alpha_256 = 0.7213 / (1 + 1.079 / 256) = 0.7181089 (Flajolet et al. 2007)
+
+
+def q_text_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupied HLL registers per language: (lang, bucket, register).
+    hex→int goes through instr() in BOTH engines (repo convention,
+    common.py HEXVAL) — never engine-specific conv/from_hex."""
+    d = tbl(spark, sf_dir, "documents")
+    hv1 = "(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1)"
+    hv2 = "(instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1)"
+    h = d.select(
+        "lang",
+        F.expr(f"CAST(16 * {hv1} + {hv2} AS BIGINT)").alias("bucket"),
+        F.expr("trim(LEADING '0' FROM substring(md5(text), 3, 16))")
+        .alias("hx"))
+    first = F.substring("hx", 1, 1)
+    extra = (F.when(first == "1", 3)
+              .when(first.isin("2", "3"), 2)
+              .when(first.isin("4", "5", "6", "7"), 1)
+              .otherwise(0))
+    rho = F.when(F.col("hx") == "", F.lit(HLL_RHO_CAP)).otherwise(
+        F.least(F.lit(HLL_RHO_CAP),
+                (F.lit(16) - F.length("hx")) * 4 + extra + 1))
+    return (
+        h.withColumn("rho", rho)
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").cast("long").alias("register"))
+    )
+
+
+SQL_TEXT_HLL_REGISTERS = f"""
+WITH h AS (
+  SELECT lang,
+         CAST(16 * (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+              + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+              AS BIGINT) AS bucket,
+         ltrim(substr(md5(text), 3, 16), '0') AS hx
+  FROM documents
+)
+SELECT lang, bucket,
+       CAST(max(CASE WHEN hx = '' THEN {HLL_RHO_CAP}
+                ELSE least({HLL_RHO_CAP},
+                           (16 - length(hx)) * 4
+                           + CASE WHEN hx LIKE '1%' THEN 3
+                                  WHEN hx LIKE '2%' OR hx LIKE '3%' THEN 2
+                                  WHEN hx LIKE '4%' OR hx LIKE '5%'
+                                    OR hx LIKE '6%' OR hx LIKE '7%' THEN 1
+                                  ELSE 0 END + 1) END) AS BIGINT) AS register
+FROM h
+GROUP BY lang, bucket
+"""
+
+
+def q_text_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-text estimate per language next to the exact count.
+    S = (m - occupied) * 2^32 + sum(2^(32 - register)) is exact integer;
+    the single double division matches cross-engine; the small-range
+    regime (raw <= 2.5m with empty buckets) switches to the
+    table-lookup linear-counting correction."""
+    regs = q_text_hll_registers(spark, sf_dir)
+    s = regs.groupBy("lang").agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.expr("cast(shiftleft(1L, cast(32 - register as int)) as bigint)"))
+        .alias("s_occ"))
+    raw = F.expr(f"CAST(ROUND({_HLL_ALPHA_M2_2_32} / "
+                 f"(({HLL_M} - occupied) * 4294967296 + s_occ)) AS BIGINT)")
+    empty = F.lit(HLL_M) - F.col("occupied")
+    lc = F.element_at(F.array(*[F.lit(v) for v in _HLL_LC]),
+                      empty.cast("int"))
+    est = s.select(
+        "lang",
+        F.when((empty > 0) & (raw <= int(2.5 * HLL_M)), lc.cast("long"))
+         .otherwise(raw).alias("hll_estimate"))
+    exact = tbl(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.countDistinct("text").alias("n_exact"))
+    return est.join(exact, "lang")
+
+
+SQL_TEXT_HLL_ESTIMATE = f"""
+WITH regs AS ({SQL_TEXT_HLL_REGISTERS}),
+s AS (
+  SELECT lang, count(*) AS occupied,
+         sum(CAST(1 AS BIGINT) << CAST(32 - register AS INT)) AS s_occ
+  FROM regs GROUP BY lang
+),
+est AS (
+  SELECT lang, CAST({HLL_M} - occupied AS INT) AS empty,
+         CAST(ROUND({_HLL_ALPHA_M2_2_32} /
+              (({HLL_M} - occupied) * 4294967296 + s_occ)) AS BIGINT) AS raw
+  FROM s
+),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+  FROM documents GROUP BY lang
+)
+SELECT est.lang,
+       CASE WHEN empty > 0 AND raw <= {int(2.5 * HLL_M)}
+            THEN CAST({_HLL_LC_SQL}[empty] AS BIGINT)
+            ELSE raw END AS hll_estimate,
+       exact.n_exact
+FROM est JOIN exact USING (lang)
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_lang_id": q_text_lang_id,
@@ -462,6 +598,8 @@ QUERIES = {
     "text_dup_lines": q_text_dup_lines,
     "text_top_ngram": q_text_top_ngram,
     "text_dup_ngrams": q_text_dup_ngrams,
+    "text_hll_registers": q_text_hll_registers,
+    "text_hll_estimate": q_text_hll_estimate,
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
@@ -472,4 +610,6 @@ ORACLES = {
     "text_dup_lines": SQL_TEXT_DUP_LINES,
     "text_top_ngram": SQL_TEXT_TOP_NGRAM,
     "text_dup_ngrams": SQL_TEXT_DUP_NGRAMS,
+    "text_hll_registers": SQL_TEXT_HLL_REGISTERS,
+    "text_hll_estimate": SQL_TEXT_HLL_ESTIMATE,
 }
