@@ -328,15 +328,83 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (r4): the concatenate-and-chunk step of an LM training
+# pipeline — documents in doc_id order are packed into fixed token-budget
+# training sequences; a doc belongs to the sequence its first token lands
+# in (seq_id = tokens-before-this-doc div budget). The global running
+# token total is computed as a TWO-PHASE DISTRIBUTED PREFIX SUM
+# (within-partition window + broadcast per-partition offsets), never a
+# global unpartitioned window — that plan funnels the corpus through one
+# reducer (the quality_filter lesson, VERDICT r01 #2). The VALUE is
+# partitioning-independent, so the range-partitioner's sampled boundaries
+# don't affect the result and the single-window DuckDB oracle is exact.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+               " AS BIGINT)").alias("n_tokens"))
+    # phase 1: doc_id-range partitions, prefix sum WITHIN each partition
+    part = d.repartitionByRange(8, "doc_id") \
+            .withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    local = part.withColumn("cum_local", F.sum("n_tokens").over(w_local))
+    # phase 2: per-partition totals are a bounded aggregate (one row per
+    # partition); their running offsets broadcast back. The tiny window
+    # over n_partitions rows is the textbook exception to the no-global-
+    # window rule — its input is O(partitions), not O(rows).
+    totals = local.groupBy("pid").agg(F.max("cum_local").alias("tot"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("tot").over(w_off), F.lit(0)))
+    packed = (
+        local.join(F.broadcast(offsets.select("pid", "offset")), "pid")
+        .withColumn("cum", F.col("cum_local") + F.col("offset"))
+        .select("doc_id", "n_tokens",
+                F.expr(f"CAST((cum - n_tokens) div {PACK_BUDGET} AS BIGINT)")
+                .alias("seq_id"),
+                F.expr(f"CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT)")
+                .alias("seq_offset"))
+    )
+    return packed
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
     "dedup_pipeline": q_dedup_pipeline,
     "chunk_sliding": q_chunk_sliding,
     "gopher_filter": q_gopher_filter,
+    "pack_sequences": q_pack_sequences,
 }
 ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "gopher_filter": SQL_GOPHER_FILTER,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }
