@@ -394,12 +394,84 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature resampling (r4): the multilingual balancing step (XLM-R /
+# mC4): language sampling weights p_l ∝ sqrt(n_l) (alpha = 0.5) flatten
+# the head languages; each doc is kept iff a uniform draw derived from
+# md5(doc_id) falls under its language's acceptance rate. Determinism:
+# the draw is the first 10 hex digits of md5(CAST(doc_id AS VARCHAR))
+# (40 bits — 48 would overflow BIGINT in the threshold product — via the
+# shared instr() hex fold), so both engines select the identical doc set.
+# sqrt() is a correctly-rounded IEEE operation (unlike pow/log/exp),
+# hence cross-engine exact. Acceptance rate r_l = target_share_l /
+# natural_share_l, capped at 1 (languages below their target keep
+# everything; true upsampling means duplication, out of scope for a
+# filter — documented). Scale shape: the per-language rate table is an
+# aggregate of |langs| rows broadcast back over the corpus.
+# ---------------------------------------------------------------------------
+
+_HEX10 = "".join(
+    f"+ CAST(instr('0123456789abcdef', substring({{h}}, {i + 1}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (9 - i)}\n" for i in range(10))
+
+
+def q_resample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    # parity discipline: quantize sqrt(n) to e6 BIGINT per language BEFORE
+    # summing — integer sums are order-independent, so w_tot cannot pick up
+    # a ulp from engine-specific float summation order.
+    counts = d.groupBy("lang").agg(F.count("*").alias("n")).withColumn(
+        "w_e6", F.expr("CAST(ROUND(sqrt(n) * 1e6) AS BIGINT)"))
+    tot = counts.agg(F.sum("n").alias("n_tot"),
+                     F.sum("w_e6").alias("w_tot_e6"))
+    rates = (
+        counts.join(F.broadcast(tot))
+        # accept rate = (w_l / w_tot) / (n_l / n_tot), capped at 1
+        .select("lang",
+                F.expr("CAST(ROUND(least(1e0,"
+                       " w_e6 / w_tot_e6 * n_tot / n)"
+                       " * 1e6) AS BIGINT)").alias("rate_e6"))
+    )
+    draw = F.expr("0 " + _HEX10.format(h="md5(CAST(doc_id AS STRING))"))
+    return (
+        d.select("doc_id", "lang", draw.alias("u40"))
+        .join(F.broadcast(rates), "lang")
+        # keep iff u40 / 2^40 < rate  <=>  u40 * 1e6 < rate_e6 * 2^40
+        .filter(F.expr("u40 * 1000000 < rate_e6 * 1099511627776"))
+        .select("doc_id", "lang", "rate_e6")
+    )
+
+
+SQL_RESAMPLE_TEMPERATURE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n,
+         CAST(ROUND(sqrt(count(*)) * 1e6) AS BIGINT) AS w_e6
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(n) AS n_tot, sum(w_e6) AS w_tot_e6 FROM counts
+), rates AS (
+  SELECT lang,
+         CAST(ROUND(least(1e0, w_e6 / w_tot_e6 * n_tot / n) * 1e6)
+              AS BIGINT) AS rate_e6
+  FROM counts, tot
+), draws AS (
+  SELECT doc_id, lang,
+         0 {_HEX10.format(h="md5(CAST(doc_id AS VARCHAR))")} AS u40
+  FROM documents
+)
+SELECT d.doc_id, d.lang, r.rate_e6
+FROM draws d JOIN rates r USING (lang)
+WHERE u40 * 1000000 < rate_e6 * 1099511627776
+"""
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
     "dedup_pipeline": q_dedup_pipeline,
     "chunk_sliding": q_chunk_sliding,
     "gopher_filter": q_gopher_filter,
     "pack_sequences": q_pack_sequences,
+    "resample_temperature": q_resample_temperature,
 }
 ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
@@ -407,4 +479,5 @@ ORACLES = {
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "gopher_filter": SQL_GOPHER_FILTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "resample_temperature": SQL_RESAMPLE_TEMPERATURE,
 }
