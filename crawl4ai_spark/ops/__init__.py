@@ -13,6 +13,15 @@ cosine top-k duplicated by the Arrow fast path, per-doc simhash subsumed by
 the pair join, and the declared decode stub — stay implemented and
 oracle-checked in pytest via ``registry_full()`` (tests/test_ops_parity.py,
 scripts/paritycheck.py) but are retired from the driver surface.
+
+R4 rebalance: the round-4 training-data-pipeline flagships (gopher_filter,
+resample_temperature, pack_sequences, events_pagerank, text_hll_estimate,
+sim_kmeans_train) take the slots of rows whose capability stays attested by
+a sibling row (2 of the 3 adaptive confidence components, chunk_topics,
+cosine_cluster_ward, pdf_extract, bestfirst_order — all still oracle-checked
+in pytest + paritycheck); cluster_embeddings_bigstar (the production
+large-star/small-star CC path) replaces the min-label variant under the
+identical oracle.
 """
 
 from __future__ import annotations
@@ -62,20 +71,21 @@ DRIVER_SURFACE = [
     "sim_lsh_verified",
     "sim_ivf_topk_mprobe",
     "sim_pq_adc_topk",
-    # clustering
-    "cluster_embeddings",
+    # clustering (bigstar = the production large-star/small-star CC path,
+    # same oracle as the min-label variant it replaced on the surface)
+    "cluster_embeddings_bigstar",
     "cosine_cluster_chunks",
-    "cosine_cluster_ward",
-    # URL stack
+    "sim_kmeans_train",
+    # URL stack (canonical grouping is a groupBy over url_normalize's
+    # attested canonicalization; it stays a pytest parity row)
     "url_normalize",
-    "url_canonical_groups",
     "url_scorers",
     "url_filters",
     "url_filters_head",
     "url_seen_antijoin",
-    # frontier / scheduling / politeness
+    # frontier / scheduling / politeness (bestfirst ordering is attested
+    # inside frontier_schedule; bestfirst_order stays a pytest parity row)
     "bfs_reachability",
-    "bestfirst_order",
     "frontier_schedule",
     "politeness_backoff",
     "robots_gate",
@@ -84,19 +94,22 @@ DRIVER_SURFACE = [
     "bm25_rank",
     "seed_sitemaps",
     "adaptive_coverage",
-    "adaptive_consistency",
-    "adaptive_saturation",
-    # extraction / chunking
+    # extraction / chunking (TextTiling chunk_topics attested in pytest)
     "regex_extract",
     "chunk_sliding",
-    "chunk_topics",
     # multimodal
     "multimodal_frames",
     "multimodal_decode_real",
-    # PDF
-    "pdf_extract",
+    # PDF (doc-level pdf_extract attested in pytest; pages subsumes text)
     "pdf_pages",
     "pdf_images",
+    # r4 training-data pipeline flagships
+    "gopher_filter",
+    "resample_temperature",
+    "pack_sequences",
+    "events_pagerank",
+    "text_hll_estimate",
+    "decontaminate",
     # crawl e2e (rows-only by design)
     "crawl_bfs_e2e",
     "crawl_text_identity",

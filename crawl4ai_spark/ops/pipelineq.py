@@ -465,6 +465,81 @@ WHERE u40 * 1000000 < rate_e6 * 1099511627776
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (r4): the GPT-3/PaLM data-prep step — flag
+# training documents sharing any word n-gram with a held-out eval set so
+# they can be dropped before training. The eval set here is synthesized
+# deterministically from the corpus itself (doc_id % DECON_BENCH_MOD == 0)
+# since no external data is allowed; in production it would be the
+# benchmark suite. Tokenization matches the Gopher gate
+# ([a-z0-9]+ over lower(text)); docs with < DECON_N words cannot collide
+# and are excluded up front on both engines.
+# Scale shape: the eval-side distinct n-gram table is eval-set-sized (MBs
+# even for a full benchmark suite at 100 TB corpus scale) → broadcast
+# hash join against a single corpus scan; the only corpus-keyed shuffle
+# is the per-doc hit count over the (tiny) matched rows. Per-doc distinct
+# grams are computed in-row (array_distinct), never shuffled.
+# ---------------------------------------------------------------------------
+
+# N=4 on the ~50-word synthetic docs is proportionally what 13-grams are
+# on real web documents (the GPT-3 setting) and yields a discriminating
+# oracle (71 contaminated docs at sf0.01; N=5 gave 1).
+DECON_N = 4           # word n-gram size (docs here are ~50 words)
+DECON_BENCH_MOD = 11  # doc_id % 11 == 0 → the synthetic held-out eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    g = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.expr(f"size(toks) >= {DECON_N}"))
+        .select("doc_id", F.expr(
+            f"array_distinct(transform(sequence(1, size(toks) - {DECON_N - 1}),"
+            f" i -> array_join(slice(toks, i, {DECON_N}), ' ')))"
+        ).alias("grams"))
+    )
+    bench = (g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+             .select(F.explode("grams").alias("gram")).distinct())
+    corpus = g.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return (
+        corpus.select("doc_id",
+                      F.size("grams").cast("long").alias("n_grams"),
+                      F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .select("doc_id", "n_grams", "n_hits")
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, CAST(i AS BIGINT) + 1,
+                                    CAST(i AS BIGINT) + {DECON_N}), ' ')
+           AS gram
+  FROM toks, unnest(range(len(toks) - {DECON_N - 1})) p(i)
+  WHERE len(toks) >= {DECON_N}
+), gd AS (
+  SELECT DISTINCT doc_id, gram FROM ex
+), bench AS (
+  SELECT DISTINCT gram FROM gd WHERE doc_id % {DECON_BENCH_MOD} = 0
+), corpus AS (
+  SELECT doc_id, gram FROM gd WHERE doc_id % {DECON_BENCH_MOD} <> 0
+), ng AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM corpus GROUP BY doc_id
+)
+SELECT c.doc_id, ng.n_grams, CAST(count(*) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b USING (gram) JOIN ng USING (doc_id)
+GROUP BY c.doc_id, ng.n_grams
+"""
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
     "dedup_pipeline": q_dedup_pipeline,
@@ -472,6 +547,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "pack_sequences": q_pack_sequences,
     "resample_temperature": q_resample_temperature,
+    "decontaminate": q_decontaminate,
 }
 ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
@@ -480,4 +556,5 @@ ORACLES = {
     "gopher_filter": SQL_GOPHER_FILTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "resample_temperature": SQL_RESAMPLE_TEMPERATURE,
+    "decontaminate": SQL_DECONTAMINATE,
 }
