@@ -53,14 +53,15 @@ DRIVER_SURFACE = [
     "window_order_ranks",
     "sessionize_events",
     "events_windowed_counts",
-    # text analysis
-    "text_token_count",
+    # text analysis (token counting is attested inside gopher_filter
+    # n_words / pack_sequences budgets; text_token_count stays in pytest)
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
     "text_trigram_score",
     # dedup (production paths)
     "dedup_exact",
+    "dedup_spans",
     "dedup_minhash_bands2",
     "dedup_ngram_pairs",
     "dedup_simhash_pairs",

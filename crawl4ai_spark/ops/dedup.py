@@ -726,8 +726,93 @@ FROM est e LEFT JOIN exact x ON x.d1 = e.d1 AND x.d2 = e.d2
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring spans (r4): the Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better" primitive — for every doc,
+# the maximal character spans of length >= SPAN_K that appear verbatim in
+# at least one OTHER document. A duplicated span is exactly the merged
+# union of its stride-1 SPAN_K-char windows, so the set of covered
+# positions (and hence the maximal intervals) is computed exactly:
+#   1. stride-1 windows (doc_id, pos, substring)  — one scan, row count =
+#      total corpus chars, the same work a suffix array touches;
+#   2. windows whose substring occurs in >= 2 distinct docs (one shuffle
+#      on the substring — at 100 TB hash the 40-char key first; semantics
+#      identical, collisions ~2^-64);
+#   3. gaps-and-islands merge per doc (lag window partitioned BY DOC —
+#      never a global window): adjacent/overlapping windows chain while
+#      pos - lag(pos) <= SPAN_K.
+# Output: (doc_id, span_start, span_end, span_len), 1-based inclusive.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 40  # min duplicated-span length (chars); ~Lee et al.'s 50 BPE
+             # tokens scaled to this corpus's ~300-char documents
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.length("text") >= SPAN_K)
+        .select("doc_id",
+                F.explode(F.expr(
+                    f"sequence(1L, length(text) - {SPAN_K} + 1)")).alias("pos"),
+                "text")
+        .select("doc_id", "pos",
+                F.expr(f"substring(text, pos, {SPAN_K})").alias("s"))
+    )
+    dup = (sh.groupBy("s")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("s"))
+    pos = sh.join(dup, "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        pos.withColumn("gap",
+                       F.when(F.col("pos") - F.lag("pos").over(w) <= SPAN_K,
+                              F.lit(0)).otherwise(F.lit(1)))
+        .withColumn("island", F.sum("gap").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + SPAN_K - 1).alias("span_end"))
+        .select("doc_id", "span_start", "span_end",
+                (F.col("span_end") - F.col("span_start") + 1)
+                .alias("span_len"))
+    )
+
+
+SQL_DEDUP_SPANS = f"""
+WITH sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) + 1 AS pos,
+         substring(text, CAST(i AS BIGINT) + 1, {SPAN_K}) AS s
+  FROM documents, unnest(range(length(text) - {SPAN_K} + 1)) p(i)
+  WHERE length(text) >= {SPAN_K}
+), dup AS (
+  SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+), pos AS (
+  SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)
+), gaps AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SPAN_K} THEN 0 ELSE 1 END AS gap
+  FROM pos
+), isl AS (
+  SELECT doc_id, pos,
+         sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM gaps
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {SPAN_K} - 1 AS span_end,
+       max(pos) + {SPAN_K} - min(pos) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_spans": q_dedup_spans,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -741,6 +826,7 @@ QUERIES = {
 }
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_spans": SQL_DEDUP_SPANS,
     "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
