@@ -810,9 +810,90 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-span REMOVAL (r4): the transform half of Lee et al. 2021 —
+# cut every duplicated span (q_dedup_spans' maximal intervals) out of
+# every document and reassemble the remainder. Like the reference
+# implementation of the paper (google-research/deduplicate-text-datasets),
+# ALL occurrences are removed, including the first — at corpus scale the
+# surviving singleton is noise either way, and the rule keeps the
+# operator a pure function of the span table.
+# Scale shape: spans aggregate per doc (shuffle keyed on doc_id — the
+# same key the span table already carries), then ONE equi-join back to
+# documents and an in-row aggregate() fold rebuilds the text — no
+# per-segment row expansion, no window.
+# ---------------------------------------------------------------------------
+
+
+def q_clean_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    sp = (q_dedup_spans(spark, sf_dir)
+          .groupBy("doc_id")
+          .agg(F.expr("array_sort(collect_list(struct(span_start, span_end)))")
+               .alias("spans"),
+               F.count("*").cast("long").alias("n_spans"),
+               F.sum("span_len").cast("long").alias("removed_chars")))
+    return (
+        d.join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+            F.expr("""
+              CASE WHEN spans IS NULL THEN text ELSE
+                aggregate(
+                  spans,
+                  struct(CAST(1 AS BIGINT) AS p, CAST('' AS STRING) AS acc),
+                  (a, sp) -> struct(
+                    sp.span_end + CAST(1 AS BIGINT),
+                    concat(a.acc,
+                           substring(text, a.p, int(sp.span_start - a.p)))),
+                  a -> concat(a.acc,
+                              substring(text, a.p,
+                                        int(length(text) - a.p + 1))))
+              END""").alias("clean_text"))
+    )
+
+
+SQL_CLEAN_DUP_SPANS = f"""
+WITH sp AS ({SQL_DEDUP_SPANS}),
+seg AS (
+  SELECT doc_id,
+         lag(span_end, 1, CAST(0 AS BIGINT))
+           OVER (PARTITION BY doc_id ORDER BY span_start) + 1 AS seg_start,
+         span_start - 1 AS seg_end
+  FROM sp
+  UNION ALL
+  SELECT doc_id, max(span_end) + 1 AS seg_start, NULL AS seg_end
+  FROM sp GROUP BY doc_id
+), pieces AS (
+  SELECT d.doc_id, s.seg_start,
+         substring(d.text, CAST(s.seg_start AS BIGINT),
+                   CAST(greatest(COALESCE(s.seg_end, length(d.text))
+                                 - s.seg_start + 1, 0) AS BIGINT)) AS piece
+  FROM documents d JOIN seg s USING (doc_id)
+), rebuilt AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS clean_text
+  FROM pieces GROUP BY doc_id
+), stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_len) AS BIGINT) AS removed_chars
+  FROM sp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(st.n_spans, 0) AS n_spans,
+       COALESCE(st.removed_chars, 0) AS removed_chars,
+       COALESCE(r.clean_text, d.text) AS clean_text
+FROM documents d
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
+    "clean_dup_spans": q_clean_dup_spans,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -827,6 +908,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_spans": SQL_DEDUP_SPANS,
+    "clean_dup_spans": SQL_CLEAN_DUP_SPANS,
     "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
