@@ -39,9 +39,10 @@ HEADLINE_QUERIES = [
     "pdf_extract",
     "text_trigram_score", "sim_ivf_topk_mprobe", "sim_pq_adc_topk",
     "multimodal_decode_real", "dispatch_priority",
-    # r4 additions (pytest/paritycheck-oracled; not on the 50-row driver
-    # correctness surface)
+    # r4 additions
     "gopher_filter", "sim_kmeans_train",
+    "events_pagerank", "text_hll_estimate", "pack_sequences",
+    "resample_temperature", "decontaminate", "dedup_spans",
 ]
 
 

@@ -47,3 +47,31 @@ def test_product_catalog_pack_end_to_end(spark, tmp_path):
     prods = json.loads(rows[0].extracted_content)
     assert {"title", "price", "link"} <= set(prods[0])
     assert prods[0]["price"].startswith("$")
+
+
+def test_hub_discovers_docs_site():
+    cls = CrawlerHub.get("docs_site")
+    assert cls is not None and issubclass(cls, BaseCrawler)
+    assert cls.meta["content_filter"] == "bm25"
+    assert "default_query" in cls.meta
+
+
+def test_docs_site_pack_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.sources.pagesgen import generate_pages
+
+    pages = generate_pages(spark, 3, 12)
+    pack = CrawlerHub.get("docs_site")()
+    out = pack.run(spark, pages, str(tmp_path / "store"),
+                   max_depth=4, max_pages=200)
+    rows = out.select("url", F.col("markdown.fit_markdown").alias("fit")) \
+              .collect()
+    assert rows  # at least one page kept relevant markdown
+    assert all(r.fit for r in rows)
+    # the BM25 filter must actually FILTER: some crawled page's fit
+    # markdown is shorter than its raw markdown
+    comp = out.select(
+        (F.length("markdown.fit_markdown")
+         < F.length("markdown.raw_markdown")).alias("cut")).collect()
+    assert any(r.cut for r in comp)
