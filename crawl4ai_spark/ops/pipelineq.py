@@ -540,8 +540,59 @@ GROUP BY c.doc_id, ng.n_grams
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic stratified split (r4): the train/valid/test assignment a
+# corpus build ships with its data card. The split must be (a) stable
+# under reruns and repartitioning, (b) stratified so every language keeps
+# ~the global ratios, and (c) leak-free w.r.t. near-duplicates — here the
+# split key is the EXACT-DEDUP content hash, not doc_id, so byte-identical
+# docs can never straddle splits. 98/1/1 by the same 40-bit md5 draw
+# discipline as resample_temperature. Zero joins, zero shuffle for the
+# assignment itself (the per-(lang,split) count summary is one agg).
+# ---------------------------------------------------------------------------
+
+SPLIT_VALID_PPM = 10_000   # 1% of 2^20-scaled ppm space
+SPLIT_TEST_PPM = 20_000    # next 1%
+
+
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    # integer div end-to-end: u40 * 1e6 ≈ 1.1e18 exceeds double precision,
+    # so float division would diverge between engines
+    ppm = F.expr(f"CAST(((0 {_HEX10.format(h='md5(text)')}) * 1000000)"
+                 " div 1099511627776 AS BIGINT)")
+    assigned = d.select(
+        "doc_id", "lang",
+        F.when(ppm < SPLIT_VALID_PPM, F.lit("valid"))
+         .when(ppm < SPLIT_TEST_PPM, F.lit("test"))
+         .otherwise(F.lit("train")).alias("split"))
+    return (assigned.groupBy("lang", "split")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("doc_id").cast("long").alias("min_doc"),
+                 F.max("doc_id").cast("long").alias("max_doc")))
+
+
+SQL_SPLIT_STRATIFIED = f"""
+WITH draws AS (
+  SELECT doc_id, lang,
+         (0 {_HEX10.format(h="md5(text)")}) * 1000000 // 1099511627776
+           AS ppm
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN ppm < {SPLIT_VALID_PPM} THEN 'valid'
+            WHEN ppm < {SPLIT_TEST_PPM} THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM draws GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
+    "split_stratified": q_split_stratified,
     "dedup_pipeline": q_dedup_pipeline,
     "chunk_sliding": q_chunk_sliding,
     "gopher_filter": q_gopher_filter,
@@ -557,4 +608,5 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "resample_temperature": SQL_RESAMPLE_TEMPERATURE,
     "decontaminate": SQL_DECONTAMINATE,
+    "split_stratified": SQL_SPLIT_STRATIFIED,
 }
