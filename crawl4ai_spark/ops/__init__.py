@@ -98,9 +98,11 @@ DRIVER_SURFACE = [
     # extraction / chunking (TextTiling chunk_topics attested in pytest)
     "regex_extract",
     "chunk_sliding",
-    # multimodal
-    "multimodal_frames",
+    # multimodal (frame-sampling plumbing stays pytest-oracled; the real
+    # decoder row attests the family)
     "multimodal_decode_real",
+    # semantic dedup (SemDeDup — k-means cells + within-cell cosine)
+    "dedup_semantic",
     # PDF (doc-level pdf_extract attested in pytest; pages subsumes text)
     "pdf_pages",
     "pdf_images",

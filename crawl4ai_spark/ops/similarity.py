@@ -973,12 +973,97 @@ SELECT vec_id, centroid_id, dist FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (r4): SemDeDup (Abbas et al. 2023) — pairwise cosine is
+# computed ONLY within a k-means cluster (the paper's core trick: cluster
+# first so the quadratic step is bounded by cell size, never corpus
+# size), and within each pair the higher vec_id is dropped when
+# cos >= SEMDEDUP_T_E6. Composes the r4 trainer: cells come from
+# q_sim_ivf_assign_trained (Lloyd centroids), the pair join is keyed on
+# centroid_id then (v1, v2) — the bucketed-candidates discipline every
+# dedup path in this repo follows. Threshold 0.35: the synthetic
+# embeddings carry no engineered near-identical pairs (measured max
+# within-cell cos 0.51 at sf0.01), so the paper's ~0.95 eps would be
+# degenerate here; the operator takes the threshold as a constant the
+# same way LSH verification pins 0.2.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_T_E6 = 350_000
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    cells = q_sim_ivf_assign_trained(spark, sf_dir) \
+        .select("vec_id", "centroid_id")
+    a1 = cells.select(F.col("vec_id").alias("v1"), "centroid_id")
+    a2 = cells.select(F.col("vec_id").alias("v2"), "centroid_id")
+    cand = a1.join(a2, "centroid_id").filter(F.col("v1") < F.col("v2"))
+    e1 = _elements(emb, "v1").withColumnRenamed("x", "x1")
+    e2 = _elements(emb, "v2").withColumnRenamed("x", "x2")
+    dots = (cand.join(e1, "v1").join(e2, ["v2", "pos"])
+            .groupBy("v1", "v2")
+            .agg(F.sum(F.col("x1") * F.col("x2")).alias("dot")))
+    n1 = _norms(emb, "v1").withColumnRenamed("nrm", "nrm1")
+    n2 = _norms(emb, "v2").withColumnRenamed("nrm", "nrm2")
+    close = (
+        dots.join(n1, "v1").join(n2, "v2")
+        .withColumn("cos_e6",
+                    F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2"))
+                            * 1e6).cast("long"))
+        .filter(F.col("cos_e6") >= SEMDEDUP_T_E6)
+    )
+    dropped = close.groupBy(F.col("v2").alias("vec_id")) \
+        .agg(F.count("*").cast("long").alias("n_dups_lower"))
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .select("vec_id", "centroid_id",
+                F.coalesce("n_dups_lower", F.lit(0)).alias("n_dups_lower"),
+                (F.coalesce("n_dups_lower", F.lit(0)) == 0).alias("keep"))
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH cells AS ({SQL_SIM_IVF_ASSIGN_TRAINED}),
+el AS ({_SQL_ELEMS.format(dim=DIM)}),
+norms AS ({_SQL_NORMS}),
+cand AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM cells a JOIN cells b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT cand.v1, cand.v2, sum(e1.x * e2.x) AS dot
+  FROM cand JOIN el e1 ON e1.vec_id = cand.v1
+            JOIN el e2 ON e2.vec_id = cand.v2 AND e2.pos = e1.pos
+  GROUP BY cand.v1, cand.v2
+),
+close AS (
+  SELECT d.v2,
+         CAST(ROUND(d.dot / (n1.nrm * n2.nrm) * 1e6) AS BIGINT) AS cos_e6
+  FROM dots d JOIN norms n1 ON d.v1 = n1.vec_id
+              JOIN norms n2 ON d.v2 = n2.vec_id
+  WHERE CAST(ROUND(d.dot / (n1.nrm * n2.nrm) * 1e6) AS BIGINT)
+        >= {SEMDEDUP_T_E6}
+),
+dropped AS (
+  SELECT v2 AS vec_id, CAST(count(*) AS BIGINT) AS n_dups_lower
+  FROM close GROUP BY v2
+)
+SELECT c.vec_id, c.centroid_id,
+       COALESCE(dr.n_dups_lower, 0) AS n_dups_lower,
+       COALESCE(dr.n_dups_lower, 0) = 0 AS keep
+FROM cells c LEFT JOIN dropped dr USING (vec_id)
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_verified": q_sim_lsh_verified,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "dedup_semantic": q_dedup_semantic,
     # driver-surface names point at the Arrow fast paths (r4); the exploded
     # oracle-shape forms stay as pytest-parity variants
+    "sim_ivf_topk_mprobe": q_sim_ivf_topk_mprobe_pandas,
     "sim_ivf_topk_mprobe": q_sim_ivf_topk_mprobe_pandas,
     "sim_ivf_topk_mprobe_exploded": q_sim_ivf_topk_mprobe,
     "sim_pq_codes": q_sim_pq_codes,
@@ -1006,5 +1091,6 @@ ORACLES = {
     # the pandas fast path answers the same question as sim_cosine_topk
     "sim_ann_topk_pandas": SQL_SIM_COSINE_TOPK.replace("rk <= 10", "rk <= 10"),
     "sim_kmeans_train": SQL_SIM_KMEANS_TRAIN,
+    "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "sim_ivf_assign_trained": SQL_SIM_IVF_ASSIGN_TRAINED,
 }
