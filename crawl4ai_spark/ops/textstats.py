@@ -589,8 +589,82 @@ FROM est JOIN exact USING (lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary build + corpus tokenization to ids (r4): the encode step of
+# LM data prep that sits between quality filtering and sequence packing.
+# vocab_build: top-VOCAB_V tokens by (count DESC, token ASC) with dense
+# rank ids starting at 1 (0 is reserved for <unk>). Scale shape: one
+# token-keyed aggregate, then TakeOrdered(V) — the id-assignment window
+# runs over the V-row RESULT, never the corpus (bounded by construction,
+# like the kmeans codebook collect). tokenize_ids: tokens explode
+# scan-locally with positions and meet the vocab through a broadcast
+# join; OOV falls to 0. The whole pair is the word-level analog of
+# training a tokenizer then encoding the corpus with it.
+# ---------------------------------------------------------------------------
+
+VOCAB_V = 16  # 31 distinct tokens in the synthetic corpus -> real OOV tail
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("token"))
+        .groupBy("token").agg(F.count("*").cast("long").alias("n")))
+    top = toks.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_V)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    # the global window is over the V-row TakeOrdered result only
+    return top.select(
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "token", "n")
+
+
+SQL_VOCAB_BUILD = f"""
+WITH t AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) u(token)
+  GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+         AS token_id,
+       token, n
+FROM t ORDER BY n DESC, token ASC LIMIT {VOCAB_V}
+"""
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    vocab = q_vocab_build(spark, sf_dir).select("token", "token_id")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("pos", "token"))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                F.coalesce("token_id", F.lit(0)).alias("token_id"))
+    )
+
+
+SQL_TOKENIZE_IDS = f"""
+WITH vocab AS ({SQL_VOCAB_BUILD}),
+toks AS (
+  SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+         unnest(l) AS token
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents)
+)
+SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS token_id
+FROM toks t LEFT JOIN vocab v USING (token)
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
+    "vocab_build": q_vocab_build,
+    "tokenize_ids": q_tokenize_ids,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -603,6 +677,8 @@ QUERIES = {
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "vocab_build": SQL_VOCAB_BUILD,
+    "tokenize_ids": SQL_TOKENIZE_IDS,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
