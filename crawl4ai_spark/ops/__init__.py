@@ -63,10 +63,13 @@ DRIVER_SURFACE = [
     "dedup_exact",
     "dedup_spans",
     "dedup_minhash_bands2",
-    "dedup_ngram_pairs",
     "dedup_simhash_pairs",
     "dedup_pipeline",
     "quality_filter",
+    # capstone: the composed corpus-build verdict (n-gram Jaccard pair
+    # verification stays attested inside dedup_pipeline; dedup_ngram_pairs
+    # remains a pytest parity row)
+    "corpus_ledger",
     # similarity / ANN flagships
     "sim_ann_topk_pandas",
     "sim_lsh_verified",

@@ -590,9 +590,106 @@ FROM draws GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-build ledger (r4 capstone): the whole FineWeb-style pipeline as
+# ONE composed query — every document gets a verdict row naming the first
+# stage that dropped it (the ledger a data card ships):
+#   eval_holdout (the decontamination benchmark slice never trains) →
+#   gopher (rule gate) → exact_dup (keep min doc_id per md5(text)) →
+#   contaminated (shares a word n-gram with the eval slice) →
+#   resampled (temperature draw) → kept (+ split + token count).
+# Every stage reuses the already-oracled component query; the SQL oracle
+# composes the same module SQL as CTEs. Scale shape: each stage is
+# doc-keyed, so the composition joins on doc_id only — no new shuffle
+# axes beyond the stages' own.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").alias("n_tokens"),
+        F.expr(f"CAST(((0 {_HEX10.format(h='md5(text)')}) * 1000000)"
+               " div 1099511627776 AS BIGINT)").alias("split_ppm"),
+        F.md5("text").alias("h"))
+    keeper = base.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    g = q_gopher_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g_keep"))
+    dec = q_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated"))
+    res = q_resample_temperature(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("res_keep"))
+    j = (base.join(keeper, "h")
+         .join(g, "doc_id", "left")
+         .join(dec, "doc_id", "left")
+         .join(res, "doc_id", "left"))
+    reason = (
+        F.when(F.col("doc_id") % DECON_BENCH_MOD == 0, "eval_holdout")
+        .when(~F.coalesce("g_keep", F.lit(False)), "gopher")
+        .when(F.col("doc_id") != F.col("keeper"), "exact_dup")
+        .when(F.coalesce("contaminated", F.lit(False)), "contaminated")
+        .when(~F.coalesce("res_keep", F.lit(False)), "resampled")
+        .otherwise("kept"))
+    split = (F.when(F.col("split_ppm") < SPLIT_VALID_PPM, "valid")
+             .when(F.col("split_ppm") < SPLIT_TEST_PPM, "test")
+             .otherwise("train"))
+    return j.select(
+        "doc_id", "lang", "n_tokens",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+        F.when(reason == "kept", split).otherwise(F.lit("")).alias("split"))
+
+
+SQL_CORPUS_LEDGER = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         (0 {_HEX10.format(h="md5(text)")}) * 1000000 // 1099511627776
+           AS split_ppm,
+         md5(text) AS h
+  FROM documents
+), keeper AS (
+  SELECT h, min(doc_id) AS keeper FROM base GROUP BY h
+), g AS (
+  SELECT doc_id, keep AS g_keep FROM ({SQL_GOPHER_FILTER}) x
+), dec AS (
+  SELECT doc_id, TRUE AS contaminated FROM ({SQL_DECONTAMINATE}) y
+), res AS (
+  SELECT doc_id, TRUE AS res_keep FROM ({SQL_RESAMPLE_TEMPERATURE}) z
+), j AS (
+  SELECT b.*, k.keeper, g.g_keep, dec.contaminated, res.res_keep
+  FROM base b JOIN keeper k USING (h)
+  LEFT JOIN g USING (doc_id)
+  LEFT JOIN dec USING (doc_id)
+  LEFT JOIN res USING (doc_id)
+), v AS (
+  SELECT doc_id, lang, n_tokens, split_ppm,
+         CASE WHEN doc_id % {DECON_BENCH_MOD} = 0 THEN 'eval_holdout'
+              WHEN NOT COALESCE(g_keep, FALSE) THEN 'gopher'
+              WHEN doc_id <> keeper THEN 'exact_dup'
+              WHEN COALESCE(contaminated, FALSE) THEN 'contaminated'
+              WHEN NOT COALESCE(res_keep, FALSE) THEN 'resampled'
+              ELSE 'kept' END AS reason
+  FROM j
+)
+SELECT doc_id, lang, n_tokens, reason,
+       reason = 'kept' AS keep,
+       CASE WHEN reason = 'kept' THEN
+              CASE WHEN split_ppm < {SPLIT_VALID_PPM} THEN 'valid'
+                   WHEN split_ppm < {SPLIT_TEST_PPM} THEN 'test'
+                   ELSE 'train' END
+            ELSE '' END AS split
+FROM v
+"""
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
     "split_stratified": q_split_stratified,
+    "corpus_ledger": q_corpus_ledger,
     "dedup_pipeline": q_dedup_pipeline,
     "chunk_sliding": q_chunk_sliding,
     "gopher_filter": q_gopher_filter,
@@ -609,4 +706,5 @@ ORACLES = {
     "resample_temperature": SQL_RESAMPLE_TEMPERATURE,
     "decontaminate": SQL_DECONTAMINATE,
     "split_stratified": SQL_SPLIT_STRATIFIED,
+    "corpus_ledger": SQL_CORPUS_LEDGER,
 }
