@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "gopher_filter", "sim_kmeans_train",
     "events_pagerank", "text_hll_estimate", "pack_sequences",
     "resample_temperature", "decontaminate", "dedup_spans",
+    "corpus_ledger", "tokenize_ids",
 ]
 
 

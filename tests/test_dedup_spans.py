@@ -62,3 +62,33 @@ def test_dedup_spans_are_real_duplicates(spark):
     for r in out.itertuples():
         probe = text[r.doc_id][r.span_start - 1:r.span_start - 1 + SPAN_K]
         assert any(probe in t for d, t in text.items() if d != r.doc_id)
+
+
+def test_dedup_spans_boilerplate_hot_key(spark, tmp_path):
+    """A single boilerplate string shared by 1000 docs is the hot-key case:
+    the dup join is positions-per-substring (linear), never a pair
+    self-join, so one hot substring cannot go quadratic. Every doc must
+    report exactly the boilerplate span."""
+    import pandas as pd
+
+    boiler = "x" * 10 + "shared boilerplate sentence for the span dedup!"
+    assert len(boiler) >= SPAN_K
+    docs = pd.DataFrame({
+        "doc_id": range(1000),
+        "text": [f"unique prefix {i:06d} " + boiler + f" tail {i:06d}"
+                 for i in range(1000)],
+        "lang": ["en"] * 1000,
+        "source": ["t"] * 1000,
+        "n_chars": [0] * 1000,
+    })
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    out = q_dedup_spans(spark, d).toPandas()
+    # every doc carries >= 1 duplicated span, and the boilerplate text is
+    # inside the reported window for each
+    assert set(out["doc_id"]) == set(range(1000))
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for r in out.itertuples():
+        span = texts[r.doc_id][r.span_start - 1:r.span_end]
+        assert boiler in span
