@@ -686,10 +686,110 @@ FROM v
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed quality-classifier training (r4): the FineWeb-Edu-style
+# "train a quality model on rule labels" step, as a batch PERCEPTRON so
+# the whole computation stays integer-exact (logistic regression's
+# sigmoid would put a libm exp() between the engines — the same reason
+# HLL uses an integer ln table). Per epoch: misclassified docs are those
+# with y * (w·x) <= 0; the batch update w += Σ y·x over them is one
+# D-column aggregate. Labels come from the (already-oracled) Gopher gate;
+# features are the integer-e6 quality signals. Scale shape: the
+# treeAggregate discipline of the k-means trainer — the weight vector is
+# D ints broadcast into expressions, each epoch is one scan + one D-col
+# partial-sum fold, documents never shuffle.
+# ---------------------------------------------------------------------------
+
+PERCEPTRON_EPOCHS = 3
+_PX = ["x0", "x1", "x2", "x3"]  # bias, stop_ratio_e6, mean_wl_e6, len_e6
+
+
+def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = TS.q_text_quality(spark, sf_dir).select(
+        "doc_id", "stop_ratio_e6", "avg_word_len_e6", "n_words")
+    y = q_gopher_filter(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("keep"), 1).otherwise(-1).cast("long").alias("y"))
+    return (q.join(y, "doc_id")
+            .select("doc_id", "y",
+                    F.lit(1_000_000).cast("long").alias("x0"),
+                    F.col("stop_ratio_e6").alias("x1"),
+                    F.col("avg_word_len_e6").alias("x2"),
+                    F.least(F.col("n_words") * 20_000, F.lit(1_000_000))
+                    .cast("long").alias("x3")))
+
+
+def q_train_quality_perceptron(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    feats = _perceptron_features(spark, sf_dir)
+    feats.persist()
+    try:
+        w = [0, 0, 0, 0]
+        out = []
+        for epoch in range(1, PERCEPTRON_EPOCHS + 1):
+            wx = sum((F.col(c) * F.lit(w[i]) for i, c in enumerate(_PX)),
+                     F.lit(0))
+            mis = feats.filter(F.col("y") * wx <= 0)
+            agg = mis.agg(
+                F.count("*").cast("long").alias("n_err"),
+                *[F.coalesce(F.sum(F.col("y") * F.col(c)), F.lit(0))
+                  .cast("long").alias(f"d{i}")
+                  for i, c in enumerate(_PX)]).collect()[0]
+            w = [w[i] + agg[f"d{i}"] for i in range(len(_PX))]
+            for i, wi in enumerate(w):
+                out.append((epoch, i, wi, agg["n_err"]))
+        return spark.createDataFrame(
+            out, "epoch bigint, pos bigint, w bigint, n_err bigint")
+    finally:
+        feats.unpersist()
+
+
+_SQL_PERCEPTRON_FEATS = f"""
+  SELECT q.doc_id, CASE WHEN g.keep THEN 1 ELSE -1 END AS y,
+         CAST(1000000 AS BIGINT) AS x0,
+         q.stop_ratio_e6 AS x1,
+         q.avg_word_len_e6 AS x2,
+         least(q.n_words * 20000, 1000000) AS x3
+  FROM ({TS.SQL_TEXT_QUALITY}) q JOIN ({{gopher}}) g USING (doc_id)
+"""
+
+
+def _sql_perceptron_epochs() -> str:
+    feats = _SQL_PERCEPTRON_FEATS.format(gopher=SQL_GOPHER_FILTER)
+    ctes = [f"f AS ({feats})",
+            "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+            " CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"]
+    selects = []
+    for e in range(1, PERCEPTRON_EPOCHS + 1):
+        p = e - 1
+        wx = " + ".join(f"w{p}.w{i} * f.x{i}" for i in range(4))
+        ctes.append(
+            f"u{e} AS (SELECT CAST(count(*) AS BIGINT) AS n_err, "
+            + ", ".join(
+                f"COALESCE(sum(f.y * f.x{i}), 0) AS d{i}" for i in range(4))
+            + f" FROM f, w{p} WHERE f.y * ({wx}) <= 0)")
+        ctes.append(
+            f"w{e} AS (SELECT " + ", ".join(
+                f"CAST(w{p}.w{i} + u{e}.d{i} AS BIGINT) AS w{i}"
+                for i in range(4))
+            + f" FROM w{p}, u{e})")
+        selects.append(
+            " UNION ALL ".join(
+                f"SELECT CAST({e} AS BIGINT) AS epoch,"
+                f" CAST({i} AS BIGINT) AS pos, w{e}.w{i} AS w,"
+                f" u{e}.n_err FROM w{e}, u{e}" for i in range(4)))
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + " UNION ALL ".join(selects))
+
+
+SQL_TRAIN_QUALITY_PERCEPTRON = _sql_perceptron_epochs()
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
     "split_stratified": q_split_stratified,
     "corpus_ledger": q_corpus_ledger,
+    "train_quality_perceptron": q_train_quality_perceptron,
     "dedup_pipeline": q_dedup_pipeline,
     "chunk_sliding": q_chunk_sliding,
     "gopher_filter": q_gopher_filter,
@@ -707,4 +807,5 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "split_stratified": SQL_SPLIT_STRATIFIED,
     "corpus_ledger": SQL_CORPUS_LEDGER,
+    "train_quality_perceptron": SQL_TRAIN_QUALITY_PERCEPTRON,
 }
