@@ -785,11 +785,53 @@ def _sql_perceptron_epochs() -> str:
 SQL_TRAIN_QUALITY_PERCEPTRON = _sql_perceptron_epochs()
 
 
+def q_quality_perceptron_score(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Inference half of the trained classifier: every doc scored with
+    the final-epoch weights (4 ints — collected bounded, broadcast as
+    expressions), predicted keep = w·x > 0, plus agreement with the rule
+    label. One scan, zero shuffle beyond the feature joins."""
+    trained = q_train_quality_perceptron(spark, sf_dir) \
+        .filter(F.col("epoch") == PERCEPTRON_EPOCHS).collect()
+    w = [0] * len(_PX)
+    for r in trained:
+        w[r.pos] = r.w
+    feats = _perceptron_features(spark, sf_dir)
+    wx = sum((F.col(c) * F.lit(w[i]) for i, c in enumerate(_PX)), F.lit(0))
+    return feats.select(
+        "doc_id", F.col("y").alias("label"),
+        wx.cast("long").alias("score"),
+        (wx > 0).alias("pred_keep"),
+        ((wx > 0) == (F.col("y") > 0)).alias("agrees"))
+
+
+SQL_QUALITY_PERCEPTRON_SCORE = f"""
+WITH t AS ({SQL_TRAIN_QUALITY_PERCEPTRON}),
+wf AS (
+  SELECT max(CASE WHEN pos = 0 THEN w END) AS w0,
+         max(CASE WHEN pos = 1 THEN w END) AS w1,
+         max(CASE WHEN pos = 2 THEN w END) AS w2,
+         max(CASE WHEN pos = 3 THEN w END) AS w3
+  FROM t WHERE epoch = {PERCEPTRON_EPOCHS}
+),
+f AS ({_SQL_PERCEPTRON_FEATS.format(gopher=SQL_GOPHER_FILTER)})
+SELECT f.doc_id, f.y AS label,
+       CAST(wf.w0 * f.x0 + wf.w1 * f.x1 + wf.w2 * f.x2 + wf.w3 * f.x3
+            AS BIGINT) AS score,
+       (wf.w0 * f.x0 + wf.w1 * f.x1 + wf.w2 * f.x2 + wf.w3 * f.x3) > 0
+         AS pred_keep,
+       ((wf.w0 * f.x0 + wf.w1 * f.x1 + wf.w2 * f.x2 + wf.w3 * f.x3) > 0)
+         = (f.y > 0) AS agrees
+FROM f, wf
+"""
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
     "split_stratified": q_split_stratified,
     "corpus_ledger": q_corpus_ledger,
     "train_quality_perceptron": q_train_quality_perceptron,
+    "quality_perceptron_score": q_quality_perceptron_score,
     "dedup_pipeline": q_dedup_pipeline,
     "chunk_sliding": q_chunk_sliding,
     "gopher_filter": q_gopher_filter,
@@ -808,4 +850,5 @@ ORACLES = {
     "split_stratified": SQL_SPLIT_STRATIFIED,
     "corpus_ledger": SQL_CORPUS_LEDGER,
     "train_quality_perceptron": SQL_TRAIN_QUALITY_PERCEPTRON,
+    "quality_perceptron_score": SQL_QUALITY_PERCEPTRON_SCORE,
 }

@@ -36,3 +36,13 @@ def test_perceptron_learns(spark):
     errs = out.groupby("epoch")["n_err"].first()
     n_docs = errs.loc[1]
     assert errs.loc[PERCEPTRON_EPOCHS] < n_docs
+
+
+def test_perceptron_score_consistency(spark):
+    """Inference with the final weights must agree with the rule label on
+    a majority of docs (it learned), and score sign must equal pred."""
+    from crawl4ai_spark.ops.pipelineq import q_quality_perceptron_score
+
+    out = q_quality_perceptron_score(spark, SF).toPandas()
+    assert ((out["score"] > 0) == out["pred_keep"]).all()
+    assert out["agrees"].mean() > 0.5
