@@ -826,12 +826,32 @@ FROM f, wf
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card summary table: per (lang, reason, split) document and
+    token totals over the corpus ledger — the numbers a dataset release
+    publishes. One aggregate over the ledger's doc-keyed output."""
+    led = q_corpus_ledger(spark, sf_dir)
+    return (led.groupBy("lang", "reason", "split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+
+
+SQL_CORPUS_DATACARD = f"""
+SELECT lang, reason, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM ({SQL_CORPUS_LEDGER}) l
+GROUP BY lang, reason, split
+"""
+
+
 QUERIES = {
     "quality_filter": q_quality_filter,
     "split_stratified": q_split_stratified,
     "corpus_ledger": q_corpus_ledger,
     "train_quality_perceptron": q_train_quality_perceptron,
     "quality_perceptron_score": q_quality_perceptron_score,
+    "corpus_datacard": q_corpus_datacard,
     "dedup_pipeline": q_dedup_pipeline,
     "chunk_sliding": q_chunk_sliding,
     "gopher_filter": q_gopher_filter,
@@ -851,4 +871,5 @@ ORACLES = {
     "corpus_ledger": SQL_CORPUS_LEDGER,
     "train_quality_perceptron": SQL_TRAIN_QUALITY_PERCEPTRON,
     "quality_perceptron_score": SQL_QUALITY_PERCEPTRON_SCORE,
+    "corpus_datacard": SQL_CORPUS_DATACARD,
 }

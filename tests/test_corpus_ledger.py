@@ -47,3 +47,17 @@ def test_ledger_consistent_with_components(spark):
     # split populated exactly for kept docs
     assert (kept["split"] != "").all()
     assert (led[~led["keep"]]["split"] == "").all()
+
+
+def test_datacard_totals(spark):
+    """The data card must partition the corpus exactly: doc and token
+    totals across all (lang, reason, split) cells equal the corpus."""
+    from crawl4ai_spark.ops.pipelineq import q_corpus_datacard
+
+    card = q_corpus_datacard(spark, SF).toPandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert card["n_docs"].sum() == len(docs)
+    led = q_corpus_ledger(spark, SF).toPandas()
+    assert card["n_tokens"].sum() == led["n_tokens"].sum()
+    assert set(card.columns) == {"lang", "reason", "split",
+                                 "n_docs", "n_tokens"}
