@@ -277,3 +277,33 @@ def stream_dedup_exact(spark: SparkSession, docs_dir: str) -> DataFrame:
         docs.select("doc_id", F.md5(norm).alias("content_hash"))
         .dropDuplicates(["content_hash"])
     )
+
+
+def stream_corpus_gate(spark: SparkSession, docs_dir: str,
+                       rate_e6_by_lang: dict[str, int]) -> DataFrame:
+    """Streaming corpus admission: the batch-calibrate / stream-apply
+    pattern a production ingest runs. The per-language temperature-
+    sampling acceptance rates are computed BATCH-side (the corpus
+    aggregate in ``ops/pipelineq.q_resample_temperature``) and broadcast
+    into the stream as a literal map; each arriving document is then a
+    stateless accept/reject — same deterministic md5(doc_id) 40-bit draw,
+    so the streamed verdicts are row-identical to the batch query's kept
+    set. No state, no shuffle; scales to any ingest rate."""
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .parquet(docs_dir)
+    )
+    pairs = []
+    for lang, rate in sorted(rate_e6_by_lang.items()):
+        pairs += [F.lit(lang), F.lit(int(rate))]
+    rate = F.create_map(*pairs)[F.col("lang")]
+    hex10 = "".join(
+        f"+ CAST(instr('0123456789abcdef', substring("
+        f"md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (9 - i)}\n" for i in range(10))
+    u40 = F.expr("0 " + hex10)
+    return docs.select(
+        "doc_id", "lang", rate.alias("rate_e6"),
+        (u40 * 1_000_000 < rate * F.lit(1_099_511_627_776)).alias("accept"))

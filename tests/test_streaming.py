@@ -218,3 +218,27 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path_factory):
     a = {r.content_hash for r in got.collect()}
     b = {r.content_hash for r in batch.select("content_hash").collect()}
     assert a == b
+
+
+def test_stream_corpus_gate_matches_batch(spark, tmp_path_factory):
+    """Streaming admission with batch-calibrated rates must accept exactly
+    the batch temperature-resample's kept set."""
+    import shutil
+
+    from crawl4ai_spark.ops.pipelineq import q_resample_temperature
+    from crawl4ai_spark.streaming.stream import stream_corpus_gate
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("gate"))
+    shutil.copy(f"{sf}/documents.parquet", f"{d}/documents.parquet")
+
+    batch = q_resample_temperature(spark, sf).collect()
+    rates = {r.lang: r.rate_e6 for r in batch}
+    kept_batch = {r.doc_id for r in batch}
+
+    out = stream_corpus_gate(spark, d, rates)
+    run_stream_to_memory(out, "stream_gate_t")
+    rows = spark.sql("SELECT * FROM stream_gate_t").collect()
+    kept_stream = {r.doc_id for r in rows if r.accept}
+    assert kept_stream == kept_batch
+    assert len(rows) > len(kept_stream)  # some docs rejected
