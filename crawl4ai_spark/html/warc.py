@@ -1,0 +1,103 @@
+"""From-scratch WARC/1.0 writer + parser (ISO 28500, the Common-Crawl
+archive format) — the same stdlib-only roundtrip discipline as
+``html/pdf.py``: the writer emits REAL framed bytes (warcinfo record +
+response records carrying full HTTP/1.1 messages), the parser walks the
+Content-Length framing back out, and the DuckDB oracle recomputes every
+exposed field from construction inputs without ever seeing the bytes.
+
+No reference counterpart (crawl4ai fetches live pages); this is the
+source/sink a Spark crawl at Common-Crawl scale reads and writes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+WARC_VERSION = "WARC/1.0"
+SOFTWARE = "crawl4ai-spark/0.4"
+CRLF = b"\r\n"
+
+
+def _record(headers: list[tuple[str, str]], block: bytes) -> bytes:
+    head = WARC_VERSION.encode() + CRLF
+    for k, v in headers:
+        head += f"{k}: {v}".encode() + CRLF
+    head += f"Content-Length: {len(block)}".encode() + CRLF
+    return head + CRLF + block + CRLF + CRLF
+
+
+def _uuid_of(seed: str) -> str:
+    h = hashlib.md5(seed.encode()).hexdigest()
+    return (f"urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-"
+            f"{h[16:20]}-{h[20:32]}")
+
+
+def build_warc(records: list[dict], *, date: str) -> bytes:
+    """``records``: dicts with uri, body (bytes), status (int),
+    content_type (str). Emits one warcinfo record then one response
+    record per input, deterministic record ids."""
+    info_block = f"software: {SOFTWARE}\r\nformat: WARC File Format 1.0".encode()
+    out = _record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", date),
+         ("WARC-Record-ID", _uuid_of("warcinfo")),
+         ("Content-Type", "application/warc-fields")],
+        info_block)
+    for r in records:
+        body = r["body"]
+        http = (f"HTTP/1.1 {r['status']} OK\r\n"
+                f"Content-Type: {r['content_type']}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        out += _record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", r["uri"]),
+             ("WARC-Date", date),
+             ("WARC-Record-ID", _uuid_of(r["uri"])),
+             ("Content-Type", "application/http;msgtype=response")],
+            http)
+    return out
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Walk the Content-Length framing; return one dict per record with
+    warc_type, uri, date, and (for responses) status, content_type,
+    payload bytes."""
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data.startswith(CRLF, pos):  # tolerate stray blank lines
+            pos += 2
+            continue
+        head_end = data.index(b"\r\n\r\n", pos)
+        head_lines = data[pos:head_end].decode().split("\r\n")
+        if head_lines[0] != WARC_VERSION:
+            raise ValueError(f"bad WARC version line: {head_lines[0]!r}")
+        headers = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        block = data[head_end + 4:head_end + 4 + length]
+        pos = head_end + 4 + length
+        if data[pos:pos + 4] != CRLF + CRLF:
+            raise ValueError("missing record trailer")
+        pos += 4
+        rec = {
+            "warc_type": headers.get("warc-type", ""),
+            "uri": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "record_id": headers.get("warc-record-id", ""),
+        }
+        if rec["warc_type"] == "response":
+            http_end = block.index(b"\r\n\r\n")
+            http_lines = block[:http_end].decode().split("\r\n")
+            rec["status"] = int(http_lines[0].split(" ")[1])
+            hh = {}
+            for line in http_lines[1:]:
+                k, _, v = line.partition(":")
+                hh[k.strip().lower()] = v.strip()
+            rec["content_type"] = hh.get("content-type", "")
+            rec["payload"] = block[http_end + 4:]
+        records.append(rec)
+    return records

@@ -42,6 +42,7 @@ _MODULES = [
     "pipelineq",
     "headq",
     "crawlq",
+    "warcq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
