@@ -35,3 +35,42 @@ def pages_from_raw(spark: SparkSession, docs: list[tuple[str, str]]) -> DataFram
         for u, h in docs
     ]
     return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC segments → pages rows (S12 read side): the Common-Crawl
+    ingestion path. binaryFile scan (distributed, path pushdown) → one
+    Arrow stage running the from-scratch framing parser per segment,
+    exploding its response records; WARC-Date becomes warc_ts, the HTTP
+    payload becomes html. Segment parsing is strictly per-file work —
+    the 100 TB shape (CC segments are ~1 GB each; at that size raise
+    ``maxPartitionBytes`` or pre-split, the parse itself never shuffles).
+    """
+    import datetime as _dt
+
+    import pandas as pd
+
+    from crawl4ai_spark.html.warc import parse_warc
+
+    bf = spark.read.format("binaryFile").load(path_glob) \
+        .select("path", "content")
+
+    def explode_records(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                for r in parse_warc(bytes(blob)):
+                    if r["warc_type"] != "response":
+                        continue
+                    ts = _dt.datetime.strptime(
+                        r["date"], "%Y-%m-%dT%H:%M:%SZ").replace(
+                        tzinfo=_dt.timezone.utc)
+                    out.append((r["uri"], ts, r["payload"]))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html"])
+
+    rec = bf.mapInPandas(explode_records,
+                         "url string, warc_ts timestamp, html binary")
+    return rec.select(
+        "url", "warc_ts", "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"))

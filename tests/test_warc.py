@@ -65,3 +65,50 @@ def test_warc_query_shape(spark):
     assert len(out) == 500
     assert (out.groupby("bucket")["n_records"].first() <= WARC_BATCH).all()
     assert (out["status"] == 200).all()
+
+
+def test_pages_from_warc_feeds_the_engine(spark, tmp_path):
+    """The ingestion loop: pagesgen pages → WARC segments on disk →
+    pages_from_warc → a crawl over the WARC-sourced pages returns the
+    same result set as the same crawl over the original pages table."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+    from crawl4ai_spark.sources.pagesgen import (
+        generate_pages,
+        generate_robots,
+        generate_seeds,
+    )
+    from crawl4ai_spark.sources.rawpages import pages_from_warc
+
+    pages = generate_pages(spark, 3, 8)
+    rows = pages.select("url", "warc_ts", "html").collect()
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    for seg in range(3):  # 3 multi-record segments
+        recs = [{"uri": r.url, "body": bytes(r.html), "status": 200,
+                 "content_type": "text/html; charset=utf-8"}
+                for i, r in enumerate(rows) if i % 3 == seg]
+        blob = build_warc(recs, date="2025-01-01T00:00:00Z")
+        (seg_dir / f"seg{seg}.warc").write_bytes(blob)
+
+    warc_pages = pages_from_warc(spark, str(seg_dir / "*.warc"))
+    assert warc_pages.count() == pages.count()
+    # byte-identical bodies per url
+    a = {r.url: bytes(r.html) for r in pages.select("url", "html").collect()}
+    b = {r.url: bytes(r.html)
+         for r in warc_pages.select("url", "html").collect()}
+    assert a == b
+
+    seeds = generate_seeds(spark, 3)
+    robots = generate_robots(spark, 3)
+    cfg = CrawlConfig(max_depth=2, max_pages=30)
+    r1 = SparkWebEngine(spark, str(tmp_path / "s1")) \
+        .run(pages, seeds, robots=robots, config=cfg)
+    r2 = SparkWebEngine(spark, str(tmp_path / "s2")) \
+        .run(warc_pages, seeds, robots=robots, config=cfg)
+    k1 = {(r.url, r.status_code) for r in
+          r1.select("url", "status_code").collect()}
+    k2 = {(r.url, r.status_code) for r in
+          r2.select("url", "status_code").collect()}
+    assert k1 == k2 and k1
