@@ -307,3 +307,46 @@ def stream_corpus_gate(spark: SparkSession, docs_dir: str,
     return docs.select(
         "doc_id", "lang", rate.alias("rate_e6"),
         (u40 * 1_000_000 < rate * F.lit(1_099_511_627_776)).alias("accept"))
+
+
+def stream_pages_from_warc(spark: SparkSession, segments_dir: str) -> DataFrame:
+    """Continuous Common-Crawl-style ingestion (S12 streaming read): WARC
+    segments arriving in a directory become a pages stream — binaryFile
+    file-stream source (explicit schema; each new segment is one
+    micro-batch input row) → the same per-segment Arrow framing parse as
+    the batch ``pages_from_warc``, exploding response records. Stateless;
+    compose with ``stream_process_pages``'s extraction select for the
+    full live-ingest pipeline."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from crawl4ai_spark.html.warc import parse_warc
+
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary")
+        .load(segments_dir)
+        .select("content")
+    )
+
+    def explode_records(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                for r in parse_warc(bytes(blob)):
+                    if r["warc_type"] != "response":
+                        continue
+                    ts = _dt.datetime.strptime(
+                        r["date"], "%Y-%m-%dT%H:%M:%SZ").replace(
+                        tzinfo=_dt.timezone.utc)
+                    out.append((r["uri"], ts, r["payload"]))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html"])
+
+    rec = bf.mapInPandas(explode_records,
+                         "url string, warc_ts timestamp, html binary")
+    return rec.select(
+        "url", "warc_ts", "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"))

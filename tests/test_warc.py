@@ -112,3 +112,34 @@ def test_pages_from_warc_feeds_the_engine(spark, tmp_path):
     k2 = {(r.url, r.status_code) for r in
           r2.select("url", "status_code").collect()}
     assert k1 == k2 and k1
+
+
+def test_stream_pages_from_warc_matches_batch(spark, tmp_path):
+    """Streaming segment ingestion must surface the identical pages rows
+    as the batch WARC source over the same directory."""
+    from crawl4ai_spark.sources.pagesgen import generate_pages
+    from crawl4ai_spark.sources.rawpages import pages_from_warc
+    from crawl4ai_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_pages_from_warc,
+    )
+
+    pages = generate_pages(spark, 2, 6)
+    rows = pages.select("url", "html").collect()
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    for seg in range(2):
+        recs = [{"uri": r.url, "body": bytes(r.html), "status": 200,
+                 "content_type": "text/html; charset=utf-8"}
+                for i, r in enumerate(rows) if i % 2 == seg]
+        (seg_dir / f"seg{seg}.warc").write_bytes(
+            build_warc(recs, date="2025-01-01T00:00:00Z"))
+
+    out = stream_pages_from_warc(spark, str(seg_dir))
+    run_stream_to_memory(out.select("url", "html"), "stream_warc_t")
+    got = {r.url: bytes(r.html)
+           for r in spark.sql("SELECT * FROM stream_warc_t").collect()}
+    want = {r.url: bytes(r.html)
+            for r in pages_from_warc(
+                spark, str(seg_dir / "*.warc")).collect()}
+    assert got == want and len(got) == len(rows)
