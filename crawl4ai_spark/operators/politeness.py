@@ -254,7 +254,11 @@ def robots_allowed_col_native(df: DataFrame, compiled_rules: DataFrame, *,
         F.broadcast(compiled_rules.withColumnRenamed("host", host_col)),
         on=host_col, how="left")
     safe = F.col(url_col).rlike(r"^[\x20-\x7e]*$") \
-        & ~F.col(url_col).contains("%")
+        & ~F.col(url_col).contains("%") \
+        & F.col(url_col).rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    # the scheme check keeps scheme-less/relative URLs OUT of the parity
+    # domain (the authority regexp would yield filename '/', diverging
+    # from robotparser's quote(path)) — they abstain to the pUDF fill.
     filename = _native_filename(url_col)
     # rules arrays preserve file order → the first surviving element is the
     # first RuleLine whose path applies (prefix or '*'), can_fetch exactly.

@@ -1064,7 +1064,6 @@ QUERIES = {
     # driver-surface names point at the Arrow fast paths (r4); the exploded
     # oracle-shape forms stay as pytest-parity variants
     "sim_ivf_topk_mprobe": q_sim_ivf_topk_mprobe_pandas,
-    "sim_ivf_topk_mprobe": q_sim_ivf_topk_mprobe_pandas,
     "sim_ivf_topk_mprobe_exploded": q_sim_ivf_topk_mprobe,
     "sim_pq_codes": q_sim_pq_codes,
     "sim_pq_adc_topk": q_sim_pq_adc_pandas,

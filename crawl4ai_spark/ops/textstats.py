@@ -471,7 +471,10 @@ GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 HLL_M = 256                 # 2^8 buckets
-HLL_RHO_CAP = 33            # max register: 32 zero bits + 1
+HLL_RHO_CAP = 32            # max register: keeps 32-register >= 0, so the
+# estimate's shiftleft(1L, 32-register) never sees a negative shift (Spark
+# wraps negative shifts; DuckDB raises — ADVICE r4). Bias from clamping
+# 33→32 needs >=32 leading zero bits in an md5-derived 64-bit suffix.
 # e0 suffixes: a bare 0.7181089 parses as DECIMAL in DuckDB and the
 # decimal product overflows; scientific notation is DOUBLE in both engines
 _HLL_ALPHA_M2_2_32 = "0.7181089e0 * 65536e0 * 4294967296e0"

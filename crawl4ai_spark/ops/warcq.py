@@ -79,7 +79,7 @@ n AS (
 SELECT b.bucket, '{URI_PREFIX}' || b.doc_id AS uri,
        CAST(200 AS BIGINT) AS status,
        'text/html; charset=utf-8' AS http_content_type,
-       CAST(length(b.text) AS BIGINT) AS payload_len,
+       CAST(octet_length(encode(b.text)) AS BIGINT) AS payload_len,
        md5(b.text) AS payload_md5,
        n.n_records
 FROM b JOIN n USING (bucket)

@@ -299,6 +299,9 @@ def stream_corpus_gate(spark: SparkSession, docs_dir: str,
     for lang, rate in sorted(rate_e6_by_lang.items()):
         pairs += [F.lit(lang), F.lit(int(rate))]
     rate = F.create_map(*pairs)[F.col("lang")]
+    # batch q_resample_temperature drops unmapped languages via an inner
+    # join; mirror that here (ADVICE r4) so the streamed verdict set is
+    # row-identical to the batch kept set instead of emitting accept=NULL.
     hex10 = "".join(
         f"+ CAST(instr('0123456789abcdef', substring("
         f"md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1"
@@ -306,7 +309,8 @@ def stream_corpus_gate(spark: SparkSession, docs_dir: str,
     u40 = F.expr("0 " + hex10)
     return docs.select(
         "doc_id", "lang", rate.alias("rate_e6"),
-        (u40 * 1_000_000 < rate * F.lit(1_099_511_627_776)).alias("accept"))
+        (u40 * 1_000_000 < rate * F.lit(1_099_511_627_776)).alias("accept")
+    ).filter(F.col("rate_e6").isNotNull())
 
 
 def stream_pages_from_warc(spark: SparkSession, segments_dir: str) -> DataFrame:
