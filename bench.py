@@ -112,6 +112,7 @@ def run_worker(k: int) -> None:
                           # than the 128 MB byte default so every core works
                           "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
                           "spark.sql.files.openCostInBytes": str(1024 * 1024),
+                          "spark.ui.showConsoleProgress": "false",
                       })
     path = ensure_pages(spark, "scale", SCALE_HOSTS, SCALE_PPH)
     n_pages = spark.read.parquet(path).count()
@@ -222,7 +223,8 @@ def main() -> None:
     from crawl4ai_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
+                      shuffle_partitions=int(cpus),
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     queries, _ = registry_full()
 
     t_suite0 = time.time()
@@ -269,7 +271,7 @@ def main() -> None:
 
     total = round(time.time() - t_suite0, 2)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    record = json.dumps({
         "metric": "frontier URLs scheduled+extracted per second (one generation, local[32])",
         "value": thru_4n or 0.0,
         "unit": "urls/sec",
@@ -293,7 +295,19 @@ def main() -> None:
                 "time to each Spark run; *_vs_hw_control divides job scaling "
                 "by the box's own achievable scaling at that moment",
         },
-    }))
+    })
+    # BENCH_r04.json came back "parsed": null — Spark progress bars share
+    # stdout lines with the record (carriage returns, no trailing newline).
+    # Emit the JSON as its own clean final line AND persist it to a file
+    # the driver (or anyone) can read without parsing stdout at all.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local.json"))
+    with open(out_path, "w") as f:
+        f.write(record + "\n")
+    sys.stdout.write("\n" + record + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -733,12 +733,22 @@ FROM est e LEFT JOIN exact x ON x.d1 = e.d1 AND x.d2 = e.d2
 # at least one OTHER document. A duplicated span is exactly the merged
 # union of its stride-1 SPAN_K-char windows, so the set of covered
 # positions (and hence the maximal intervals) is computed exactly:
-#   1. stride-1 windows (doc_id, pos, substring)  — one scan, row count =
-#      total corpus chars, the same work a suffix array touches;
-#   2. windows whose substring occurs in >= 2 distinct docs (one shuffle
-#      on the substring — at 100 TB hash the 40-char key first; semantics
-#      identical, collisions ~2^-64);
-#   3. gaps-and-islands merge per doc (lag window partitioned BY DOC —
+#   1. stride-1 windows — one scan, row count = total corpus chars, the
+#      same work a suffix array touches; only (doc_id, pos, xxhash64(s))
+#      leaves the scan, never the 40-char substring itself (r5, VERDICT
+#      r4 #1: the raw key made shuffle volume ~SPAN_K x corpus bytes —
+#      ~4 PB at 100 TB; the 8-byte hash is ~5x smaller than the window);
+#   2. candidate positions = windows whose HASH occurs in >= 2 distinct
+#      docs (one shuffle on the 8-byte hash);
+#   3. exactness verify on the surviving candidates only: re-derive their
+#      substrings with one doc-keyed join back to documents (in-row
+#      substring — this join moves ~1x corpus bytes, once, not 40x) and
+#      keep positions whose SUBSTRING occurs in >= 2 distinct docs. The
+#      candidate predicate is a pure function of the hash, so for any
+#      substring either ALL of its occurrences are candidates or none —
+#      the within-candidate distinct-doc count per substring equals the
+#      full-corpus count, making the verify exact, not approximate.
+#   4. gaps-and-islands merge per doc (lag window partitioned BY DOC —
 #      never a global window): adjacent/overlapping windows chain while
 #      pos - lag(pos) <= SPAN_K.
 # Output: (doc_id, span_start, span_end, span_len), 1-based inclusive.
@@ -750,19 +760,41 @@ SPAN_K = 40  # min duplicated-span length (chars); ~Lee et al.'s 50 BPE
 
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    sh = (
+    winh = (
         d.filter(F.length("text") >= SPAN_K)
         .select("doc_id",
                 F.explode(F.expr(
                     f"sequence(1L, length(text) - {SPAN_K} + 1)")).alias("pos"),
                 "text")
         .select("doc_id", "pos",
+                F.xxhash64(F.expr(f"substring(text, pos, {SPAN_K})"))
+                .alias("hk"))
+    )
+    duph = (winh.groupBy("hk")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2).select("hk"))
+    cand = winh.join(duph, "hk").select("doc_id", "pos")
+    # exactness verify (candidates only — ~duplicated positions + 2^-64
+    # collision noise): doc-keyed join back to the text, in-row substring,
+    # then the true distinct-doc filter on the real 40-char key.
+    cand_by_doc = cand.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("ps"))
+    cs = (
+        d.join(cand_by_doc, "doc_id")
+        .select("doc_id", F.explode("ps").alias("pos"), "text")
+        .select("doc_id", "pos",
                 F.expr(f"substring(text, pos, {SPAN_K})").alias("s"))
     )
-    dup = (sh.groupBy("s")
+    dup = (cs.groupBy("s")
            .agg(F.countDistinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= 2).select("s"))
-    pos = sh.join(dup, "s").select("doc_id", "pos")
+    pos = cs.join(dup, "s").select("doc_id", "pos")
+    return _span_islands(pos)
+
+
+def _span_islands(pos: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into maximal
+    spans (per-doc lag window — never global)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = (
         pos.withColumn("gap",
@@ -779,6 +811,37 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("span_end") - F.col("span_start") + 1)
                 .alias("span_len"))
     )
+
+
+def q_dedup_spans_fast128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-dup-regime scale dial: 128-bit double-hash candidate key
+    (two independent xxhash64 draws — the window bytes, and the window
+    bytes reversed) and NO exact verify pass. When nearly every position
+    of the corpus is duplicated (mirrored dumps, repeated boilerplate),
+    the exact form's verify join inherently touches ~output == ~input
+    bytes; this variant's shuffle stays ~24 B/window regardless of dup
+    rate, trading provable exactness for a 2^-128 per-pair collision
+    bound. Same output contract as q_dedup_spans (and byte-identical on
+    any corpus without an engineered xxhash64 double collision — pytest
+    asserts equality on the test tables)."""
+    d = tbl(spark, sf_dir, "documents")
+    win = (
+        d.filter(F.length("text") >= SPAN_K)
+        .select("doc_id",
+                F.explode(F.expr(
+                    f"sequence(1L, length(text) - {SPAN_K} + 1)")).alias("pos"),
+                "text")
+        .select("doc_id", "pos",
+                F.xxhash64(F.expr(f"substring(text, pos, {SPAN_K})"))
+                .alias("hk"),
+                F.xxhash64(F.expr(
+                    f"reverse(substring(text, pos, {SPAN_K}))")).alias("h2"))
+    )
+    dup = (win.groupBy("hk", "h2")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("hk", "h2"))
+    pos = win.join(dup, ["hk", "h2"]).select("doc_id", "pos")
+    return _span_islands(pos)
 
 
 SQL_DEDUP_SPANS = f"""
@@ -893,6 +956,7 @@ LEFT JOIN rebuilt r USING (doc_id)
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
+    "dedup_spans_fast128": q_dedup_spans_fast128,
     "clean_dup_spans": q_clean_dup_spans,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
@@ -908,6 +972,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_spans": SQL_DEDUP_SPANS,
+    "dedup_spans_fast128": SQL_DEDUP_SPANS,  # same output, hash-only shuffle
     "clean_dup_spans": SQL_CLEAN_DUP_SPANS,
     "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,

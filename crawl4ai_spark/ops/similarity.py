@@ -1056,11 +1056,126 @@ FROM cells c LEFT JOIN dropped dr USING (vec_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup production form (r5, VERDICT r4 "what's wrong #2"): the pinned-K
+# exploded q_dedup_semantic above is the ORACLE-parity variant (exact
+# integers, DuckDB-expressible) but ships the quadratic shape — at fixed
+# K=8 the within-cell pair join is O(N^2/K). This variant implements the
+# paper's actual scaling contract:
+#   - K derived from N (cell size ~ SEMDEDUP_TARGET_CELL, bounded);
+#   - centroids trained locally on a bounded deterministic sample
+#     (stride over vec_id, <= SEMDEDUP_TRAIN_MAX vectors — the
+#     faiss-on-a-subsample practice of Abbas et al. 2023);
+#   - assignment = ONE broadcast-centroid Arrow argmin pass (the
+#     q_sim_ivf_topk_mprobe_pandas discipline);
+#   - within-cell cosine = ONE numpy gram matrix per cell via
+#     applyInPandas — no element explode, no pair join;
+#   - skew guard: cells larger than SEMDEDUP_MAX_CELL split by
+#     vec_id % n_sub (pairs across sub-cells are skipped — the same
+#     bounded approximation the paper's fixed-K clustering already makes;
+#     n_sub comes from the K-row cell-size aggregate, broadcast back).
+# Guarded by a from-spec numpy reimplementation in pytest (float32
+# arithmetic is bit-identical driver vs executor); joins the 10x scale
+# probe, which the pinned-K form could not (NOTES r4 #5).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TARGET_CELL = 512   # K = ceil(N / this): mean cell size, bounded
+SEMDEDUP_TRAIN_MAX = 65536   # centroid-training sample cap (bounded collect)
+SEMDEDUP_MAX_CELL = 4096     # hard per-group bound (gram matrix <= 67 MB)
+SEMDEDUP_AUTO_ITERS = 5
+SEMDEDUP_AUTO_T = 0.35       # same threshold rationale as SEMDEDUP_T_E6
+
+_SEMDEDUP_AUTO_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("cell", T.LongType()),
+    T.StructField("n_dups_lower", T.LongType()),
+    T.StructField("keep", T.BooleanType()),
+])
+
+
+def _lloyd_local(x, k: int, iters: int):
+    """Plain Lloyd on the driver over the bounded training sample
+    (float32; init = first k sample rows; empty cell keeps its centroid;
+    argmin ties -> smallest cell id via np.argmin first-hit)."""
+    import numpy as np
+
+    c = x[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                c[j] = x[m].mean(axis=0, dtype=np.float32)
+    return c
+
+
+def semdedup_auto(spark: SparkSession, emb: DataFrame,
+                  threshold: float = SEMDEDUP_AUTO_T) -> DataFrame:
+    """SemDeDup over any (vec_id, embedding) frame; see block comment."""
+    import numpy as np
+
+    n = emb.count()
+    k = min(SEMDEDUP_TRAIN_MAX // 8,
+            max(8, -(-n // SEMDEDUP_TARGET_CELL)))
+    stride = max(1, n // SEMDEDUP_TRAIN_MAX)
+    sample = (emb.filter(F.col("vec_id") % stride == 0)
+              .orderBy("vec_id").limit(SEMDEDUP_TRAIN_MAX).collect())
+    x = np.array([r.embedding for r in sample], dtype=np.float32)
+    cents = _lloyd_local(x, min(k, len(x)), SEMDEDUP_AUTO_ITERS)
+
+    def assign(batches: Iterator[pd.DataFrame],
+               _c=cents) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xb = np.array(pdf["embedding"].tolist(), dtype=np.float32)
+            # argmin ||x-c||^2 = argmin -2xC^T + ||c||^2 (BLAS, not the
+            # B x K x D broadcast cube — K grows with N here)
+            d = (-2.0 * (xb @ _c.T)
+                 + (_c * _c).sum(axis=1, dtype=np.float32)[None, :])
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cell": d.argmin(axis=1).astype("int64")})
+
+    assigned = emb.mapInPandas(assign, "vec_id long, cell long")
+    sizes = assigned.groupBy("cell").agg(
+        F.ceil(F.count("*") / SEMDEDUP_MAX_CELL).cast("long").alias("n_sub"))
+    sub = (assigned.join(F.broadcast(sizes), "cell")
+           .withColumn("sub", F.col("vec_id") % F.greatest("n_sub", F.lit(1)))
+           .join(emb, "vec_id")
+           .select("vec_id", "cell", "sub", "embedding"))
+
+    def score(pdf: pd.DataFrame, _t=np.float32(threshold)) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        xb = np.array(pdf["embedding"].tolist(), dtype=np.float32)
+        xn = xb / np.linalg.norm(xb, axis=1, keepdims=True).astype(np.float32)
+        g = xn @ xn.T
+        lower = np.tril(g >= _t, k=-1).sum(axis=1)  # rows sorted by vec_id
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"].astype("int64").to_numpy(),
+            "cell": pdf["cell"].astype("int64").to_numpy(),
+            "n_dups_lower": lower.astype("int64"),
+            "keep": lower == 0})
+
+    return (sub.groupBy("cell", "sub")
+            .applyInPandas(lambda key, pdf: score(pdf),
+                           _SEMDEDUP_AUTO_SCHEMA))
+
+
+def q_dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup_auto(spark, emb)
+
+
 QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_verified": q_sim_lsh_verified,
     "sim_ivf_topk": q_sim_ivf_topk,
     "dedup_semantic": q_dedup_semantic,
+    # production SemDeDup (K from N, Arrow gram scorer) — no SQL oracle
+    # (float32 path); guarded by the from-spec numpy parity test
+    "dedup_semantic_auto": q_dedup_semantic_auto,
     # driver-surface names point at the Arrow fast paths (r4); the exploded
     # oracle-shape forms stay as pytest-parity variants
     "sim_ivf_topk_mprobe": q_sim_ivf_topk_mprobe_pandas,

@@ -92,3 +92,13 @@ def test_dedup_spans_boilerplate_hot_key(spark, tmp_path):
     for r in out.itertuples():
         span = texts[r.doc_id][r.span_start - 1:r.span_end]
         assert boiler in span
+
+
+def test_dedup_spans_fast128_equals_exact(spark):
+    """The 128-bit double-hash variant (no exact verify pass) must be
+    byte-identical to the exact form on the test corpus — a divergence
+    means an xxhash64 double collision or a logic bug."""
+    from crawl4ai_spark.ops.dedup import q_dedup_spans_fast128
+    exact = {tuple(r) for r in q_dedup_spans(spark, SF).collect()}
+    fast = {tuple(r) for r in q_dedup_spans_fast128(spark, SF).collect()}
+    assert fast == exact
