@@ -1,18 +1,18 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-Decode status (r4): WAV, BMP and PNG decode are REAL — a from-scratch BMP
-writer+parser, the stdlib ``wave`` parser, and a from-scratch PNG
+Decode status (r5): WAV, BMP, PNG, JPEG and MP4 decode are ALL REAL —
+stdlib ``wave``, a from-scratch BMP writer+parser, a from-scratch PNG
 writer+parser (zlib inflate + full scanline-filter reconstruction:
-None/Sub/Up/Average/Paeth, CRC-verified chunks) — with a deterministic
-media corpus so the decoded fields are oracle-checked end-to-end
-(``q_multimodal_decode_real``, the same discipline as the PDF source; the
-``pixel_sum`` column proves every scanline of every filter type
-reconstructed exactly). Formats that genuinely need codec libraries
-(JPEG/MP4) stay behind the clearly-marked ``fake_decode`` STUB seam; the
-Spark-side plumbing around both — binary columns, Arrow-batched
-``mapInPandas`` with a typed output schema, partition-friendly batch
-shapes — is identical, so swapping the stub for PIL/ffmpeg is a
-one-function change.
+None/Sub/Up/Average/Paeth, CRC-verified chunks), a from-scratch baseline
+JPEG codec (ITU T.81 SOF0: 8x8 DCT, quantization, zigzag, canonical
+Huffman DC/AC coding, 0xFF00 byte stuffing, DRI restart markers) and an
+ISO BMFF box walk for MP4 metadata (mvhd/tkhd/stsz/mdat) — with a
+deterministic media corpus so the decoded fields are oracle-checked
+end-to-end (``q_multimodal_decode_real``, the same discipline as the PDF
+source; the ``pixel_sum`` column proves full sample reconstruction). The
+``fake_decode`` STUB seam remains only as the documented extension point
+for codecs that genuinely need external libraries (e.g. H.264 sample
+decode inside MP4 tracks).
 """
 
 from __future__ import annotations
@@ -252,6 +252,488 @@ def build_bmp(doc_id: int) -> bytes:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG (r5): from-scratch ITU T.81 SOF0 grayscale encoder +
+# decoder — 8x8 DCT-II, quantization, zigzag, canonical Huffman (DC diff
+# coding + AC run-length with ZRL/EOB), 0xFF00 byte stuffing, DRI restart
+# markers. The deterministic corpus uses flat 8x8 blocks whose DC-only
+# spectra survive the float DCT→quant→IDCT roundtrip bit-exactly, so
+# pixel_sum stays pure construction arithmetic for the DuckDB oracle; the
+# general (non-flat, Annex-K-table) path is exercised by pytest roundtrips.
+# Reference parity target: crawl4ai treats media as opaque attachments
+# (async_webcrawler result media lists); decode here is the training-data
+# feature-extraction surface the 100 TB pipeline needs.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = sorted(range(64), key=lambda i: (
+    (i // 8 + i % 8), (i // 8 if (i // 8 + i % 8) % 2 else -(i // 8))))
+
+# Annex K (ITU T.81) luminance tables for the general encode path.
+_K_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K_DC_VALS = list(range(12))
+_K_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_K_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Corpus tables, chosen so the flat-block entropy stream can NEVER contain
+# an 0xFF byte (each MCU is exactly [1010 mmmm][mmmmmm 0 1] — the DC code
+# for category 10 is 1010 and the EOB bit is 0), making n_bytes pure
+# construction arithmetic: no byte stuffing, 2 bytes per MCU + RST markers.
+_FLAT_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_DC_VALS = list(range(12))
+_FLAT_AC_BITS = [1] + [0] * 15
+_FLAT_AC_VALS = [0x00]  # EOB only — flat blocks have no AC energy
+
+
+def _huffman_codes(bits: list, vals: list) -> dict:
+    """Canonical JPEG Huffman code assignment (T.81 Annex C)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_mat():
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+    return m
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def pad_to_byte(self) -> None:
+        while self.nbits:
+            self.write(1, 1)
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg(pixels, *, quant=None, dc_bits=None, dc_vals=None,
+                ac_bits=None, ac_vals=None, restart_interval: int = 0
+                ) -> bytes:
+    """Baseline SOF0 grayscale JPEG encoder (ITU T.81): level shift → 8x8
+    DCT → quantize → zigzag → Huffman (DC diff + AC run-length) → stuffed
+    entropy stream with optional DRI restart markers."""
+    import numpy as np
+    import struct
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    quant = np.ones(64, dtype=np.int64) if quant is None else \
+        np.asarray(quant, dtype=np.int64).reshape(64)
+    dc_bits = dc_bits or _K_DC_BITS
+    dc_vals = dc_vals if dc_vals is not None else _K_DC_VALS
+    ac_bits = ac_bits or _K_AC_BITS
+    ac_vals = ac_vals if ac_vals is not None else _K_AC_VALS
+    dc_codes = _huffman_codes(dc_bits, dc_vals)
+    ac_codes = _huffman_codes(ac_bits, ac_vals)
+
+    # pad to 8x8 MCU grid by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    m = _dct_mat()
+    qmat = quant[_ZIGZAG].astype(np.float64).reshape(8, 8)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    mcu = 0
+    rst = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            block = padded[by:by + 8, bx:bx + 8]
+            coef = m @ block @ m.T
+            q = coef / qmat
+            q = np.sign(q) * np.floor(np.abs(q) + 0.5)   # half away from zero
+            zz = q.reshape(64)[_ZIGZAG].astype(np.int64)
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat = _jpeg_category(diff)
+            code, length = dc_codes[cat]
+            bw.write(code, length)
+            if cat:
+                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]              # ZRL
+                    bw.write(zc, zl)
+                    run -= 16
+                size = _jpeg_category(v)
+                sc, sl = ac_codes[(run << 4) | size]
+                bw.write(sc, sl)
+                bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                ec, el = ac_codes[0x00]                  # EOB
+                bw.write(ec, el)
+            mcu += 1
+    bw.pad_to_byte()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    out = bytearray(b"\xff\xd8")                          # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in quant))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"                                    # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-stream reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy stream truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise ValueError("restart marker inside coded unit")
+            else:
+                raise ValueError("marker inside coded unit")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Discard pad bits and consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if not (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _huffman_decode_one(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def parse_jpeg(payload: bytes) -> dict:
+    """From-scratch baseline JPEG decoder for the SOF0 single-component
+    subset: marker walk (DQT/DHT/SOF0/DRI/SOS), Huffman entropy decode with
+    byte-unstuffing and restart handling, dequantize, dezigzag, float IDCT,
+    level shift + clamp. Returns width/height/pixel bytes."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant = {}
+    huff = {}
+    width = height = None
+    dri = 0
+    scan_dc = scan_ac = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(payload[pos:pos + 2], "big")
+        body = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported (baseline)")
+                quant[tq] = np.array(list(body[i + 1:i + 65]), dtype=np.int64)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                codes = _huffman_codes(bits, vals)
+                huff[(tc, th)] = {(c, l): sym
+                                  for sym, (c, l) in codes.items()}
+                i += 17 + nv
+        elif marker == 0xC0:
+            if body[0] != 8 or body[5] != 1:
+                raise ValueError("baseline subset is 8-bit single-component")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            tq_img = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-SOF0 JPEG unsupported (baseline subset)")
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            scan_dc = (0, body[2] >> 4)
+            scan_ac = (1, body[2] & 0x0F)
+            pos += seglen
+            break
+        pos += seglen
+    if width is None or scan_dc is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    dc_tab, ac_tab = huff[scan_dc], huff[scan_ac]
+    q = quant[tq_img]
+    m = _dct_mat()
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.zeros((ph, pw), dtype=np.float64)
+    br = _BitReader(payload, pos)
+    prev_dc = 0
+    mcu = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if dri and mcu and mcu % dri == 0:
+                br.align_restart()
+                prev_dc = 0
+            zz = np.zeros(64, dtype=np.int64)
+            cat = _huffman_decode_one(br, dc_tab)
+            diff = _extend(br.bits(cat), cat) if cat else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huffman_decode_one(br, ac_tab)
+                if sym == 0x00:            # EOB
+                    break
+                if sym == 0xF0:            # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0x0F
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz * q
+            block = m.T @ coef.reshape(8, 8) @ m
+            img[by:by + 8, bx:bx + 8] = block
+            mcu += 1
+    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+    out = out[:height, :width]
+    return {"width": width, "height": height, "pixels": out.tobytes()}
+
+
+def build_jpeg(doc_id: int) -> bytes:
+    """Deterministic flat-block grayscale JPEG: 8*(1+id%3) × 8*(1+id%2),
+    block b constant 192 + (id*7 + 13*b) % 64 (raster block order), quant
+    all-ones, DRI=1 with the no-0xFF corpus Huffman tables. Flat blocks are
+    DC-only, so the float DCT/IDCT roundtrip is bit-exact and blob length is
+    pure arithmetic: 173 + 4*n_blocks (2 entropy bytes + 2 RST bytes per
+    MCU, EOI replacing the final RST)."""
+    import numpy as np
+
+    w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+    px = np.zeros((h, w), dtype=np.float64)
+    nbx = w // 8
+    for b in range(nbx * (h // 8)):
+        v = 192 + (doc_id * 7 + 13 * b) % 64
+        by, bx = divmod(b, nbx)
+        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+    return encode_jpeg(
+        px, quant=[1] * 64,
+        dc_bits=_FLAT_DC_BITS, dc_vals=_FLAT_DC_VALS,
+        ac_bits=_FLAT_AC_BITS, ac_vals=_FLAT_AC_VALS,
+        restart_interval=1)
+
+
+# ---------------------------------------------------------------------------
+# REAL MP4 metadata (r5): ISO BMFF box writer + walk — ftyp/moov(mvhd,
+# trak(tkhd, mdia(mdhd, stbl(stsz, stts))))/mdat. Metadata-only by design
+# (no video codec): duration from mvhd, dims from tkhd 16.16 fixed point,
+# frame count from stsz, sample-byte sum from mdat.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def build_mp4(doc_id: int) -> bytes:
+    """Deterministic minimal ISO BMFF: timescale 1000, duration
+    500 + id%250 ms, track dims 16*(1+id%4) × 16*(1+id%3), stsz count
+    10 + id%20, mdat payload 64 + id%100 bytes of (id+j)%256."""
+    import struct
+
+    dur_ms = 500 + doc_id % 250
+    w, h = 16 * (1 + doc_id % 4), 16 * (1 + doc_id % 3)
+    n_samples = 10 + doc_id % 20
+    n_mdat = 64 + doc_id % 100
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = _mp4_box(b"mvhd", struct.pack(
+        ">B3xIIII", 0, 0, 0, 1000, dur_ms) + struct.pack(">IHH8x", 0x10000,
+        0x0100, 0) + matrix + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _mp4_box(b"tkhd", struct.pack(
+        ">B3BIIIII8xHHHH", 0, 0, 0, 7, 0, 0, 1, 0, dur_ms, 0, 0, 0, 0)
+        + matrix + struct.pack(">II", w << 16, h << 16))
+    mdhd = _mp4_box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, 1000,
+                                         dur_ms, 0x55C4, 0))
+    hdlr = _mp4_box(b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide")
+                    + b"v\x00")
+    stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 0))
+    stts = _mp4_box(b"stts", struct.pack(">B3xIII", 0, 1, n_samples,
+                                         dur_ms * 1000 // max(n_samples, 1)))
+    stsz = _mp4_box(b"stsz", struct.pack(">B3xII", 0, 1024, n_samples))
+    stco = _mp4_box(b"stco", struct.pack(">B3xI", 0, 0))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsz + stco)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isomiso2mp41")
+    mdat = _mp4_box(b"mdat", bytes((doc_id + j) % 256 for j in range(n_mdat)))
+    return ftyp + moov + mdat
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """ISO BMFF box walk: recurse through container boxes, read mvhd
+    (v0/v1) timescale+duration, tkhd (v0/v1) 16.16 dims, stsz sample count,
+    mdat byte sum."""
+    import struct
+
+    out = {"timescale": None, "duration": None, "width": 0, "height": 0,
+           "n_samples": 0, "mdat_sum": 0}
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            btype = payload[pos + 4:pos + 8]
+            body_lo = pos + 8
+            if size == 1:   # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body_lo = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError("malformed MP4 box")
+            if btype in _MP4_CONTAINERS:
+                walk(body_lo, pos + size)
+            elif btype == b"mvhd":
+                ver = payload[body_lo]
+                if ver == 1:
+                    out["timescale"], out["duration"] = struct.unpack_from(
+                        ">IQ", payload, body_lo + 20)
+                else:
+                    _, _, out["timescale"], out["duration"] = \
+                        struct.unpack_from(">IIII", payload, body_lo + 4)
+            elif btype == b"tkhd":
+                ver = payload[body_lo]
+                off = body_lo + (88 if ver == 1 else 76)
+                wfx, hfx = struct.unpack_from(">II", payload, off)
+                out["width"], out["height"] = wfx >> 16, hfx >> 16
+            elif btype == b"stsz":
+                _, _, n = struct.unpack_from(">III", payload, body_lo)
+                out["n_samples"] = n
+            elif btype == b"mdat":
+                out["mdat_sum"] += sum(payload[body_lo:pos + size])
+            pos += size
+
+    walk(0, len(payload))
+    if out["timescale"] is None:
+        raise ValueError("MP4 missing mvhd")
+    return out
+
+
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
     import zlib as _z
@@ -384,11 +866,13 @@ def parse_png(payload: bytes) -> dict:
 
 
 def real_decode(payload: bytes) -> dict | None:
-    """Parse a WAV (stdlib ``wave``), BMP (struct) or PNG (from-scratch
-    zlib+filter parser) payload into typed metadata; returns None for
-    formats that still need the stub seam (JPEG/MP4). ``pixel_sum`` is the
-    sum of every decoded sample byte — for PNG that means all scanlines of
-    all filter types reconstructed exactly."""
+    """Parse a WAV (stdlib ``wave``), BMP (struct), PNG (from-scratch
+    zlib+filter parser), JPEG (from-scratch baseline Huffman+IDCT decoder)
+    or MP4 (ISO BMFF box walk) payload into typed metadata; returns None
+    for unrecognized formats (the stub seam). ``pixel_sum`` is the sum of
+    every decoded sample byte — for PNG that means all scanlines of all
+    filter types reconstructed exactly, for JPEG the full entropy-decode →
+    dequantize → IDCT pipeline, for MP4 the mdat sample bytes."""
     import io
     import struct
     import wave
@@ -425,6 +909,24 @@ def real_decode(payload: bytes) -> dict | None:
             "feat0_e6": int(round(px[0] / 255.0 * 1e6)),
             "pixel_sum": sum(px),
         }
+    if payload[:2] == b"\xff\xd8":
+        r = parse_jpeg(payload)
+        px = r["pixels"]
+        return {
+            "kind": "jpeg", "width": r["width"], "height": r["height"],
+            "n_frames": 1, "sample_rate": 0, "duration_us": 0,
+            "feat0_e6": int(round(px[0] / 255.0 * 1e6)),
+            "pixel_sum": sum(px),
+        }
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        r = parse_mp4(payload)
+        return {
+            "kind": "mp4", "width": r["width"], "height": r["height"],
+            "n_frames": r["n_samples"], "sample_rate": 0,
+            "duration_us": r["duration"] * 1_000_000 // r["timescale"],
+            "feat0_e6": 0,
+            "pixel_sum": r["mdat_sum"],
+        }
     return None
 
 
@@ -441,14 +943,15 @@ REAL_DECODE_SCHEMA = T.StructType([
     T.StructField("pixel_sum", T.LongType()),
 ])
 
-_BUILDERS = (build_wav, build_bmp, build_png)
+_BUILDERS = (build_wav, build_bmp, build_png, build_jpeg, build_mp4)
 
 
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Writer→parser roundtrip over a synthesized media corpus: doc_id % 3
-    picks WAV / BMP / PNG; one Arrow stage builds the real bytes and decodes
-    them back; the oracle recomputes every field — including the full
-    decoded-byte sum — from the construction arithmetic alone."""
+    """Writer→parser roundtrip over a synthesized media corpus: doc_id % 5
+    picks WAV / BMP / PNG / JPEG / MP4; one Arrow stage builds the real
+    bytes and decodes them back; the oracle recomputes every field —
+    including the full decoded-byte sum — from the construction arithmetic
+    alone."""
     import pandas as pd
 
     d = tbl(spark, sf_dir, "documents").select("doc_id")
@@ -460,7 +963,7 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                blob = _BUILDERS[i % 3](i)
+                blob = _BUILDERS[i % 5](i)
                 meta = real_decode(blob)
                 rows.append({"doc_id": i, "n_bytes": len(blob), **meta})
             yield pd.DataFrame(rows)
@@ -468,21 +971,33 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(run, REAL_DECODE_SCHEMA)
 
 
-# construction arithmetic per kind (doc_id % 3):
-#   wav: n = 200+id%57 samples of (id*31 + 7i)%256 at 8000+(id%3)*4000 Hz
-#        (id%3==0 here, so the rate term is always 8000); blob = 44 + n
+# construction arithmetic per kind (doc_id % 5):
+#   wav: n = 200+id%57 samples of (id*31 + 7i)%256 at 8000+(id%3)*4000 Hz;
+#        blob = 44 + n
 #   bmp: (4+id%13) x (3+id%7), row-aligned; pixel byte j = (id+j)%256;
 #        blob = 54 + rowsize*h
 #   png: (4+id%11) x (3+id%6); raw byte j = (id*3+j)%256; stored-block zlib
 #        -> blob = 68 + h*(1+3w)  (8 sig + 25 IHDR + 12+11+D IDAT + 12 IEND)
+#   jpeg: 8*(1+id%3) x 8*(1+id%2) flat blocks, block b = 192+(id*7+13b)%64;
+#        no-0xFF tables + DRI=1 -> blob = 173 header + 4 bytes/MCU (2
+#        entropy + 2 RST, EOI standing in for the last RST)
+#   mp4: dims 16*(1+id%4) x 16*(1+id%3), stsz 10+id%20 samples, mvhd
+#        500+id%250 ms @ timescale 1000; mdat byte j = (id+j)%256;
+#        blob = 418 fixed boxes + (64+id%100) mdat payload
 SQL_MULTIMODAL_DECODE_REAL = """
 WITH base AS (
   SELECT doc_id,
-         doc_id % 3 AS k,
+         doc_id % 5 AS k,
          200 + doc_id % 57 AS wav_n,
+         8000 + (doc_id % 3) * 4000 AS wav_rate,
          4 + doc_id % 13 AS bmp_w, 3 + doc_id % 7 AS bmp_h,
          ((3 * (4 + doc_id % 13) + 3) // 4) * 4 AS bmp_row,
-         4 + doc_id % 11 AS png_w, 3 + doc_id % 6 AS png_h
+         4 + doc_id % 11 AS png_w, 3 + doc_id % 6 AS png_h,
+         8 * (1 + doc_id % 3) AS jpg_w, 8 * (1 + doc_id % 2) AS jpg_h,
+         (1 + doc_id % 3) * (1 + doc_id % 2) AS jpg_nb,
+         16 * (1 + doc_id % 4) AS mp4_w, 16 * (1 + doc_id % 3) AS mp4_h,
+         10 + doc_id % 20 AS mp4_n, 500 + doc_id % 250 AS mp4_ms,
+         64 + doc_id % 100 AS mp4_mdat
   FROM documents
 ),
 sums AS (
@@ -492,24 +1007,39 @@ sums AS (
                         FROM unnest(range(wav_n)) s(i))
            WHEN 1 THEN (SELECT sum((doc_id + s.i) % 256)
                         FROM unnest(range(bmp_row * bmp_h)) s(i))
-           ELSE (SELECT sum((doc_id * 3 + s.i) % 256)
-                 FROM unnest(range(3 * png_w * png_h)) s(i))
+           WHEN 2 THEN (SELECT sum((doc_id * 3 + s.i) % 256)
+                        FROM unnest(range(3 * png_w * png_h)) s(i))
+           WHEN 3 THEN 64 * (SELECT sum(192 + (doc_id * 7 + 13 * s.b) % 64)
+                             FROM unnest(range(jpg_nb)) s(b))
+           ELSE (SELECT sum((doc_id + s.i) % 256)
+                 FROM unnest(range(mp4_mdat)) s(i))
          END AS pixel_sum
   FROM base
 )
 SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
-       CASE b.k WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'png' END AS kind,
+       CASE b.k WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' WHEN 2 THEN 'png'
+                WHEN 3 THEN 'jpeg' ELSE 'mp4' END AS kind,
        CAST(CASE b.k WHEN 0 THEN 44 + wav_n
                      WHEN 1 THEN 54 + bmp_row * bmp_h
-                     ELSE 68 + png_h * (1 + 3 * png_w)
+                     WHEN 2 THEN 68 + png_h * (1 + 3 * png_w)
+                     WHEN 3 THEN 173 + 4 * jpg_nb
+                     ELSE 418 + mp4_mdat
             END AS BIGINT) AS n_bytes,
-       CAST(CASE b.k WHEN 0 THEN 0 WHEN 1 THEN bmp_w ELSE png_w END AS INT) AS width,
-       CAST(CASE b.k WHEN 0 THEN 0 WHEN 1 THEN bmp_h ELSE png_h END AS INT) AS height,
-       CAST(CASE b.k WHEN 0 THEN wav_n ELSE 1 END AS INT) AS n_frames,
-       CAST(CASE b.k WHEN 0 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
-       CAST(CASE b.k WHEN 0 THEN (wav_n * 1000000) // 8000 ELSE 0 END AS BIGINT) AS duration_us,
-       CAST(ROUND(((b.doc_id * CASE b.k WHEN 0 THEN 31 WHEN 1 THEN 1 ELSE 3 END) % 256)
-                  / 255.0 * 1000000) AS BIGINT) AS feat0_e6,
+       CAST(CASE b.k WHEN 0 THEN 0 WHEN 1 THEN bmp_w WHEN 2 THEN png_w
+                     WHEN 3 THEN jpg_w ELSE mp4_w END AS INT) AS width,
+       CAST(CASE b.k WHEN 0 THEN 0 WHEN 1 THEN bmp_h WHEN 2 THEN png_h
+                     WHEN 3 THEN jpg_h ELSE mp4_h END AS INT) AS height,
+       CAST(CASE b.k WHEN 0 THEN wav_n WHEN 4 THEN mp4_n ELSE 1 END AS INT) AS n_frames,
+       CAST(CASE b.k WHEN 0 THEN wav_rate ELSE 0 END AS INT) AS sample_rate,
+       CAST(CASE b.k WHEN 0 THEN (wav_n * 1000000) // wav_rate
+                     WHEN 4 THEN mp4_ms * 1000 ELSE 0 END AS BIGINT) AS duration_us,
+       CAST(CASE b.k
+              WHEN 3 THEN ROUND((192 + (b.doc_id * 7) % 64) / 255.0 * 1000000)
+              WHEN 4 THEN 0
+              ELSE ROUND(((b.doc_id * CASE b.k WHEN 0 THEN 31 WHEN 1 THEN 1
+                                               ELSE 3 END) % 256)
+                         / 255.0 * 1000000)
+            END AS BIGINT) AS feat0_e6,
        CAST(s.pixel_sum AS BIGINT) AS pixel_sum
 FROM base b JOIN sums s ON b.doc_id = s.doc_id
 """
