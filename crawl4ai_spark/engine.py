@@ -112,6 +112,15 @@ class CrawlConfig:
     relevance_threshold: float = 1.0
     seo_threshold: float | None = None       # ref SEOFilter default is 0.65
     seo_keywords: list | None = None
+    # S12 write side: sink="warc" makes run() export the crawl's result set
+    # as WARC/1.0 segments under sink_dir once the loop completes (one
+    # segment per host bucket, html/warc.py writer; pages_from_warc reads
+    # them back byte-identically). sink_date pins WARC-Date so segments are
+    # deterministic.
+    sink: str | None = None
+    sink_dir: str | None = None
+    sink_buckets: int = 8
+    sink_date: str = "2026-01-01T00:00:00Z"
     extra: dict = field(default_factory=dict)
 
 
@@ -353,6 +362,10 @@ class SparkWebEngine:
 
         if gen_stats:
             self._commit_metrics_bulk(gen_stats)
+        if cfg.sink == "warc":
+            assert cfg.sink_dir, "sink='warc' requires sink_dir"
+            self.export_warc(cfg.sink_dir, pages=pages,
+                             n_buckets=cfg.sink_buckets, date=cfg.sink_date)
         out = self.store.read(spark, "results")
         return out if out is not None else spark.createDataFrame(
             [], FR.FRONTIER_SCHEMA
@@ -821,6 +834,78 @@ class SparkWebEngine:
                           meta=meta)
 
     # convenience accessors ------------------------------------------------
+    def export_warc(self, out_dir: str, *, pages: DataFrame | None = None,
+                    n_buckets: int = 8,
+                    date: str = "2026-01-01T00:00:00Z") -> DataFrame:
+        """S12 write side: archive the crawl's visited set as WARC/1.0
+        segments (html/warc.py writer), one segment per host bucket.
+
+        Record set = result urls whose body exists in the fetched corpus
+        (inner join) — exactly the archive a re-crawl needs to reproduce
+        this run: urls the crawl 404'd stay absent (a reader re-404s them),
+        robots-blocked urls keep their body (a reader with the same robots
+        table re-blocks them), and link discovery replays byte-identically
+        because the payloads do. ``pages_from_warc`` (sources/rawpages.py)
+        is the matching read side; tests prove crawl → segments → re-crawl
+        yields the identical result set.
+
+        Scale shape: bodies stay distributed end-to-end — one shuffle on
+        the host-bucket key, then each ``applyInPandas`` group streams its
+        sorted records through ``build_warc`` and writes ONE segment file
+        from the executor (local-FS semantics here; point ``out_dir`` at a
+        shared filesystem on a cluster). The returned manifest (bucket,
+        path, n_records, n_bytes, sha) is the only thing that crosses the
+        wire."""
+        import hashlib as _hl
+        import os as _os
+
+        import pandas as _pd
+
+        from crawl4ai_spark.html.warc import build_warc
+
+        results = self.results()
+        assert results is not None, "no results to export"
+        pages = pages if pages is not None else self._pages
+        rows = (
+            results.select("url", "status_code", "host")
+            .dropDuplicates(["url"])
+            .join(pages.select("url", "html"), "url", "inner")
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("host"), F.lit(n_buckets))
+                        .cast("int"))
+        )
+        _os.makedirs(out_dir, exist_ok=True)
+        man_schema = ("bucket int, path string, n_records long, "
+                      "n_bytes long, sha256 string")
+
+        def write_segment(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            pdf = pdf.sort_values("url", kind="mergesort")
+            recs = [{"uri": u,
+                     "body": (h.encode("utf-8") if isinstance(h, str)
+                              else bytes(h)),
+                     "status": int(s), "content_type": "text/html"}
+                    for u, s, h in zip(pdf["url"], pdf["status_code"],
+                                       pdf["html"])]
+            bucket = int(pdf["bucket"].iloc[0])
+            blob = build_warc(recs, date=date)
+            path = _os.path.join(out_dir, f"segment-{bucket:04d}.warc")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            _os.replace(tmp, path)   # atomic publish, crash-safe
+            return _pd.DataFrame([{
+                "bucket": bucket, "path": path, "n_records": len(recs),
+                "n_bytes": len(blob),
+                "sha256": _hl.sha256(blob).hexdigest(),
+            }])
+
+        manifest = rows.groupBy("bucket").applyInPandas(
+            write_segment, man_schema)
+        # materialize: applyInPandas is lazy — the write IS the effect
+        manifest = manifest.cache()
+        manifest.count()
+        return manifest
+
     def results(self) -> DataFrame | None:
         return self.store.read(self.spark, "results")
 

@@ -43,6 +43,7 @@ _MODULES = [
     "headq",
     "crawlq",
     "warcq",
+    "adaptq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
