@@ -121,6 +121,15 @@ class CrawlConfig:
     sink_dir: str | None = None
     sink_buckets: int = 8
     sink_date: str = "2026-01-01T00:00:00Z"
+    # CrawlResult.ssl_certificate analog (ref async_configs.py:1298
+    # `fetch_ssl_certificate`, ssl_certificate.py:62-134 field set,
+    # models.py:149): when True and a `certs` table is passed to run(),
+    # the RETURNED results carry an `ssl` struct broadcast-joined on host
+    # (null where the handshake "failed" = no certs row). The stored
+    # results table is unchanged — the cert is response enrichment, like
+    # the reference attaching it to CrawlResult, so resume/schema are
+    # unaffected.
+    fetch_ssl_certificate: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -149,6 +158,7 @@ class SparkWebEngine:
     # ------------------------------------------------------------------ run
     def run(self, pages: DataFrame, seeds: DataFrame, *,
             robots: DataFrame | None = None,
+            certs: DataFrame | None = None,
             config: CrawlConfig | None = None,
             resume: bool = False,
             max_generations: int | None = None) -> DataFrame:
@@ -367,9 +377,11 @@ class SparkWebEngine:
             self.export_warc(cfg.sink_dir, pages=pages,
                              n_buckets=cfg.sink_buckets, date=cfg.sink_date)
         out = self.store.read(spark, "results")
-        return out if out is not None else spark.createDataFrame(
-            [], FR.FRONTIER_SCHEMA
-        )
+        if out is None:
+            return spark.createDataFrame([], FR.FRONTIER_SCHEMA)
+        if cfg.fetch_ssl_certificate and certs is not None:
+            out = self.attach_ssl(out, certs)
+        return out
 
     # ----------------------------------------------------------- internals
     def _schedule(self, frontier: DataFrame, robots: DataFrame | None,
@@ -790,6 +802,7 @@ class SparkWebEngine:
 
     def run_many(self, pages: DataFrame, urls: list[str] | DataFrame, *,
                  robots: DataFrame | None = None,
+                 certs: DataFrame | None = None,
                  config: CrawlConfig | None = None) -> DataFrame:
         """``arun_many`` analog (ref async_webcrawler.py:665): crawl+process
         an explicit url list as ONE batch — no link discovery, no frontier
@@ -803,14 +816,16 @@ class SparkWebEngine:
         cfg = config or CrawlConfig()
         from dataclasses import replace
         cfg = replace(cfg, max_depth=0, max_pages=max(cfg.max_pages, 1 << 20))
-        return self.run(pages, seeds, robots=robots, config=cfg)
+        return self.run(pages, seeds, robots=robots, certs=certs, config=cfg)
 
     def run_one(self, pages: DataFrame, url: str, *,
                 robots: DataFrame | None = None,
+                certs: DataFrame | None = None,
                 config: CrawlConfig | None = None) -> DataFrame:
         """``arun`` analog (ref async_webcrawler.py:204): one url through
         the full pipeline; returns its (single-row) results DataFrame."""
-        out = self.run_many(pages, [url], robots=robots, config=config)
+        out = self.run_many(pages, [url], robots=robots, certs=certs,
+                            config=config)
         return out.filter(F.col("url") == url)
 
     def enqueue_seeds(self, seeds: DataFrame) -> None:
@@ -834,6 +849,32 @@ class SparkWebEngine:
                           meta=meta)
 
     # convenience accessors ------------------------------------------------
+    @staticmethod
+    def attach_ssl(results: DataFrame, certs: DataFrame) -> DataFrame:
+        """Enrich results with the per-host certificate as ONE nested
+        ``ssl`` struct (the reference's CrawlResult.ssl_certificate dict,
+        ssl_certificate.py:91-134: subject/issuer components, version,
+        serial, validity window, fingerprint, signature algorithm, SAN,
+        base64 raw). Certs is a per-host dim table → broadcast hash join;
+        hosts without a row (failed handshake) get ssl = NULL, matching
+        ``from_url`` returning None."""
+        ssl_struct = F.struct(
+            F.struct(F.col("subject_cn").alias("CN"),
+                     F.col("subject_o").alias("O")).alias("subject"),
+            F.struct(F.col("issuer_cn").alias("CN"),
+                     F.col("issuer_o").alias("O")).alias("issuer"),
+            F.col("version"),
+            F.col("serial_number"),
+            F.col("not_before"),
+            F.col("not_after"),
+            F.col("fingerprint"),
+            F.col("signature_algorithm"),
+            F.col("san"),
+            F.col("raw_cert"),
+        ).alias("ssl")
+        cert_rows = certs.select("host", ssl_struct)
+        return results.join(F.broadcast(cert_rows), "host", "left")
+
     def export_warc(self, out_dir: str, *, pages: DataFrame | None = None,
                     n_buckets: int = 8,
                     date: str = "2026-01-01T00:00:00Z") -> DataFrame:

@@ -241,3 +241,64 @@ def with_host_bucket(pages: DataFrame) -> DataFrame:
 def write_pages_partitioned(pages: DataFrame, path: str) -> None:
     """Persist the pages table hash-partitioned by host bucket."""
     with_host_bucket(pages).write.mode("overwrite").partitionBy("hb").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# SSL certificate surface (S-extension, r5): the reference's
+# `fetch_ssl_certificate` config attaches an SSLCertificate to each
+# CrawlResult (ref ssl_certificate.py:62-134 builds the field dict from the
+# live TLS handshake; models.py:149 `CrawlResult.ssl_certificate`). Fetch is
+# simulated in this repo, so the handshake degrades to a deterministic
+# per-host `certs` table with the SAME field set; the engine broadcast-joins
+# it onto results (engine.attach_ssl).
+# ---------------------------------------------------------------------------
+
+_CAS = [
+    ("Let's Encrypt", "R11", "sha256WithRSAEncryption"),
+    ("DigiCert Inc", "DigiCert TLS RSA SHA256 2020 CA1",
+     "sha256WithRSAEncryption"),
+    ("Google Trust Services", "WR2", "ecdsa-with-SHA256"),
+    ("Sectigo Limited", "Sectigo RSA DV", "sha384WithRSAEncryption"),
+]
+
+
+def generate_certs(spark: SparkSession, n_hosts: int = 10,
+                   not_before: int = 1735689600) -> DataFrame:
+    """certs table — one row per host with the reference SSLCertificate
+    field set (subject/issuer CN+O, x509 version, serial hex, ASN.1
+    GeneralizedTime validity window, sha256 fingerprint of a deterministic
+    pseudo-DER blob, signature algorithm, SAN, base64 raw). Host
+    h ≡ 3 (mod 5) gets NO row — the reference's `from_url` returns None on
+    handshake failure, so those results keep ssl = null."""
+    import base64
+    import datetime as _dt
+
+    rows = []
+    for h in range(n_hosts):
+        if h % 5 == 3 and h > 0:
+            continue  # failed handshake → no certificate (ref from_url None)
+        host = host_name(h)
+        ca_o, ca_cn, sigalg = _CAS[h % len(_CAS)]
+        der = hashlib.sha256(f"der:{host}".encode()).digest() * 4
+        nb = _dt.datetime.fromtimestamp(not_before + h * 86400,
+                                        _dt.timezone.utc)
+        na = nb + _dt.timedelta(days=90)
+        rows.append((
+            host,
+            host,                             # subject CN
+            f"host{h} org",                   # subject O
+            ca_cn, ca_o,
+            2,                                # x509 v3 (0-indexed version 2)
+            hashlib.md5(f"serial:{host}".encode()).hexdigest(),
+            nb.strftime("%Y%m%d%H%M%SZ"),
+            na.strftime("%Y%m%d%H%M%SZ"),
+            hashlib.sha256(der).hexdigest(),
+            sigalg,
+            f"DNS:{host},DNS:host{h}.com",
+            base64.b64encode(der).decode(),
+        ))
+    return spark.createDataFrame(rows, [
+        "host", "subject_cn", "subject_o", "issuer_cn", "issuer_o",
+        "version", "serial_number", "not_before", "not_after",
+        "fingerprint", "signature_algorithm", "san", "raw_cert",
+    ])
