@@ -845,7 +845,160 @@ GROUP BY lang, reason, split
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r5; Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# how much its hashed n-gram bag looks drawn from a TARGET distribution
+# rather than the raw pool, then keep the top fraction. Features are the
+# paper's hashed unigram+bigram bag (here B=256 md5 buckets); the target
+# set is the English subcorpus (selecting for target-language-like text —
+# the paper's target is e.g. Wikipedia; any doc subset slots in).
+#
+# Exactness design (NOTES "no libm between engines"): per-bucket importance
+# log-ratio r_b = ln(cnt'_t(b)+1) − ln(cnt'_r(b)+1) where cnt' rescales
+# each side's bucket counts into a FIXED integer domain
+# (cnt * CAP div max_cnt, exact integer division both engines) and ln comes
+# from one driver-computed table inlined into both plans (the HLL ln-table
+# discipline). The rescale and the Laplace normalizer each shift every
+# gram's ratio by a per-corpus CONSTANT, so the per-gram-average ranking is
+# invariant to both — selection is deterministic top-⌈N/5⌉ by
+# (avg ratio desc, doc_id), the paper's Gumbel draw degraded to its
+# zero-temperature limit (documented seam).
+#
+# Scale shape: one gram-keyed shuffle to build the 256-row bucket table
+# (map-side combinable count), table broadcast back over a second gram
+# scan, per-doc fold keyed on doc_id. Corpus bytes shuffle ZERO times; at
+# 100 TB the moving parts are (grams → 256 partial counts) and the doc-id
+# score fold — the same shape as text_trigram_score.
+# All integer divisions have non-negative numerators by construction
+# (score is offset by n_grams × OFF before the div), so Spark `div`
+# (truncate) and DuckDB `//` (floor) agree.
+# ---------------------------------------------------------------------------
+
+DSIR_B = 256          # hashed feature buckets (paper: 10k; docs here are tiny)
+DSIR_CAP = 2048       # ln-table domain after per-side rescale
+DSIR_KEEP_DIV = 5     # keep top 1/5 of scored docs
+_DSIR_OFF = 20_000_000   # > max |per-gram ratio| = ln(2049)*1e6 ≈ 7.6e6
+
+_HEX6 = "".join(
+    f"+ CAST(instr('0123456789abcdef', substring({{h}}, {i + 1}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (5 - i)}\n" for i in range(6))
+
+
+def _dsir_ln_values() -> list[int]:
+    import math
+
+    return [round(math.log(c + 1) * 1e6) for c in range(DSIR_CAP + 1)]
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    grams = (
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.expr("size(toks) >= 2"))
+        .select("doc_id", "lang", F.expr(
+            "concat(toks, transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', toks[i-1], toks[i])))").alias("grams"))
+    )
+    el = (
+        grams.select("doc_id", "lang", F.explode("grams").alias("gram"))
+        .withColumn("b", F.expr(
+            f"(0 {_HEX6.format(h='md5(gram)')}) % {DSIR_B}"))
+    )
+    raw = el.groupBy("b").agg(F.count("*").alias("cnt_r"))
+    tgt = (el.filter(F.col("lang") == "en")
+           .groupBy("b").agg(F.count("*").alias("cnt_t")))
+    mx = (raw.join(tgt, "b", "left").fillna(0, ["cnt_t"])
+          .agg(F.greatest(F.max("cnt_t"), F.lit(1)).alias("max_t"),
+               F.greatest(F.max("cnt_r"), F.lit(1)).alias("max_r")))
+    lnt = spark.createDataFrame(
+        list(enumerate(_dsir_ln_values())), "c long, ln_e6 long")
+    table = (
+        raw.join(tgt, "b", "left").fillna(0, ["cnt_t"])
+        .crossJoin(F.broadcast(mx))
+        .withColumn("ct", F.expr(f"cnt_t * {DSIR_CAP} div max_t"))
+        .withColumn("cr", F.expr(f"cnt_r * {DSIR_CAP} div max_r"))
+        .join(F.broadcast(lnt.withColumnRenamed("ln_e6", "ln_t")),
+              F.col("ct") == F.col("c")).drop("c")
+        .join(F.broadcast(lnt.withColumnRenamed("ln_e6", "ln_r")),
+              F.col("cr") == F.col("c")).drop("c")
+        .select("b", (F.col("ln_t") - F.col("ln_r")).alias("r_e6"))
+    )
+    scored = (
+        el.join(F.broadcast(table), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").cast("long").alias("n_grams"),
+             F.sum("r_e6").alias("score_e6"))
+        .withColumn("avg_e6", F.expr(
+            f"(score_e6 + n_grams * {_DSIR_OFF}) div n_grams"
+            f" - {_DSIR_OFF}"))
+    )
+    w = Window.orderBy(F.desc("avg_e6"), F.asc("doc_id"))
+    wn = Window.partitionBy()
+    return (
+        scored
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_scored", F.count("*").over(wn))
+        .withColumn("keep", F.expr(
+            f"rk <= (n_scored + {DSIR_KEEP_DIV - 1}) div {DSIR_KEEP_DIV}"))
+        .select("doc_id", "lang", "n_grams", "score_e6", "avg_e6", "keep")
+    )
+
+
+def _sql_dsir() -> str:
+    lnvals = ", ".join(f"({c}, {v})"
+                       for c, v in enumerate(_dsir_ln_values()))
+    return f"""
+WITH lnt(c, ln_e6) AS (VALUES {lnvals}),
+toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), el AS (
+  SELECT doc_id, lang, gram,
+         (0 {_HEX6.format(h="md5(gram)")}) % {DSIR_B} AS b
+  FROM (
+    SELECT doc_id, lang, unnest(toks) AS gram FROM toks
+    WHERE len(toks) >= 2
+    UNION ALL
+    SELECT doc_id, lang, toks[CAST(i AS BIGINT) + 1] || ' ' ||
+           toks[CAST(i AS BIGINT) + 2] AS gram
+    FROM toks, unnest(range(len(toks) - 1)) p(i)
+    WHERE len(toks) >= 2
+  )
+), raw AS (
+  SELECT b, count(*) AS cnt_r FROM el GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS cnt_t FROM el WHERE lang = 'en' GROUP BY b
+), joined AS (
+  SELECT raw.b, COALESCE(tgt.cnt_t, 0) AS cnt_t, raw.cnt_r
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+), mx AS (
+  SELECT GREATEST(max(cnt_t), 1) AS max_t, GREATEST(max(cnt_r), 1) AS max_r
+  FROM joined
+), tab AS (
+  SELECT b, lt.ln_e6 - lr.ln_e6 AS r_e6
+  FROM joined, mx
+  JOIN lnt lt ON lt.c = joined.cnt_t * {DSIR_CAP} // mx.max_t
+  JOIN lnt lr ON lr.c = joined.cnt_r * {DSIR_CAP} // mx.max_r
+), scored AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(r_e6) AS BIGINT) AS score_e6,
+         (sum(r_e6) + count(*) * {_DSIR_OFF}) // count(*)
+           - {_DSIR_OFF} AS avg_e6
+  FROM el JOIN tab USING (b)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_grams, score_e6, CAST(avg_e6 AS BIGINT) AS avg_e6,
+       row_number() OVER (ORDER BY avg_e6 DESC, doc_id ASC)
+         <= (count(*) OVER () + {DSIR_KEEP_DIV - 1}) // {DSIR_KEEP_DIV}
+         AS keep
+FROM scored
+"""
+
+
 QUERIES = {
+    "dsir_resample": q_dsir_resample,
     "quality_filter": q_quality_filter,
     "split_stratified": q_split_stratified,
     "corpus_ledger": q_corpus_ledger,
@@ -860,6 +1013,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
 }
 ORACLES = {
+    "dsir_resample": _sql_dsir(),
     "quality_filter": SQL_QUALITY_FILTER,
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "chunk_sliding": SQL_CHUNK_SLIDING,

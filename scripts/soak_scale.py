@@ -116,12 +116,15 @@ def dedup_suite(spark, sf_dir: str, n_docs: int, tag: str) -> dict:
         q_dedup_minhash_bands2,
         q_dedup_minhash_bands_fast,
     )
-    from crawl4ai_spark.ops.pipelineq import q_dedup_pipeline
+    from crawl4ai_spark.ops.pipelineq import q_corpus_ledger, q_dedup_pipeline
 
     out = {"phase": f"dedup_{tag}", "n_docs": n_docs}
+    # corpus_ledger = the full composed pipeline verdict (VERDICT r04
+    # next-round #7: measure the capstone's 10x behavior like its parts)
     for name, fn in [("minhash_bands2", q_dedup_minhash_bands2),
                      ("minhash_bands_fast", q_dedup_minhash_bands_fast),
-                     ("dedup_pipeline", q_dedup_pipeline)]:
+                     ("dedup_pipeline", q_dedup_pipeline),
+                     ("corpus_ledger", q_corpus_ledger)]:
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         wall = time.time() - t0
