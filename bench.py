@@ -148,7 +148,8 @@ def crawl_e2e(spark) -> dict:
     t0 = time.time()
     engine = SparkWebEngine(spark, tempfile.mkdtemp(dir=BENCH_ROOT, prefix="e2e_"))
     res = engine.run(pages, seeds, robots=robots,
-                     config=CrawlConfig(max_depth=4, max_pages=2000, per_host_quota=16))
+                     config=CrawlConfig(max_depth=4, max_pages=2000, per_host_quota=16,
+                                        pipeline_commits=True))
     n = res.count()
     dt = time.time() - t0
     pages.unpersist()
@@ -173,7 +174,8 @@ def crawl_e2e_big(spark) -> dict:
     res = engine.run(pages, seeds,
                      config=CrawlConfig(max_depth=6, max_pages=60000,
                                         per_host_quota=31,
-                                        check_robots_txt=False, use_bloom=True))
+                                        check_robots_txt=False, use_bloom=True,
+                                        pipeline_commits=True))
     n = res.count()
     dt = time.time() - t0
     pages.unpersist()
