@@ -372,9 +372,38 @@ class EmbeddingAdaptiveCrawler:
         self.engine = SparkWebEngine(spark, store_root)
         self.variation_fn = variation_fn
 
+    def _rank_pending(self, pages: DataFrame, kb: DataFrame,
+                      gaps: Sequence[float], gap_points: np.ndarray,
+                      cfg: EmbeddingAdaptiveConfig, top_m: int = 256
+                      ) -> DataFrame | None:
+        """Gap-driven re-rank of the pending frontier (reference
+        EmbeddingStrategy.rank_links :1067-1096): the top-M queued urls by
+        stored score get re-scored by how well their text fills the current
+        coverage gaps; the (url, score) table feeds the engine's
+        score_overrides hook. Bounded head re-rank: M caps the driver-side
+        embed (the reference embeds every pending link driver-side; at
+        engine scale only the schedulable head matters). Link text = the
+        corpus text column — the same head-peek convention as F10/F20."""
+        fr = self.engine.frontier()
+        if fr is None:
+            return None
+        cand = (fr.filter(F.col("status") == "QUEUED")
+                .select("url", "score")
+                .orderBy(F.desc("score"), F.asc("url")).limit(top_m))
+        rows = (cand.join(pages.select("url", "text"), "url", "inner")
+                .select("url", "text").collect())
+        if not rows:
+            return None
+        texts = [str(r["text"] or "") for r in rows]
+        ranked = rank_links_embedding(kb, texts, gaps, gap_points, cfg)
+        return self.spark.createDataFrame(
+            [(rows[i]["url"], float(s)) for i, s in ranked],
+            "url string, score double")
+
     def digest(self, pages: DataFrame, seeds: DataFrame, query: str, *,
                config: EmbeddingAdaptiveConfig | None = None,
-               robots: DataFrame | None = None) -> dict:
+               robots: DataFrame | None = None,
+               rank_pending: bool = True) -> dict:
         from crawl4ai_spark.engine import CrawlConfig
 
         cfg = config or EmbeddingAdaptiveConfig()
@@ -398,9 +427,11 @@ class EmbeddingAdaptiveCrawler:
         stop_reason = "max_batches"
         n_admitted = 0
         batches: list[dict] = []
+        overrides: DataFrame | None = None
         for batch_no in range(cfg.max_batches):
             self.engine.run(pages, seeds, robots=robots, config=run_cfg,
-                            resume=batch_no > 0, max_generations=1)
+                            resume=batch_no > 0, max_generations=1,
+                            score_overrides=overrides)
             results = self.engine.results()
             if results is None:
                 break
@@ -436,6 +467,11 @@ class EmbeddingAdaptiveCrawler:
             history.append(conf)
             batches.append({"batch": batch_no, "confidence": round(conf, 4),
                             "kb_size": n_admitted, "crawled": n_crawled})
+            if rank_pending and kb is not None:
+                # re-rank the pending frontier head by current-gap fill for
+                # the NEXT batch (ref rank_links per crawl cycle)
+                overrides = self._rank_pending(
+                    pages, kb, coverage_gaps(best, len(train_q)), q_mat, cfg)
 
             def _validate() -> float:
                 return validation_confidence(kb, val_mat)

@@ -173,10 +173,18 @@ class SparkWebEngine:
             certs: DataFrame | None = None,
             config: CrawlConfig | None = None,
             resume: bool = False,
-            max_generations: int | None = None) -> DataFrame:
+            max_generations: int | None = None,
+            score_overrides: DataFrame | None = None) -> DataFrame:
+        """``score_overrides`` ((url, score) rows, best_first only): queued
+        frontier rows matching a url take the overridden score for THIS
+        run's scheduling — the hook the adaptive embedding strategy uses to
+        re-rank pending links by semantic gap-fill (reference
+        EmbeddingStrategy.rank_links, adaptive_crawler.py:1067-1096).
+        Broadcast-joined; rows without an override keep their stored score."""
         cfg = config or CrawlConfig()
         spark = self.spark
         self._pages = pages  # used by F20 link-preview enrichment
+        self._score_overrides = score_overrides
 
         # Frontier = ONE append-only delta log (the 10^10-URL design): every
         # row is an EVENT — status QUEUED when a url enters the queue,
@@ -575,6 +583,17 @@ class SparkWebEngine:
                 fairness_timeout_gens=int(
                     cfg.dispatcher_opts.get("fairness_timeout_gens", 3)),
             )
+        ov = getattr(self, "_score_overrides", None)
+        if ov is not None and cfg.policy == "best_first":
+            # adaptive re-rank hook: a bounded (url, score) table broadcast
+            # over the queued set; unmatched rows keep their stored score
+            cand = (cand.join(
+                F.broadcast(ov.select("url",
+                                      F.col("score").alias("__ov"))),
+                "url", "left")
+                .withColumn("score",
+                            F.coalesce(F.col("__ov"), F.col("score")))
+                .drop("__ov"))
         batch = POL.schedule_batch(
             cand, per_host_quota=cfg.per_host_quota,
             global_limit=global_limit, n_salts=cfg.n_salts,

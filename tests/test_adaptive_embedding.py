@@ -289,3 +289,47 @@ def test_digest_embedding_e2e(spark, tmp_store):
     kbs = [b["kb_size"] for b in out["batches"]]
     assert kbs == sorted(kbs)
     pages.unpersist()
+
+
+def test_engine_score_overrides_reorder_best_first(spark, tmp_path):
+    """The score_overrides hook: an override must beat stored scores in
+    best_first scheduling (the rank_links wiring point)."""
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+
+    pages = generate_pages(spark, 2, 4)
+    seeds = spark.createDataFrame(
+        [("https://www.host0.com/p0", 0.9),
+         ("https://www.host1.com/p0", 0.1)],
+        "url string, priority double")
+    cfg = CrawlConfig(policy="best_first", batch_size=1, max_pages=1)
+    # without overrides: the high-priority seed is crawled first
+    r0 = SparkWebEngine(spark, str(tmp_path / "a")).run(
+        pages, seeds, config=cfg, max_generations=1)
+    assert {r.url for r in r0.collect()} == {"https://www.host0.com/p0"}
+    # with an override boosting the low-priority seed, it wins instead
+    ov = spark.createDataFrame([("https://www.host1.com/p0", 5.0)],
+                               "url string, score double")
+    r1 = SparkWebEngine(spark, str(tmp_path / "b")).run(
+        pages, seeds, config=cfg, max_generations=1, score_overrides=ov)
+    assert {r.url for r in r1.collect()} == {"https://www.host1.com/p0"}
+
+
+def test_digest_with_gap_ranking(spark, tmp_path, tmp_store):
+    """Digest with rank_pending exercises the rank_links → score_overrides
+    path (kb non-empty after batch 1) and stays well-formed."""
+    pages = generate_pages(spark, 2, 7).cache()
+    pages.count()
+    crawler = EmbeddingAdaptiveCrawler(spark, str(tmp_path / "store"))
+    out = crawler.digest(
+        pages, generate_seeds(spark, 2), "spark crawl frontier",
+        config=EmbeddingAdaptiveConfig(max_batches=3, batch_size=6,
+                                       max_depth=3, embed_dim=16,
+                                       max_pages=60),
+        rank_pending=True)
+    assert out["n_kb_docs"] >= 1
+    assert 0.0 <= out["confidence"] <= 1.0
+    # ranked and unranked digests may crawl different orders but both
+    # stay within budget and produce monotone kb growth
+    kbs = [b["kb_size"] for b in out["batches"]]
+    assert kbs == sorted(kbs)
+    pages.unpersist()
