@@ -44,6 +44,7 @@ _MODULES = [
     "crawlq",
     "warcq",
     "adaptq",
+    "bpeq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
