@@ -891,7 +891,7 @@ def _dsir_ln_values() -> list[int]:
     return [round(math.log(c + 1) * 1e6) for c in range(DSIR_CAP + 1)]
 
 
-def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
     grams = (
@@ -901,11 +901,19 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat(toks, transform(sequence(1, size(toks) - 1),"
             " i -> concat_ws(' ', toks[i-1], toks[i])))").alias("grams"))
     )
-    el = (
+    return (
         grams.select("doc_id", "lang", F.explode("grams").alias("gram"))
         .withColumn("b", F.expr(
             f"(0 {_HEX6.format(h='md5(gram)')}) % {DSIR_B}"))
     )
+
+
+def dsir_ratio_table(spark: SparkSession, sf_dir: str,
+                     el: DataFrame | None = None) -> DataFrame:
+    """The 256-row per-bucket importance log-ratio table — the calibration
+    artifact the streaming gate (streaming/stream.py stream_dsir_gate)
+    broadcasts."""
+    el = el if el is not None else _dsir_elements(spark, sf_dir)
     raw = el.groupBy("b").agg(F.count("*").alias("cnt_r"))
     tgt = (el.filter(F.col("lang") == "en")
            .groupBy("b").agg(F.count("*").alias("cnt_t")))
@@ -914,7 +922,7 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.greatest(F.max("cnt_r"), F.lit(1)).alias("max_r")))
     lnt = spark.createDataFrame(
         list(enumerate(_dsir_ln_values())), "c long, ln_e6 long")
-    table = (
+    return (
         raw.join(tgt, "b", "left").fillna(0, ["cnt_t"])
         .crossJoin(F.broadcast(mx))
         .withColumn("ct", F.expr(f"cnt_t * {DSIR_CAP} div max_t"))
@@ -925,6 +933,11 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("cr") == F.col("c")).drop("c")
         .select("b", (F.col("ln_t") - F.col("ln_r")).alias("r_e6"))
     )
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = _dsir_elements(spark, sf_dir)
+    table = dsir_ratio_table(spark, sf_dir, el)
     scored = (
         el.join(F.broadcast(table), "b")
         .groupBy("doc_id", "lang")

@@ -354,3 +354,51 @@ def stream_pages_from_warc(spark: SparkSession, segments_dir: str) -> DataFrame:
         "url", "warc_ts", "html",
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"))
+
+
+def stream_dsir_gate(spark: SparkSession, docs_dir: str,
+                     r_e6_by_bucket: dict[int, int],
+                     thr_avg_e6: int) -> DataFrame:
+    """Streaming DSIR admission (batch-calibrate / stream-apply, like
+    ``stream_corpus_gate``): the 256-bucket importance log-ratio table is
+    computed BATCH-side (``ops/bpeq``-style one-shuffle aggregate in
+    ``ops/pipelineq.q_dsir_resample``) and inlined into the stream as a
+    literal array; each arriving document's hashed-gram average ratio is
+    then a stateless in-row fold — identical md5 bucketing and integer
+    arithmetic, so a streamed doc's avg_e6 equals the batch query's
+    byte-for-byte. Admission uses the calibrated THRESHOLD (the batch
+    kept-set's boundary): rank-based top-K is not streamable, so docs
+    exactly at the boundary may differ from the batch top-K's doc_id
+    tie-break — the standard batch-calibrate granularity trade, documented.
+    Grams hashing to buckets unseen in the calibration corpus contribute a
+    neutral 0 ratio."""
+    from crawl4ai_spark.ops.pipelineq import DSIR_B, _DSIR_OFF, _HEX6
+
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .parquet(docs_dir)
+    )
+    arr = ", ".join(str(int(r_e6_by_bucket.get(b, 0)))
+                    for b in range(DSIR_B))
+    bucket = "(0 " + _HEX6.format(h="md5(g)") + f") % {DSIR_B}"
+    score = (f"aggregate(grams, 0L, (acc, g) -> acc + "
+             f"coalesce(element_at(array({arr}), "
+             f"cast({bucket} as int) + 1), 0L))")
+    return (
+        docs.withColumn("toks", F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .filter(F.expr("size(toks) >= 2"))
+        .withColumn("grams", F.expr(
+            "concat(toks, transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', toks[i-1], toks[i])))"))
+        .select(
+            "doc_id", "lang",
+            F.expr("size(grams)").cast("long").alias("n_grams"),
+            F.expr(score).cast("long").alias("score_e6"))
+        .withColumn("avg_e6", F.expr(
+            f"(score_e6 + n_grams * {_DSIR_OFF}) div n_grams"
+            f" - {_DSIR_OFF}"))
+        .withColumn("accept", F.col("avg_e6") >= F.lit(int(thr_avg_e6)))
+    )

@@ -242,3 +242,35 @@ def test_stream_corpus_gate_matches_batch(spark, tmp_path_factory):
     kept_stream = {r.doc_id for r in rows if r.accept}
     assert kept_stream == kept_batch
     assert len(rows) > len(kept_stream)  # some docs rejected
+
+
+def test_stream_dsir_gate_matches_batch(spark, tmp_path_factory):
+    """Streaming DSIR admission with a batch-calibrated ratio table +
+    threshold: streamed avg_e6 must equal the batch query's byte-for-byte,
+    and the accept set must equal the batch threshold-keep set."""
+    import shutil
+
+    from crawl4ai_spark.ops.pipelineq import dsir_ratio_table, q_dsir_resample
+    from crawl4ai_spark.streaming.stream import stream_dsir_gate
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("dsir"))
+    shutil.copy(f"{sf}/documents.parquet", f"{d}/documents.parquet")
+
+    batch = q_dsir_resample(spark, sf).collect()
+    table = {int(r.b): int(r.r_e6)
+             for r in dsir_ratio_table(spark, sf).collect()}
+    thr = min(r.avg_e6 for r in batch if r.keep)
+
+    out = stream_dsir_gate(spark, d, table, thr)
+    run_stream_to_memory(out, "stream_dsir_t")
+    rows = spark.sql("SELECT * FROM stream_dsir_t").collect()
+    stream_avg = {r.doc_id: r.avg_e6 for r in rows}
+    batch_avg = {r.doc_id: r.avg_e6 for r in batch}
+    assert stream_avg == batch_avg          # identical integer scores
+    kept_stream = {r.doc_id for r in rows if r.accept}
+    kept_thr = {r.doc_id for r in batch if r.avg_e6 >= thr}
+    assert kept_stream == kept_thr          # threshold semantics exact
+    # top-K and threshold agree except possibly at the tie boundary
+    kept_topk = {r.doc_id for r in batch if r.keep}
+    assert kept_topk <= kept_stream
