@@ -691,7 +691,8 @@ def parse_mp4(payload: bytes) -> dict:
     import struct
 
     out = {"timescale": None, "duration": None, "width": 0, "height": 0,
-           "n_samples": 0, "mdat_sum": 0}
+           "n_samples": 0, "mdat_sum": 0, "mdhd_timescale": None,
+           "stts": []}
 
     def walk(lo: int, hi: int) -> None:
         pos = lo
@@ -721,6 +722,19 @@ def parse_mp4(payload: bytes) -> dict:
                 off = body_lo + (88 if ver == 1 else 76)
                 wfx, hfx = struct.unpack_from(">II", payload, off)
                 out["width"], out["height"] = wfx >> 16, hfx >> 16
+            elif btype == b"mdhd":
+                ver = payload[body_lo]
+                if ver == 1:
+                    (out["mdhd_timescale"],) = struct.unpack_from(
+                        ">I", payload, body_lo + 20)
+                else:
+                    (out["mdhd_timescale"],) = struct.unpack_from(
+                        ">I", payload, body_lo + 12)
+            elif btype == b"stts":
+                _, n_entries = struct.unpack_from(">II", payload, body_lo)
+                out["stts"] = [struct.unpack_from(
+                    ">II", payload, body_lo + 8 + 8 * k)
+                    for k in range(n_entries)]
             elif btype == b"stsz":
                 _, _, n = struct.unpack_from(">III", payload, body_lo)
                 out["n_samples"] = n
@@ -1045,14 +1059,79 @@ FROM base b JOIN sums s ON b.doc_id = s.doc_id
 """
 
 
+def mp4_frame_times(payload: bytes) -> list[int]:
+    """Per-sample presentation times in µs from the stts delta table and
+    the mdhd timescale — the real decode-timestamp surface frame sampling
+    needs (integer arithmetic only)."""
+    m = parse_mp4(payload)
+    ts = m["mdhd_timescale"] or m["timescale"]
+    times, t = [], 0
+    for count, delta in m["stts"]:
+        for _ in range(count):
+            times.append(t * 1_000_000 // ts)
+            t += delta
+    return times
+
+
+def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 frame fan-out (the UDTF shape of ``sample_frames``, now
+    over REAL container metadata): each mp4 doc (doc_id % 5 == 4) expands
+    to one row per stts sample with its integer-µs presentation time; the
+    oracle recomputes every timestamp from construction arithmetic
+    (delta = dur_ms*1000 // n_samples at mdhd timescale 1000)."""
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 4).select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("t_us", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                times = mp4_frame_times(build_mp4(i))
+                rows += [{"doc_id": i, "frame_no": k,
+                          "n_frames": len(times), "t_us": t}
+                         for k, t in enumerate(times)]
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema)
+
+
+SQL_MULTIMODAL_MP4_FRAMES = """
+WITH m AS (
+  SELECT doc_id,
+         10 + doc_id % 20 AS n,
+         ((500 + doc_id % 250) * 1000) // (10 + doc_id % 20) AS delta
+  FROM documents WHERE doc_id % 5 = 4
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(k.i AS BIGINT) AS frame_no,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST((k.i * delta * 1000000) // 1000 AS BIGINT) AS t_us
+FROM m, unnest(range(n)) k(i)
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_mp4_frames": q_multimodal_mp4_frames,
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_frames": q_multimodal_frames,
 }
 ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_mp4_frames": SQL_MULTIMODAL_MP4_FRAMES,
     "multimodal_decode_real": SQL_MULTIMODAL_DECODE_REAL,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     # multimodal_decode_stub: rows-only (decode stub is not SQL-expressible)

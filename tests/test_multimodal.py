@@ -210,3 +210,24 @@ def test_multimodal_decode_real_query(spark):
     assert rows[8].width == 8 * (1 + 8 % 3) and rows[8].height == 8 * (1 + 8 % 2)
     assert rows[9].n_frames == 10 + 9 % 20 and rows[9].duration_us == (
         500 + 9 % 250) * 1000
+
+
+def test_mp4_frame_times_from_stts(spark):
+    """r5: frame timestamps come from the REAL stts table + mdhd
+    timescale; the fan-out query matches construction arithmetic."""
+    from crawl4ai_spark.ops.multimodal import (
+        build_mp4,
+        mp4_frame_times,
+        q_multimodal_mp4_frames,
+    )
+
+    for i in (4, 9, 24, 199):
+        times = mp4_frame_times(build_mp4(i))
+        n = 10 + i % 20
+        delta = ((500 + i % 250) * 1000) // n
+        assert times == [k * delta * 1_000_000 // 1000 for k in range(n)]
+    out = q_multimodal_mp4_frames(spark, "/root/testdata/sf0.001")
+    rows = out.filter("doc_id = 4").orderBy("frame_no").collect()
+    assert len(rows) == 10 + 4 % 20
+    assert rows[0].t_us == 0 and rows[1].t_us > 0
+    assert all(r.n_frames == len(rows) for r in rows)
