@@ -107,7 +107,25 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt long, corpus_symbols_after long")
 
 
-def _sql_bpe() -> str:
+def bpe_word_symbols(spark: SparkSession, sf_dir: str,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """The trained tokenizer as a word → BPE-symbol-count table (r5): train
+    the merges, then replay them as one chained literal-replace expression
+    over the word-frequency vocabulary. This is the artifact the datacard's
+    token accounting broadcasts — corpus tokenized size = Σ per-word counts
+    via a broadcast join, so corpus bytes never shuffle for tokenization."""
+    merges = train_bpe(spark, sf_dir, n_merges)
+    expr = "sym"
+    for m in merges:
+        expr = (f"replace({expr}, ' {m['left']}  {m['right']} ',"
+                f" ' {m['merged']} ')")
+    return _words0(spark, sf_dir).select(
+        "word",
+        F.expr(f"size(filter(split({expr}, '  '), s -> s <> ''))")
+        .cast("long").alias("n_syms"))
+
+
+def _sql_bpe_ctes(n_merges: int = BPE_MERGES, with_out: bool = True) -> str:
     """Chained-CTE oracle: each round's argmax + literal-replace application
     recomputed entirely in SQL (the pattern/replacement strings come from
     scalar subqueries over that round's best-pair CTE). Every CTE is
@@ -126,7 +144,7 @@ WITH w0 AS MATERIALIZED (
     FROM documents
   ) GROUP BY word
 )"""]
-    for r in range(1, BPE_MERGES + 1):
+    for r in range(1, n_merges + 1):
         p = r - 1
         parts.append(f""",
 pc{r} AS MATERIALIZED (
@@ -152,7 +170,9 @@ w{r} AS MATERIALIZED (
                  ' ' || (SELECT l FROM best{r})
                      || (SELECT r FROM best{r}) || ' ') AS sym
   FROM w{p}
-),
+)""")
+        if with_out:
+            parts.append(f""",
 out{r} AS (
   SELECT {r} AS round, b.l AS left_s, b.r AS right_s, b.l || b.r AS merged,
          b.cnt,
@@ -161,11 +181,26 @@ out{r} AS (
           FROM w{r}) AS corpus_symbols_after
   FROM best{r} b
 )""")
+    return "".join(parts)
+
+
+def _sql_bpe() -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST(round AS BIGINT) AS round, left_s AS lhs,"
         f" right_s AS rhs, merged, cnt, corpus_symbols_after FROM out{r}"
         for r in range(1, BPE_MERGES + 1))
-    return "".join(parts) + "\n" + sel
+    return _sql_bpe_ctes() + "\n" + sel
+
+
+def sql_bpe_word_symbols(n_merges: int = BPE_MERGES) -> str:
+    """The oracle twin of bpe_word_symbols: retrain the merges in chained
+    CTEs, then read the final word table's symbol counts."""
+    return _sql_bpe_ctes(n_merges, with_out=False) + f"""
+SELECT word,
+       CAST(len(list_filter(string_split(sym, '  '), s -> s <> ''))
+            AS BIGINT) AS n_syms
+FROM w{n_merges}
+"""
 
 
 QUERIES = {

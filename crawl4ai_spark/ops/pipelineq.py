@@ -605,7 +605,8 @@ FROM draws GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
-def q_corpus_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ledger(spark: SparkSession, sf_dir: str,
+            with_dsir: bool = False) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", "lang",
@@ -625,13 +626,25 @@ def q_corpus_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(g, "doc_id", "left")
          .join(dec, "doc_id", "left")
          .join(res, "doc_id", "left"))
+    if with_dsir:
+        dsir = q_dsir_resample(spark, sf_dir).select(
+            "doc_id", F.col("keep").alias("dsir_keep"))
+        j = j.join(dsir, "doc_id", "left")
     reason = (
         F.when(F.col("doc_id") % DECON_BENCH_MOD == 0, "eval_holdout")
         .when(~F.coalesce("g_keep", F.lit(False)), "gopher")
         .when(F.col("doc_id") != F.col("keeper"), "exact_dup")
-        .when(F.coalesce("contaminated", F.lit(False)), "contaminated")
-        .when(~F.coalesce("res_keep", F.lit(False)), "resampled")
-        .otherwise("kept"))
+        .when(F.coalesce("contaminated", F.lit(False)), "contaminated"))
+    if with_dsir:
+        # DSIR admission sits between contamination and the language
+        # temperature draw: a doc the importance resampler does not select
+        # (incl. docs too short to produce a single bigram — unscored ⇒
+        # not admitted) is dropped with reason 'dsir'.
+        reason = reason.when(
+            ~F.coalesce("dsir_keep", F.lit(False)), "dsir")
+    reason = (reason
+              .when(~F.coalesce("res_keep", F.lit(False)), "resampled")
+              .otherwise("kept"))
     split = (F.when(F.col("split_ppm") < SPLIT_VALID_PPM, "valid")
              .when(F.col("split_ppm") < SPLIT_TEST_PPM, "test")
              .otherwise("train"))
@@ -642,7 +655,27 @@ def q_corpus_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(reason == "kept", split).otherwise(F.lit("")).alias("split"))
 
 
-SQL_CORPUS_LEDGER = f"""
+def q_corpus_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ledger(spark, sf_dir, with_dsir=False)
+
+
+def q_corpus_ledger_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: the ledger with the DSIR importance-admission stage composed in
+    (NOTES round-5 wiring item): eval_holdout → gopher → exact_dup →
+    contaminated → dsir → resampled → kept. Same schema as corpus_ledger;
+    the DSIR stage is one more doc_id-keyed left join."""
+    return _ledger(spark, sf_dir, with_dsir=True)
+
+
+def _sql_ledger(with_dsir: bool = False) -> str:
+    dsir_cte = """, dsir AS (
+  SELECT doc_id, keep AS dsir_keep FROM ({dsir_sql}) q
+)""".format(dsir_sql=_sql_dsir()) if with_dsir else ""
+    dsir_join = "\n  LEFT JOIN dsir USING (doc_id)" if with_dsir else ""
+    dsir_col = ", dsir.dsir_keep" if with_dsir else ""
+    dsir_case = ("\n              WHEN NOT COALESCE(dsir_keep, FALSE)"
+                 " THEN 'dsir'" if with_dsir else "")
+    return f"""
 WITH base AS (
   SELECT doc_id, lang,
          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
@@ -659,18 +692,18 @@ WITH base AS (
   SELECT doc_id, TRUE AS contaminated FROM ({SQL_DECONTAMINATE}) y
 ), res AS (
   SELECT doc_id, TRUE AS res_keep FROM ({SQL_RESAMPLE_TEMPERATURE}) z
-), j AS (
-  SELECT b.*, k.keeper, g.g_keep, dec.contaminated, res.res_keep
+){dsir_cte}, j AS (
+  SELECT b.*, k.keeper, g.g_keep, dec.contaminated, res.res_keep{dsir_col}
   FROM base b JOIN keeper k USING (h)
   LEFT JOIN g USING (doc_id)
   LEFT JOIN dec USING (doc_id)
-  LEFT JOIN res USING (doc_id)
+  LEFT JOIN res USING (doc_id){dsir_join}
 ), v AS (
   SELECT doc_id, lang, n_tokens, split_ppm,
          CASE WHEN doc_id % {DECON_BENCH_MOD} = 0 THEN 'eval_holdout'
               WHEN NOT COALESCE(g_keep, FALSE) THEN 'gopher'
               WHEN doc_id <> keeper THEN 'exact_dup'
-              WHEN COALESCE(contaminated, FALSE) THEN 'contaminated'
+              WHEN COALESCE(contaminated, FALSE) THEN 'contaminated'{dsir_case}
               WHEN NOT COALESCE(res_keep, FALSE) THEN 'resampled'
               ELSE 'kept' END AS reason
   FROM j
@@ -684,6 +717,9 @@ SELECT doc_id, lang, n_tokens, reason,
             ELSE '' END AS split
 FROM v
 """
+
+
+SQL_CORPUS_LEDGER = _sql_ledger(with_dsir=False)
 
 
 # ---------------------------------------------------------------------------
@@ -843,6 +879,32 @@ SELECT lang, reason, split,
 FROM ({SQL_CORPUS_LEDGER}) l
 GROUP BY lang, reason, split
 """
+
+
+def q_corpus_datacard_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5 capstone extension (NOTES round-5 wiring item): the data card over
+    the FULL ledger (DSIR admission composed in), with a third total —
+    n_bpe_tokens, the corpus's tokenized size under the trained BPE merge
+    table. Scale shape: the BPE vocabulary (word → symbol count after the
+    merges, |vocab| ≪ corpus) is broadcast onto one exploded-word scan, so
+    tokenized-size accounting adds zero corpus-byte shuffles; everything
+    else is the ledger's own doc_id-keyed joins."""
+    from crawl4ai_spark.ops.bpeq import bpe_word_symbols
+
+    led = q_corpus_ledger_full(spark, sf_dir)
+    wsym = bpe_word_symbols(spark, sf_dir)
+    d = tbl(spark, sf_dir, "documents")
+    docw = d.select("doc_id", F.explode(F.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("word"))
+    docbpe = (docw.join(F.broadcast(wsym), "word")
+              .groupBy("doc_id")
+              .agg(F.sum("n_syms").cast("long").alias("n_bpe")))
+    return (led.join(docbpe, "doc_id", "left")
+            .groupBy("lang", "reason", "split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.sum(F.coalesce("n_bpe", F.lit(0))).cast("long")
+                 .alias("n_bpe_tokens")))
 
 
 # ---------------------------------------------------------------------------
@@ -1010,8 +1072,35 @@ FROM scored
 """
 
 
+def _sql_datacard_full() -> str:
+    from crawl4ai_spark.ops.bpeq import sql_bpe_word_symbols
+
+    return f"""
+WITH led AS (
+  SELECT * FROM ({_sql_ledger(with_dsir=True)}) l
+), wsym AS (
+  SELECT * FROM ({sql_bpe_word_symbols()}) w
+), docw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), docbpe AS (
+  SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe
+  FROM docw JOIN wsym USING (word)
+  GROUP BY doc_id
+)
+SELECT lang, reason, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(COALESCE(n_bpe, 0)) AS BIGINT) AS n_bpe_tokens
+FROM led LEFT JOIN docbpe USING (doc_id)
+GROUP BY lang, reason, split
+"""
+
+
 QUERIES = {
     "dsir_resample": q_dsir_resample,
+    "corpus_ledger_full": q_corpus_ledger_full,
+    "corpus_datacard_full": q_corpus_datacard_full,
     "quality_filter": q_quality_filter,
     "split_stratified": q_split_stratified,
     "corpus_ledger": q_corpus_ledger,
@@ -1027,6 +1116,8 @@ QUERIES = {
 }
 ORACLES = {
     "dsir_resample": _sql_dsir(),
+    "corpus_ledger_full": _sql_ledger(with_dsir=True),
+    "corpus_datacard_full": _sql_datacard_full(),
     "quality_filter": SQL_QUALITY_FILTER,
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "chunk_sliding": SQL_CHUNK_SLIDING,
