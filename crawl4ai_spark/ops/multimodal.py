@@ -348,6 +348,45 @@ def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _encode_block(bw: "_BitWriter", block, qmat, m, dc_codes, ac_codes,
+                  prev_dc: int) -> int:
+    """DCT → quantize (half away from zero) → zigzag → Huffman-encode one
+    level-shifted 8x8 block; returns its DC term (the caller's next
+    prev_dc)."""
+    import numpy as np
+
+    coef = m @ block @ m.T
+    q = coef / qmat
+    q = np.sign(q) * np.floor(np.abs(q) + 0.5)       # half away from zero
+    zz = q.reshape(64)[_ZIGZAG].astype(np.int64)
+    diff = int(zz[0]) - prev_dc
+    cat = _jpeg_category(diff)
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]                  # ZRL
+            bw.write(zc, zl)
+            run -= 16
+        size = _jpeg_category(v)
+        sc, sl = ac_codes[(run << 4) | size]
+        bw.write(sc, sl)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_codes[0x00]                      # EOB
+        bw.write(ec, el)
+    return int(zz[0])
+
+
 def encode_jpeg(pixels, *, quant=None, dc_bits=None, dc_vals=None,
                 ac_bits=None, ac_vals=None, restart_interval: int = 0
                 ) -> bytes:
@@ -385,37 +424,9 @@ def encode_jpeg(pixels, *, quant=None, dc_bits=None, dc_vals=None,
                 bw.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 prev_dc = 0
-            block = padded[by:by + 8, bx:bx + 8]
-            coef = m @ block @ m.T
-            q = coef / qmat
-            q = np.sign(q) * np.floor(np.abs(q) + 0.5)   # half away from zero
-            zz = q.reshape(64)[_ZIGZAG].astype(np.int64)
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat = _jpeg_category(diff)
-            code, length = dc_codes[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]              # ZRL
-                    bw.write(zc, zl)
-                    run -= 16
-                size = _jpeg_category(v)
-                sc, sl = ac_codes[(run << 4) | size]
-                bw.write(sc, sl)
-                bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                ec, el = ac_codes[0x00]                  # EOB
-                bw.write(ec, el)
+            prev_dc = _encode_block(
+                bw, padded[by:by + 8, bx:bx + 8], qmat, m,
+                dc_codes, ac_codes, prev_dc)
             mcu += 1
     bw.pad_to_byte()
 
@@ -502,11 +513,161 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _decode_block(br: "_BitReader", dc_tab: dict, ac_tab: dict, q, m,
+                  prev_dc: int):
+    """Huffman-decode one 8x8 block's coefficients, dequantize, dezigzag,
+    IDCT; returns (level-shifted float block, DC term)."""
+    import numpy as np
+
+    zz = np.zeros(64, dtype=np.int64)
+    cat = _huffman_decode_one(br, dc_tab)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huffman_decode_one(br, ac_tab)
+        if sym == 0x00:            # EOB
+            break
+        if sym == 0xF0:            # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0x0F
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz * q
+    return m.T @ coef.reshape(8, 8) @ m, dc
+
+
+# ---------------------------------------------------------------------------
+# Color (YCbCr 4:2:0) extension of the baseline codec. The RGB↔YCbCr
+# transform is pinned to INTEGER millesimal JFIF coefficients with biased
+# floor division, so every step is bit-exact in python ints, numpy int64,
+# Spark `div`, and DuckDB `//` alike (all numerators are kept nonnegative,
+# where floor division and truncation agree) — the flat-macroblock corpus
+# oracle recomputes decoded RGB sums in pure SQL arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(r, g, b):
+    """Forward transform on int64 arrays (values 0..255). cb/cr can reach
+    256 at the gamut corners under millesimal rounding — clamped to 255."""
+    import numpy as np
+
+    y = (299 * r + 587 * g + 114 * b + 500) // 1000
+    cb = np.minimum(255, (500 * b - 169 * r - 331 * g + 128500) // 1000)
+    cr = np.minimum(255, (500 * r - 419 * g - 81 * b + 128500) // 1000)
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """Inverse transform on int64 arrays. The +1000000 bias keeps numerators
+    nonnegative before the //1000 (floor == truncate there); results clamp
+    to [0, 255]."""
+    import numpy as np
+
+    r = (1000 * y + 1402 * (cr - 128) + 500 + 1000000) // 1000 - 1000
+    g = (1000 * y - 344 * (cb - 128) - 714 * (cr - 128)
+         + 500 + 1000000) // 1000 - 1000
+    b = (1000 * y + 1772 * (cb - 128) + 500 + 1000000) // 1000 - 1000
+    return (np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255))
+
+
+def encode_jpeg_color(rgb, *, quant_l=None, quant_c=None,
+                      restart_interval: int = 0) -> bytes:
+    """Baseline SOF0 YCbCr 4:2:0 JPEG encoder: integer RGB→YCbCr, pad to
+    the 16x16 MCU grid by edge replication, 2x2-mean chroma subsample
+    (+2 //4 — exact half-up on nonnegative ints), then interleaved MCUs
+    (Y00 Y01 Y10 Y11 Cb Cr) with per-component DC prediction. Two quant
+    tables (tq0 luma, tq1 chroma); the Annex-K luminance Huffman tables are
+    written under BOTH table ids (any decoder must resolve ids, not assume
+    slot contents)."""
+    import numpy as np
+    import struct
+
+    px = np.asarray(rgb, dtype=np.int64)
+    h, w, _ = px.shape
+    quant_l = np.ones(64, dtype=np.int64) if quant_l is None else \
+        np.asarray(quant_l, dtype=np.int64).reshape(64)
+    quant_c = quant_l if quant_c is None else \
+        np.asarray(quant_c, dtype=np.int64).reshape(64)
+    dc_codes = _huffman_codes(_K_DC_BITS, _K_DC_VALS)
+    ac_codes = _huffman_codes(_K_AC_BITS, _K_AC_VALS)
+
+    y, cb, cr = _rgb_to_ycbcr(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    pad = ((0, ph - h), (0, pw - w))
+    y = np.pad(y, pad, mode="edge")
+    cb = np.pad(cb, pad, mode="edge")
+    cr = np.pad(cr, pad, mode="edge")
+    cbs = (cb[0::2, 0::2] + cb[0::2, 1::2]
+           + cb[1::2, 0::2] + cb[1::2, 1::2] + 2) // 4
+    crs = (cr[0::2, 0::2] + cr[0::2, 1::2]
+           + cr[1::2, 0::2] + cr[1::2, 1::2] + 2) // 4
+    yf = y.astype(np.float64) - 128.0
+    cbf = cbs.astype(np.float64) - 128.0
+    crf = crs.astype(np.float64) - 128.0
+
+    m = _dct_mat()
+    ql = quant_l[_ZIGZAG].astype(np.float64).reshape(8, 8)
+    qc = quant_c[_ZIGZAG].astype(np.float64).reshape(8, 8)
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]                                  # Y, Cb, Cr DC chains
+    mcu = 0
+    rst = 0
+    for by in range(0, ph, 16):
+        for bx in range(0, pw, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
+            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                prev[0] = _encode_block(
+                    bw, yf[by + dy:by + dy + 8, bx + dx:bx + dx + 8],
+                    ql, m, dc_codes, ac_codes, prev[0])
+            cy, cx = by // 2, bx // 2
+            prev[1] = _encode_block(bw, cbf[cy:cy + 8, cx:cx + 8], qc, m,
+                                    dc_codes, ac_codes, prev[1])
+            prev[2] = _encode_block(bw, crf[cy:cy + 8, cx:cx + 8], qc, m,
+                                    dc_codes, ac_codes, prev[2])
+            mcu += 1
+    bw.pad_to_byte()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in quant_l)
+               + bytes([0x01]) + bytes(int(v) for v in quant_c))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS))
+    out += seg(0xC4, bytes([0x01]) + bytes(_K_DC_BITS) + bytes(_K_DC_VALS))
+    out += seg(0xC4, bytes([0x11]) + bytes(_K_AC_BITS) + bytes(_K_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
 def parse_jpeg(payload: bytes) -> dict:
-    """From-scratch baseline JPEG decoder for the SOF0 single-component
-    subset: marker walk (DQT/DHT/SOF0/DRI/SOS), Huffman entropy decode with
-    byte-unstuffing and restart handling, dequantize, dezigzag, float IDCT,
-    level shift + clamp. Returns width/height/pixel bytes."""
+    """From-scratch baseline JPEG decoder (SOF0, single-component grayscale
+    OR 3-component YCbCr 4:2:0): marker walk (DQT/DHT/SOF0/DRI/SOS), Huffman
+    entropy decode with byte-unstuffing and restart handling, dequantize,
+    dezigzag, float IDCT, level shift + clamp; for color, chroma 2x nearest
+    upsample + the integer YCbCr→RGB transform. Returns width/height/
+    n_components and the pixel bytes (gray, or interleaved RGB)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -515,8 +676,9 @@ def parse_jpeg(payload: bytes) -> dict:
     quant = {}
     huff = {}
     width = height = None
+    comps = []                 # (component id, h-sampling, v-sampling, tq)
+    scan = []                  # (component id, DC table id, AC table id)
     dri = 0
-    scan_dc = scan_ac = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -546,65 +708,89 @@ def parse_jpeg(payload: bytes) -> dict:
                                   for sym, (c, l) in codes.items()}
                 i += 17 + nv
         elif marker == 0xC0:
-            if body[0] != 8 or body[5] != 1:
-                raise ValueError("baseline subset is 8-bit single-component")
+            if body[0] != 8 or body[5] not in (1, 3):
+                raise ValueError(
+                    "baseline subset is 8-bit, 1 or 3 components")
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
-            tq_img = body[8]
+            comps = [(body[6 + 3 * i], body[7 + 3 * i] >> 4,
+                      body[7 + 3 * i] & 0x0F, body[8 + 3 * i])
+                     for i in range(body[5])]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-SOF0 JPEG unsupported (baseline subset)")
         elif marker == 0xDD:
             dri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
-            scan_dc = (0, body[2] >> 4)
-            scan_ac = (1, body[2] & 0x0F)
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                     body[2 + 2 * i] & 0x0F) for i in range(body[0])]
             pos += seglen
             break
         pos += seglen
-    if width is None or scan_dc is None:
+    if width is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
+    if len(scan) != len(comps) or [s[0] for s in scan] != \
+            [c[0] for c in comps]:
+        raise ValueError("scan/frame component mismatch")
 
-    dc_tab, ac_tab = huff[scan_dc], huff[scan_ac]
-    q = quant[tq_img]
     m = _dct_mat()
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    img = np.zeros((ph, pw), dtype=np.float64)
     br = _BitReader(payload, pos)
-    prev_dc = 0
+
+    if len(comps) == 1:
+        dc_tab, ac_tab = huff[(0, scan[0][1])], huff[(1, scan[0][2])]
+        q = quant[comps[0][3]]
+        ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+        img = np.zeros((ph, pw), dtype=np.float64)
+        prev_dc = 0
+        mcu = 0
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                if dri and mcu and mcu % dri == 0:
+                    br.align_restart()
+                    prev_dc = 0
+                block, prev_dc = _decode_block(br, dc_tab, ac_tab, q, m,
+                                               prev_dc)
+                img[by:by + 8, bx:bx + 8] = block
+                mcu += 1
+        out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+        out = out[:height, :width]
+        return {"width": width, "height": height, "n_components": 1,
+                "pixels": out.tobytes()}
+
+    if [(c[1], c[2]) for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+        raise ValueError("color subset is YCbCr 4:2:0 (sampling 2x2/1x1)")
+    tabs = [(huff[(0, s[1])], huff[(1, s[2])], quant[c[3]])
+            for s, c in zip(scan, comps)]
+    ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
+    yp = np.zeros((ph, pw), dtype=np.float64)
+    cbp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+    crp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+    prev = [0, 0, 0]
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for by in range(0, ph, 16):
+        for bx in range(0, pw, 16):
             if dri and mcu and mcu % dri == 0:
                 br.align_restart()
-                prev_dc = 0
-            zz = np.zeros(64, dtype=np.int64)
-            cat = _huffman_decode_one(br, dc_tab)
-            diff = _extend(br.bits(cat), cat) if cat else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huffman_decode_one(br, ac_tab)
-                if sym == 0x00:            # EOB
-                    break
-                if sym == 0xF0:            # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0x0F
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz * q
-            block = m.T @ coef.reshape(8, 8) @ m
-            img[by:by + 8, bx:bx + 8] = block
+                prev = [0, 0, 0]
+            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                block, prev[0] = _decode_block(
+                    br, tabs[0][0], tabs[0][1], tabs[0][2], m, prev[0])
+                yp[by + dy:by + dy + 8, bx + dx:bx + dx + 8] = block
+            cy, cx = by // 2, bx // 2
+            for ci, plane in ((1, cbp), (2, crp)):
+                block, prev[ci] = _decode_block(
+                    br, tabs[ci][0], tabs[ci][1], tabs[ci][2], m, prev[ci])
+                plane[cy:cy + 8, cx:cx + 8] = block
             mcu += 1
-    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
-    out = out[:height, :width]
-    return {"width": width, "height": height, "pixels": out.tobytes()}
+    y = np.clip(np.round(yp + 128.0), 0, 255).astype(np.int64)
+    cb = np.clip(np.round(cbp + 128.0), 0, 255).astype(np.int64)
+    cr = np.clip(np.round(crp + 128.0), 0, 255).astype(np.int64)
+    cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    r, g, b = _ycbcr_to_rgb(y, cb, cr)
+    rgb = np.stack([r, g, b], axis=-1)[:height, :width, :].astype(np.uint8)
+    return {"width": width, "height": height, "n_components": 3,
+            "pixels": rgb.tobytes()}
 
 
 def build_jpeg(doc_id: int) -> bytes:
@@ -628,6 +814,109 @@ def build_jpeg(doc_id: int) -> bytes:
         dc_bits=_FLAT_DC_BITS, dc_vals=_FLAT_DC_VALS,
         ac_bits=_FLAT_AC_BITS, ac_vals=_FLAT_AC_VALS,
         restart_interval=1)
+
+
+def build_jpeg_color(doc_id: int) -> bytes:
+    """Deterministic flat-macroblock COLOR JPEG (YCbCr 4:2:0):
+    16*(1+id%3) × 16*(1+id%2), macroblock b (raster order) constant
+    RGB = ((id*5+11b)%256, (id*3+7b)%256, (id*7+17b)%256), both quant
+    tables all-ones. Flat macroblocks are DC-only in all three planes and
+    the color transform is pinned integer arithmetic, so the decoded RGB
+    is exactly the forward+inverse integer transform of the construction
+    constants — pure SQL arithmetic for the oracle."""
+    import numpy as np
+
+    w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
+    px = np.zeros((h, w, 3), dtype=np.int64)
+    nbx = w // 16
+    for b in range(nbx * (h // 16)):
+        by, bx = divmod(b, nbx)
+        px[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16] = (
+            (doc_id * 5 + 11 * b) % 256,
+            (doc_id * 3 + 7 * b) % 256,
+            (doc_id * 7 + 17 * b) % 256)
+    return encode_jpeg_color(px)
+
+
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-JPEG writer→decoder roundtrip: one Arrow stage builds the 4:2:0
+    bytes per doc and decodes them back to RGB; the oracle recomputes the
+    per-channel pixel sums from the construction constants through the
+    integer YCbCr transform — every step exact in DuckDB arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                r = parse_jpeg(build_jpeg_color(i))
+                px = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(
+                    r["height"], r["width"], 3).astype(np.int64)
+                rows.append({
+                    "doc_id": i, "width": r["width"], "height": r["height"],
+                    "sum_r": int(px[:, :, 0].sum()),
+                    "sum_g": int(px[:, :, 1].sum()),
+                    "sum_b": int(px[:, :, 2].sum())})
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema)
+
+
+# the oracle replays the codec's pinned integer color transform per flat
+# macroblock: 256 pixels each of the forward+inverse-transformed RGB
+# constants (floor division on nonnegative numerators == DuckDB `//`)
+SQL_MULTIMODAL_JPEG_COLOR = """
+WITH base AS (
+  SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h,
+         (1 + doc_id % 3) * (1 + doc_id % 2) AS nmb
+  FROM documents
+), blocks AS (
+  SELECT doc_id, w, h,
+         (doc_id * 5 + 11 * s.b) % 256 AS r0,
+         (doc_id * 3 + 7 * s.b) % 256 AS g0,
+         (doc_id * 7 + 17 * s.b) % 256 AS b0
+  FROM base, unnest(range(nmb)) s(b)
+), ycc AS (
+  SELECT doc_id, w, h,
+         (299 * r0 + 587 * g0 + 114 * b0 + 500) // 1000 AS y,
+         least(255, (500 * b0 - 169 * r0 - 331 * g0 + 128500) // 1000) AS cb,
+         least(255, (500 * r0 - 419 * g0 - 81 * b0 + 128500) // 1000) AS cr
+  FROM blocks
+), rgb AS (
+  SELECT doc_id, w, h,
+         greatest(0, least(255, (1000 * y + 1402 * (cr - 128)
+                                 + 500 + 1000000) // 1000 - 1000)) AS r1,
+         greatest(0, least(255, (1000 * y - 344 * (cb - 128)
+                                 - 714 * (cr - 128)
+                                 + 500 + 1000000) // 1000 - 1000)) AS g1,
+         greatest(0, least(255, (1000 * y + 1772 * (cb - 128)
+                                 + 500 + 1000000) // 1000 - 1000)) AS b1
+  FROM ycc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(256 * sum(r1) AS BIGINT) AS sum_r,
+       CAST(256 * sum(g1) AS BIGINT) AS sum_g,
+       CAST(256 * sum(b1) AS BIGINT) AS sum_b
+FROM rgb
+GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1124,6 +1413,7 @@ FROM m, unnest(range(n)) k(i)
 
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_mp4_frames": q_multimodal_mp4_frames,
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_real": q_multimodal_decode_real,
@@ -1131,6 +1421,7 @@ QUERIES = {
 }
 ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_jpeg_color": SQL_MULTIMODAL_JPEG_COLOR,
     "multimodal_mp4_frames": SQL_MULTIMODAL_MP4_FRAMES,
     "multimodal_decode_real": SQL_MULTIMODAL_DECODE_REAL,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,

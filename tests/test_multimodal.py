@@ -173,6 +173,73 @@ def test_jpeg_malformed_raises():
         parse_jpeg(bytes(blob))
 
 
+def test_jpeg_color_flat_corpus_exact():
+    """Color (YCbCr 4:2:0) corpus JPEGs decode to EXACTLY the integer
+    forward+inverse color transform of the construction constants —
+    verified against a from-spec pure-python-int reimplementation (no
+    shared code with the numpy codec path)."""
+    import numpy as np
+    from crawl4ai_spark.ops.multimodal import build_jpeg_color, parse_jpeg
+
+    def spec_rgb(R, G, B):
+        y = (299 * R + 587 * G + 114 * B + 500) // 1000
+        cb = min(255, (500 * B - 169 * R - 331 * G + 128500) // 1000)
+        cr = min(255, (500 * R - 419 * G - 81 * B + 128500) // 1000)
+        r = max(0, min(255, (1000 * y + 1402 * (cr - 128)
+                             + 500 + 1000000) // 1000 - 1000))
+        g = max(0, min(255, (1000 * y - 344 * (cb - 128) - 714 * (cr - 128)
+                             + 500 + 1000000) // 1000 - 1000))
+        b = max(0, min(255, (1000 * y + 1772 * (cb - 128)
+                             + 500 + 1000000) // 1000 - 1000))
+        return r, g, b
+
+    for i in (0, 1, 2, 3, 4, 5, 6, 77, 255, 12345):
+        r = parse_jpeg(build_jpeg_color(i))
+        w, h = 16 * (1 + i % 3), 16 * (1 + i % 2)
+        assert (r["width"], r["height"], r["n_components"]) == (w, h, 3)
+        px = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        nbx = w // 16
+        for b in range(nbx * (h // 16)):
+            by, bx = divmod(b, nbx)
+            want = spec_rgb((i * 5 + 11 * b) % 256, (i * 3 + 7 * b) % 256,
+                            (i * 7 + 17 * b) % 256)
+            mb = px[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16]
+            assert (mb == want).all(), (i, b, want, mb[0, 0])
+
+
+def test_jpeg_color_roundtrip_chroma_safe_bounded():
+    """Arbitrary color content that is constant per 2x2 cell (so 4:2:0
+    subsampling is lossless) roundtrips within the integer-transform +
+    unit-quant error bound, across non-multiple-of-16 dims and restart
+    intervals."""
+    import numpy as np
+    from crawl4ai_spark.ops.multimodal import encode_jpeg_color, parse_jpeg
+
+    rng = np.random.RandomState(3)
+    for h, w, dri in [(20, 24, 0), (18, 30, 2), (34, 16, 1), (16, 48, 3)]:
+        base = rng.randint(0, 256, (-(-h // 2), -(-w // 2), 3))
+        img = np.repeat(np.repeat(base, 2, 0), 2, 1)[:h, :w, :]
+        r = parse_jpeg(encode_jpeg_color(img, restart_interval=dri))
+        assert (r["width"], r["height"], r["n_components"]) == (w, h, 3)
+        out = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        # forward int transform ±0.5, DCT/quant ±1 per plane, inverse
+        # coefficients ≤1.772 ⇒ ≤ 1.772*1.5 + 1 + 0.5 < 4.2
+        assert np.abs(out.astype(np.int64) - img).max() <= 5
+
+
+def test_jpeg_color_malformed_raises():
+    import pytest as _pytest
+    from crawl4ai_spark.ops.multimodal import build_jpeg_color, parse_jpeg
+
+    blob = bytearray(build_jpeg_color(5))
+    # FF C0 | len(2) | prec | h(2) | w(2) | ncomp | cid1 | hv1 ...
+    sof = blob.index(b"\xff\xc0")
+    assert blob[sof + 11] == 0x22        # Y sampling byte inside SOF0
+    blob[sof + 11] = 0x21                # 4:2:2 — outside the subset
+    with _pytest.raises(ValueError, match="4:2:0"):
+        parse_jpeg(bytes(blob))
+
+
 def test_real_decode_mp4_metadata():
     """r5: MP4 metadata is REAL — ISO BMFF box walk recovers mvhd duration,
     tkhd 16.16 dims, stsz sample count and the mdat byte sum."""
