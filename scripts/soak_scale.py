@@ -116,15 +116,22 @@ def dedup_suite(spark, sf_dir: str, n_docs: int, tag: str) -> dict:
         q_dedup_minhash_bands2,
         q_dedup_minhash_bands_fast,
     )
-    from crawl4ai_spark.ops.pipelineq import q_corpus_ledger, q_dedup_pipeline
+    from crawl4ai_spark.ops.pipelineq import (
+        q_corpus_datacard_full,
+        q_corpus_ledger,
+        q_dedup_pipeline,
+    )
 
     out = {"phase": f"dedup_{tag}", "n_docs": n_docs}
     # corpus_ledger = the full composed pipeline verdict (VERDICT r04
-    # next-round #7: measure the capstone's 10x behavior like its parts)
+    # next-round #7: measure the capstone's 10x behavior like its parts);
+    # corpus_datacard_full adds the DSIR stage + BPE-token accounting
+    # (vocab broadcast), so the late-r5 composition is soaked too
     for name, fn in [("minhash_bands2", q_dedup_minhash_bands2),
                      ("minhash_bands_fast", q_dedup_minhash_bands_fast),
                      ("dedup_pipeline", q_dedup_pipeline),
-                     ("corpus_ledger", q_corpus_ledger)]:
+                     ("corpus_ledger", q_corpus_ledger),
+                     ("corpus_datacard_full", q_corpus_datacard_full)]:
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         wall = time.time() - t0
