@@ -45,6 +45,7 @@ _MODULES = [
     "warcq",
     "adaptq",
     "bpeq",
+    "perplexityq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
