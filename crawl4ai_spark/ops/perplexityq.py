@@ -170,9 +170,140 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Hash-bucketed LM variant (Talbot & Osborne 2007-style randomized LM) —
+# the STREAMABLE form: word-keyed tables can't inline into a stateless
+# stream expression (unbounded vocab), so both LM tables bucket by md5 into
+# PPL_B slots. Collisions overcount (the standard randomized-LM trade,
+# documented); the batch twin below and streaming/stream.stream_ppl_gate
+# compute the identical integers, so stream == batch byte-for-byte.
+# ---------------------------------------------------------------------------
+
+PPL_B = 1024
+
+# portable hex-prefix hash (the DSIR _HEX6 trick): first 6 md5 hex chars as
+# an integer, same string in Spark and DuckDB
+_HEX6 = "".join(
+    f"+ CAST(instr('0123456789abcdef', substring({{h}}, {i + 1}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (5 - i)}\n" for i in range(6))
+
+
+def _b12(col: str) -> str:
+    return ("(0 " + _HEX6.format(h=f"md5({col})") + f") % {PPL_B}")
+
+
+def ppl_hashed_lm(spark: SparkSession, sf_dir: str
+                  ) -> tuple[list[int], list[int], int]:
+    """The calibration artifact the streaming gate inlines: bucketed bigram
+    counts, bucketed context counts (dense PPL_B-length lists), and the
+    reference vocabulary size."""
+    ref = _bigrams(spark, sf_dir, ref_only=True)
+    hc12 = (ref.withColumn("b", F.expr(_b12("concat_ws(' ', w1, w2)")))
+            .groupBy("b").agg(F.count("*").cast("long").alias("c")))
+    hc1 = (ref.withColumn("b", F.expr(_b12("w1")))
+           .groupBy("b").agg(F.count("*").cast("long").alias("c")))
+    vrow = (ref.select(F.col("w1").alias("w"))
+            .unionAll(ref.select(F.col("w2").alias("w")))
+            .agg(F.greatest(F.countDistinct("w"), F.lit(1))
+                 .cast("long").alias("v")))
+    c12 = [0] * PPL_B
+    for r in hc12.collect():
+        c12[int(r.b)] = int(r.c)
+    c1 = [0] * PPL_B
+    for r in hc1.collect():
+        c1[int(r.b)] = int(r.c)
+    return c12, c1, int(vrow.collect()[0].v)
+
+
+def q_ccnet_perplexity_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming gate's hashed score (broadcast bucketed
+    tables instead of the stream's inlined arrays — identical integers)."""
+    ref = _bigrams(spark, sf_dir, ref_only=True)
+    hc12 = (ref.withColumn("b12", F.expr(_b12("concat_ws(' ', w1, w2)")))
+            .groupBy("b12").agg(F.count("*").cast("long").alias("c12")))
+    hc1 = (ref.withColumn("b1", F.expr(_b12("w1")))
+           .groupBy("b1").agg(F.count("*").cast("long").alias("c1")))
+    vrow = (ref.select(F.col("w1").alias("w"))
+            .unionAll(ref.select(F.col("w2").alias("w")))
+            .agg(F.greatest(F.countDistinct("w"), F.lit(1))
+                 .cast("long").alias("v")))
+    lnt = spark.createDataFrame(
+        list(enumerate(_ppl_neglog_values())), "q long, neglog_e6 long")
+    return (
+        _bigrams(spark, sf_dir)
+        .withColumn("b12", F.expr(_b12("concat_ws(' ', w1, w2)")))
+        .withColumn("b1", F.expr(_b12("w1")))
+        .join(F.broadcast(hc12), ["b12"], "left")
+        .join(F.broadcast(hc1), ["b1"], "left")
+        .crossJoin(F.broadcast(vrow))
+        .withColumn("q", F.expr(
+            f"((coalesce(c12, 0) + 1) * {PPL_CAP})"
+            f" div (coalesce(c1, 0) + v)"))
+        .join(F.broadcast(lnt), "q")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").cast("long").alias("n_bigrams"),
+             F.sum("neglog_e6").cast("long").alias("sum_neglog_e6"))
+        .withColumn("ppl_e6", F.expr(
+            "CAST(sum_neglog_e6 div n_bigrams AS BIGINT)"))
+        .select("doc_id", "lang", "n_bigrams", "sum_neglog_e6", "ppl_e6")
+    )
+
+
+def _sql_ccnet_perplexity_hashed() -> str:
+    lnvals = ", ".join(f"({q}, {v})"
+                       for q, v in enumerate(_ppl_neglog_values()))
+    return f"""
+WITH lnt(q, neglog_e6) AS (VALUES {lnvals}),
+toks AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         toks[CAST(i AS BIGINT) + 1] AS w1,
+         toks[CAST(i AS BIGINT) + 2] AS w2
+  FROM toks, unnest(range(len(toks) - 1)) p(i)
+  WHERE len(toks) >= 2
+), ref AS (
+  SELECT * FROM bg WHERE doc_id % {PPL_REF_MOD} = {PPL_REF_REM}
+), hc12 AS (
+  SELECT {_b12("w1 || ' ' || w2")} AS b12,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM ref GROUP BY 1
+), hc1 AS (
+  SELECT {_b12("w1")} AS b1, CAST(count(*) AS BIGINT) AS c1
+  FROM ref GROUP BY 1
+), vv AS (
+  SELECT GREATEST(count(DISTINCT w), 1) AS v
+  FROM (SELECT w1 AS w FROM ref UNION ALL SELECT w2 AS w FROM ref)
+), keyed AS (
+  SELECT doc_id, lang,
+         {_b12("w1 || ' ' || w2")} AS b12,
+         {_b12("w1")} AS b1
+  FROM bg
+), qv AS (
+  SELECT keyed.doc_id, keyed.lang,
+         ((COALESCE(hc12.c12, 0) + 1) * {PPL_CAP})
+           // (COALESCE(hc1.c1, 0) + vv.v) AS q
+  FROM keyed
+  LEFT JOIN hc12 USING (b12)
+  LEFT JOIN hc1 USING (b1)
+  CROSS JOIN vv
+)
+SELECT doc_id, lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(neglog_e6) AS BIGINT) AS sum_neglog_e6,
+       CAST(sum(neglog_e6) // count(*) AS BIGINT) AS ppl_e6
+FROM qv JOIN lnt USING (q)
+GROUP BY doc_id, lang
+"""
+
+
 QUERIES = {
     "ccnet_perplexity": q_ccnet_perplexity,
+    "ccnet_perplexity_hashed": q_ccnet_perplexity_hashed,
 }
 ORACLES = {
     "ccnet_perplexity": _sql_ccnet_perplexity(),
+    "ccnet_perplexity_hashed": _sql_ccnet_perplexity_hashed(),
 }

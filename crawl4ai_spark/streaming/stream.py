@@ -402,3 +402,57 @@ def stream_dsir_gate(spark: SparkSession, docs_dir: str,
             f" - {_DSIR_OFF}"))
         .withColumn("accept", F.col("avg_e6") >= F.lit(int(thr_avg_e6)))
     )
+
+
+def stream_ppl_gate(spark: SparkSession, docs_dir: str,
+                    c12_by_b: list[int], c1_by_b: list[int], v: int,
+                    thr_ppl_e6: int) -> DataFrame:
+    """Streaming CCNet perplexity admission (batch-calibrate /
+    stream-apply, the ``stream_dsir_gate`` pattern): the hash-bucketed
+    bigram LM from ``ops/perplexityq.ppl_hashed_lm`` is inlined as two
+    literal PPL_B-length arrays + the vocab size, and each arriving
+    document's log-perplexity is a stateless in-row fold over its adjacent
+    word pairs — identical md5 bucketing, probability-grid quantization,
+    and neglog-table arithmetic as the batch twin
+    ``q_ccnet_perplexity_hashed``, so a streamed doc's ppl_e6 equals the
+    batch value byte-for-byte. Admission keeps docs at or below the
+    calibrated threshold (CCNet keeps the low-perplexity head+middle;
+    per-language tertile RANKS are not streamable — the threshold is the
+    batch tertile boundary, same granularity trade as the DSIR gate)."""
+    from crawl4ai_spark.ops.perplexityq import (
+        PPL_B,
+        PPL_CAP,
+        _HEX6,
+        _ppl_neglog_values,
+    )
+
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .parquet(docs_dir)
+    )
+    c12arr = ", ".join(str(int(c)) for c in c12_by_b)
+    c1arr = ", ".join(str(int(c)) for c in c1_by_b)
+    nlarr = ", ".join(str(int(x)) for x in _ppl_neglog_values())
+    b12 = ("(0 " + _HEX6.format(
+        h="md5(concat_ws(' ', toks[i-1], toks[i]))") + f") % {PPL_B}")
+    b1 = ("(0 " + _HEX6.format(h="md5(toks[i-1])") + f") % {PPL_B}")
+    q = (f"((element_at(array({c12arr}), cast({b12} as int) + 1) + 1)"
+         f" * {PPL_CAP})"
+         f" div (element_at(array({c1arr}), cast({b1} as int) + 1)"
+         f" + {int(v)})")
+    score = (f"aggregate(sequence(1, size(toks) - 1), 0L, (acc, i) -> "
+             f"acc + element_at(array({nlarr}), cast({q} as int) + 1))")
+    return (
+        docs.withColumn("toks", F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .filter(F.expr("size(toks) >= 2"))
+        .select(
+            "doc_id", "lang",
+            (F.expr("size(toks)") - 1).cast("long").alias("n_bigrams"),
+            F.expr(score).cast("long").alias("sum_neglog_e6"))
+        .withColumn("ppl_e6", F.expr(
+            "CAST(sum_neglog_e6 div n_bigrams AS BIGINT)"))
+        .withColumn("accept", F.col("ppl_e6") <= F.lit(int(thr_ppl_e6)))
+    )

@@ -274,3 +274,38 @@ def test_stream_dsir_gate_matches_batch(spark, tmp_path_factory):
     # top-K and threshold agree except possibly at the tie boundary
     kept_topk = {r.doc_id for r in batch if r.keep}
     assert kept_topk <= kept_stream
+
+
+def test_stream_ppl_gate_matches_batch(spark, tmp_path_factory):
+    """Streaming perplexity admission with a batch-calibrated hashed LM +
+    threshold: streamed ppl_e6 must equal the hashed batch twin's
+    byte-for-byte, and the accept set must equal the batch threshold set
+    (= CCNet's head+middle of the per-language tertiles, up to the
+    documented boundary-tie granularity)."""
+    import shutil
+
+    from crawl4ai_spark.ops.perplexityq import (
+        ppl_hashed_lm,
+        q_ccnet_perplexity_hashed,
+    )
+    from crawl4ai_spark.streaming.stream import stream_ppl_gate
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("ppl"))
+    shutil.copy(f"{sf}/documents.parquet", f"{d}/documents.parquet")
+
+    batch = q_ccnet_perplexity_hashed(spark, sf).collect()
+    c12, c1, v = ppl_hashed_lm(spark, sf)
+    # calibrated threshold: the 2/3 boundary of the pooled ppl distribution
+    ppls = sorted(r.ppl_e6 for r in batch)
+    thr = ppls[(2 * len(ppls)) // 3]
+
+    out = stream_ppl_gate(spark, d, c12, c1, v, thr)
+    run_stream_to_memory(out, "stream_ppl_t")
+    rows = spark.sql("SELECT * FROM stream_ppl_t").collect()
+    assert {r.doc_id: r.ppl_e6 for r in rows} == \
+        {r.doc_id: r.ppl_e6 for r in batch}
+    assert {r.doc_id: r.sum_neglog_e6 for r in rows} == \
+        {r.doc_id: r.sum_neglog_e6 for r in batch}
+    assert {r.doc_id for r in rows if r.accept} == \
+        {r.doc_id for r in batch if r.ppl_e6 <= thr}
