@@ -116,6 +116,7 @@ def dedup_suite(spark, sf_dir: str, n_docs: int, tag: str) -> dict:
         q_dedup_minhash_bands2,
         q_dedup_minhash_bands_fast,
     )
+    from crawl4ai_spark.ops.perplexityq import q_ccnet_perplexity
     from crawl4ai_spark.ops.pipelineq import (
         q_corpus_datacard_full,
         q_corpus_ledger,
@@ -131,7 +132,8 @@ def dedup_suite(spark, sf_dir: str, n_docs: int, tag: str) -> dict:
                      ("minhash_bands_fast", q_dedup_minhash_bands_fast),
                      ("dedup_pipeline", q_dedup_pipeline),
                      ("corpus_ledger", q_corpus_ledger),
-                     ("corpus_datacard_full", q_corpus_datacard_full)]:
+                     ("corpus_datacard_full", q_corpus_datacard_full),
+                     ("ccnet_perplexity", q_ccnet_perplexity)]:
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         wall = time.time() - t0
