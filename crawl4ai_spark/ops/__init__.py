@@ -46,6 +46,7 @@ _MODULES = [
     "adaptq",
     "bpeq",
     "perplexityq",
+    "cleanq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.

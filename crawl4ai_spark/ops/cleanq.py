@@ -1,0 +1,254 @@
+"""Corpus cleaning transforms: CCNet line-level dedup + FineWeb PII redaction.
+
+Two classic webtext-pipeline stages the crawl output feeds, complementing the
+document-level (dedup.py) and substring-level (q_dedup_spans) families:
+
+1. **Line-level dedup** (Wenzek et al. 2020 §4.1 — CCNet drops every line
+   whose normalized hash appears more than once across the corpus; it is the
+   step that strips boilerplate headers/footers/nav chrome that document-level
+   dedup can't see). The corpus has no newlines, so the "line" unit is derived
+   deterministically as fixed-width LINE_W-word windows of the token stream —
+   the same synthesize-inside-the-query convention as q_decontaminate's eval
+   holdout (no external data allowed).
+
+   Exactness scheme (the q_dedup_spans discipline, ops/dedup.py): the
+   corpus-wide duplicate count groups on ``xxhash64(line)`` — an 8-byte
+   shuffle key, never the line bytes — then the surviving candidate
+   occurrences (a small fraction; they already carry their line string)
+   re-count on the real string, so a 2^-64 hash collision cannot fabricate a
+   duplicate: for any line, either all its occurrences are candidates or
+   none, hence the within-candidate distinct-doc count equals the corpus
+   count and the verify is exact.
+
+2. **PII redaction** (Penedo et al. 2024 — FineWeb anonymizes emails and
+   public IPs before release; phones added per the common extension). PII is
+   injected deterministically from doc_id (same convention as above: the
+   synthetic corpus carries none), then scrubbed by regexp_replace with
+   patterns restricted to the Java-regex ∩ RE2 common dialect so Spark and
+   DuckDB agree byte-for-byte. Counts are taken per class before replacement.
+
+Scale shape (100 TB): pii_redact is pure per-row expressions — zero
+shuffles, whole-stage codegen end-to-end. Line dedup shuffles (a) 8-byte
+hashes once over all lines, (b) line strings over candidates only, and
+(c) kept lines once keyed by doc_id for reassembly — ≈1× corpus bytes total,
+versus the 40× a substring-window key costs (the r4 lesson).
+
+Reference parity target: crawl4ai has no corpus-level cleaning (its filters
+are per-page, html/content_filter.py) — this is beyond-reference
+training-data surface required by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.ops.common import tbl
+
+LINE_W = 4  # words per derived "line" (the corpus is single-space tokenized)
+
+# Java-regex ∩ RE2 common dialect only (no lookaround, no backrefs):
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ln, line): the token stream cut into LINE_W-word windows;
+    ln is the 0-based line index. In-row only — no shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.expr(f"""
+              posexplode(transform(
+                sequence(0L, CAST((size(split(text, ' ')) - 1)
+                                  div {LINE_W} AS BIGINT)),
+                i -> array_join(slice(split(text, ' '),
+                                      CAST(i * {LINE_W} + 1 AS INT),
+                                      {LINE_W}), ' ')))
+              AS (ln, line)"""))
+        .select("doc_id", F.col("ln").cast("long").alias("ln"), "line")
+    )
+
+
+def _dup_candidates(spark: SparkSession, sf_dir: str
+                    ) -> tuple[DataFrame, DataFrame]:
+    """(all lines, candidate occurrences of corpus-duplicated lines) — the
+    hash-then-verify plan described in the module docstring."""
+    lines = _lines(spark, sf_dir)
+    lh = lines.withColumn("hk", F.xxhash64("line"))
+    duph = (lh.groupBy("hk")
+            .agg(F.countDistinct("doc_id").alias("ndh"))
+            .filter(F.col("ndh") >= 2).select("hk"))
+    cand = lh.join(duph, "hk").select("doc_id", "ln", "line")
+    return lines, cand
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detection half: every line duplicated across >= 2 documents,
+    with its distinct-doc and total-occurrence counts."""
+    _, cand = _dup_candidates(spark, sf_dir)
+    return (
+        cand.groupBy("line")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+             F.count("*").cast("long").alias("n_occ"))
+        .filter(F.col("n_docs") >= 2)
+        .select("line", "n_docs", "n_occ")
+    )
+
+
+def q_clean_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform half: drop ALL occurrences of every corpus-duplicated
+    line (CCNet's rule — the hash count is over the whole corpus, so every
+    copy goes) and reassemble the remainder in line order."""
+    lines, cand = _dup_candidates(spark, sf_dir)
+    dup = (cand.groupBy("line")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("line"))
+    drop = cand.join(dup, "line").select("doc_id", "ln")
+    kept = (
+        lines.join(drop, ["doc_id", "ln"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_kept"),
+             F.expr("array_join(transform("
+                    "array_sort(collect_list(struct(ln, line))),"
+                    " x -> x.line), ' ')").alias("clean_text"))
+    )
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id",
+                 F.expr(f"CAST((size(split(text, ' ')) - 1) div {LINE_W}"
+                        f" + 1 AS BIGINT)").alias("n_lines"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_dup_lines"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
+
+
+# DuckDB oracle shares the line construction: list_slice clamps like Spark's
+# slice, and (len-1)//W + 1 windows == Spark's sequence bound.
+_SQL_LINES = f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ln,
+         array_to_string(
+           list_slice(tk, CAST(i * {LINE_W} + 1 AS BIGINT),
+                      CAST((i + 1) * {LINE_W} AS BIGINT)), ' ') AS line
+  FROM toks, unnest(range((len(tk) - 1) // {LINE_W} + 1)) p(i)
+)"""
+
+SQL_DEDUP_LINES = f"""
+WITH {_SQL_LINES}
+SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+"""
+
+SQL_CLEAN_DUP_LINES = f"""
+WITH {_SQL_LINES},
+dup AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT l.doc_id, l.ln, l.line
+  FROM lines l LEFT JOIN dup USING (line) WHERE dup.line IS NULL
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, ' ' ORDER BY ln) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST((len(string_split(d.text, ' ')) - 1) // {LINE_W} + 1 AS BIGINT)
+         AS n_lines,
+       CAST((len(string_split(d.text, ' ')) - 1) // {LINE_W} + 1
+            - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dup_lines,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _pii_text_spark() -> str:
+    """The deterministic PII-bearing column (doc_id-keyed injection; the
+    synthetic corpus carries no real PII — q_decontaminate convention)."""
+    return """
+      concat(text, CASE CAST(doc_id % 7 AS INT)
+        WHEN 3 THEN concat(' contact user', CAST(doc_id AS STRING),
+                           '@mail', CAST(doc_id % 5 AS STRING),
+                           '.example.com')
+        WHEN 5 THEN concat(' origin 10.', CAST(doc_id % 256 AS STRING),
+                           '.', CAST((doc_id div 256) % 256 AS STRING),
+                           '.', CAST(1 + doc_id % 254 AS STRING))
+        WHEN 1 THEN concat(' call 555-', CAST(100 + doc_id % 900 AS STRING),
+                           '-', CAST(1000 + doc_id % 9000 AS STRING))
+        ELSE '' END)"""
+
+
+_PII_TEXT_SQL = """
+  d.text || CASE CAST(doc_id % 7 AS INT)
+    WHEN 3 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+    WHEN 5 THEN ' origin 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                || '.' || CAST(1 + doc_id % 254 AS VARCHAR)
+    WHEN 1 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+    ELSE '' END"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class PII counts + the scrubbed text. Replacement order
+    email → ip → phone is fixed (and non-overlapping by construction);
+    counts are taken on the pre-redaction text. Pure per-row expressions —
+    zero shuffles, stays in whole-stage codegen."""
+    d = tbl(spark, sf_dir, "documents")
+    pii = d.select("doc_id", F.expr(_pii_text_spark()).alias("pii_text"))
+    out = pii
+    for name, pat in [("n_emails", EMAIL_RE), ("n_ips", IP_RE),
+                      ("n_phones", PHONE_RE)]:
+        out = out.withColumn(name, F.size(F.regexp_extract_all(
+            "pii_text", F.lit(pat), 0)).cast("long"))
+    return (
+        out.withColumn(
+            "redacted",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("pii_text", EMAIL_RE, "<EMAIL>"),
+                    IP_RE, "<IP>"),
+                PHONE_RE, "<PHONE>"))
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH pii AS (
+  SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents d
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(pii_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IP_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM pii
+"""
+
+
+QUERIES = {
+    "dedup_lines": q_dedup_lines,
+    "clean_dup_lines": q_clean_dup_lines,
+    "pii_redact": q_pii_redact,
+}
+ORACLES = {
+    "dedup_lines": SQL_DEDUP_LINES,
+    "clean_dup_lines": SQL_CLEAN_DUP_LINES,
+    "pii_redact": SQL_PII_REDACT,
+}
