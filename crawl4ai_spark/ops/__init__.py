@@ -47,6 +47,7 @@ _MODULES = [
     "bpeq",
     "perplexityq",
     "cleanq",
+    "domainq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
