@@ -395,6 +395,75 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# Epoch shuffle (late r5): the global-permutation step every LM training
+# pipeline ends with — the packed sequences are dealt into a deterministic
+# pseudo-random order so each epoch's data loader streams them without a
+# runtime shuffle buffer (the Megatron/streaming-dataset convention). The
+# permutation key is md5(EPOCH_SALT || seq_id); the global 0-based position
+# is the key's rank, computed with the pack_sequences two-phase discipline:
+# range-partition on the key, row_number within each partition, broadcast
+# per-partition counts as offsets. Never a global unpartitioned window —
+# and as with pack, the VALUE is partitioning-independent, so the
+# single-window DuckDB oracle is exact.
+# ---------------------------------------------------------------------------
+
+EPOCH_SALT = "ep1:"
+
+
+def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q_pack_sequences(spark, sf_dir)
+    seqs = packed.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"))
+    keyed = seqs.withColumn(
+        "h", F.md5(F.concat(F.lit(EPOCH_SALT),
+                            F.col("seq_id").cast("string"))))
+    part = keyed.repartitionByRange(8, "h") \
+                .withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy("h")
+    local = part.withColumn("r_local", F.row_number().over(w_local))
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    return (
+        local.join(F.broadcast(offsets.select("pid", "offset")), "pid")
+        .select("seq_id", "n_docs", "n_tokens",
+                (F.col("r_local") - 1 + F.col("offset"))
+                .cast("long").alias("pos"))
+    )
+
+
+SQL_SHUFFLE_EPOCH = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), p AS (
+  SELECT CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+         n_tokens
+  FROM c
+), s AS (
+  SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM p GROUP BY seq_id
+)
+SELECT seq_id, n_docs, n_tokens,
+       CAST(row_number() OVER (
+         ORDER BY md5('{EPOCH_SALT}' || CAST(seq_id AS VARCHAR)))
+         - 1 AS BIGINT) AS pos
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Temperature resampling (r4): the multilingual balancing step (XLM-R /
 # mC4): language sampling weights p_l ∝ sqrt(n_l) (alpha = 0.5) flatten
 # the head languages; each doc is kept iff a uniform draw derived from
@@ -1111,6 +1180,7 @@ QUERIES = {
     "chunk_sliding": q_chunk_sliding,
     "gopher_filter": q_gopher_filter,
     "pack_sequences": q_pack_sequences,
+    "shuffle_epoch": q_shuffle_epoch,
     "resample_temperature": q_resample_temperature,
     "decontaminate": q_decontaminate,
 }
@@ -1123,6 +1193,7 @@ ORACLES = {
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "gopher_filter": SQL_GOPHER_FILTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "shuffle_epoch": SQL_SHUFFLE_EPOCH,
     "resample_temperature": SQL_RESAMPLE_TEMPERATURE,
     "decontaminate": SQL_DECONTAMINATE,
     "split_stratified": SQL_SPLIT_STRATIFIED,
