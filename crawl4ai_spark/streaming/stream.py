@@ -313,6 +313,36 @@ def stream_corpus_gate(spark: SparkSession, docs_dir: str,
     ).filter(F.col("rate_e6").isNotNull())
 
 
+def stream_pii_redact(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming PII redaction: the FineWeb-style scrub
+    (``ops/cleanq.q_pii_redact``) applied to an arriving document stream.
+    Stateless per-row expressions — no state, no shuffle, any ingest rate;
+    the streamed (counts, redacted) rows are row-identical to the batch
+    query's, asserted in tests."""
+    from crawl4ai_spark.ops.cleanq import (
+        EMAIL_RE, IP_RE, PHONE_RE, _pii_text_spark)
+
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .parquet(docs_dir)
+    )
+    out = docs.select("doc_id", F.expr(_pii_text_spark()).alias("pii_text"))
+    for name, pat in [("n_emails", EMAIL_RE), ("n_ips", IP_RE),
+                      ("n_phones", PHONE_RE)]:
+        out = out.withColumn(name, F.size(F.regexp_extract_all(
+            "pii_text", F.lit(pat), 0)).cast("long"))
+    return out.withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("pii_text", EMAIL_RE, "<EMAIL>"),
+                IP_RE, "<IP>"),
+            PHONE_RE, "<PHONE>")
+    ).select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+
+
 def stream_pages_from_warc(spark: SparkSession, segments_dir: str) -> DataFrame:
     """Continuous Common-Crawl-style ingestion (S12 streaming read): WARC
     segments arriving in a directory become a pages stream — binaryFile

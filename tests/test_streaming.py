@@ -309,3 +309,27 @@ def test_stream_ppl_gate_matches_batch(spark, tmp_path_factory):
         {r.doc_id: r.sum_neglog_e6 for r in batch}
     assert {r.doc_id for r in rows if r.accept} == \
         {r.doc_id for r in batch if r.ppl_e6 <= thr}
+
+
+def test_stream_pii_redact_matches_batch(spark, tmp_path_factory):
+    """Streaming PII scrub must be row-identical to the batch query —
+    counts and redacted text byte-for-byte."""
+    import shutil
+
+    from crawl4ai_spark.ops.cleanq import q_pii_redact
+    from crawl4ai_spark.streaming.stream import stream_pii_redact
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("pii"))
+    shutil.copy(f"{sf}/documents.parquet", f"{d}/documents.parquet")
+
+    batch = {r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.redacted)
+             for r in q_pii_redact(spark, sf).collect()}
+
+    out = stream_pii_redact(spark, d)
+    run_stream_to_memory(out, "stream_pii_t")
+    rows = spark.sql("SELECT * FROM stream_pii_t").collect()
+    streamed = {r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.redacted)
+                for r in rows}
+    assert streamed == batch
+    assert sum(v[0] + v[1] + v[2] for v in streamed.values()) > 0
