@@ -242,13 +242,62 @@ FROM pii
 """
 
 
+def q_corpus_clean_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning verdict: domain gate × Gopher quality gate
+    cohorts, with per-cohort duplicate-line and PII totals — the summary
+    card a cleaning run ships alongside the cleaned corpus. Every join is
+    doc-keyed; the output is 4 cohort rows. Composes the already-oracled
+    stages exactly as `corpus_ledger_full` composes the r4 pipeline."""
+    from crawl4ai_spark.ops.domainq import q_domain_gate
+    from crawl4ai_spark.ops.pipelineq import q_gopher_filter
+
+    dom = q_domain_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("dom_keep"))
+    gq = q_gopher_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep"))
+    lines = q_clean_dup_lines(spark, sf_dir).select("doc_id", "n_dup_lines")
+    pii = q_pii_redact(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones"))
+        .alias("pii"))
+    return (
+        dom.join(gq, "doc_id").join(lines, "doc_id").join(pii, "doc_id")
+        .groupBy("dom_keep", "quality_keep")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_dup_lines").cast("long").alias("n_dup_lines"),
+             F.sum("pii").cast("long").alias("n_pii"))
+        .select("dom_keep", "quality_keep", "n_docs", "n_dup_lines",
+                "n_pii")
+    )
+
+
+def _sql_clean_card() -> str:
+    """Composed from the stage oracles verbatim, each as a derived table —
+    the oracle mirrors the composition, not a re-derivation."""
+    from crawl4ai_spark.ops.pipelineq import SQL_GOPHER_FILTER
+    from crawl4ai_spark.ops.domainq import SQL_DOMAIN_GATE
+    return f"""
+SELECT g.keep AS dom_keep, q.keep AS quality_keep,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l.n_dup_lines) AS BIGINT) AS n_dup_lines,
+       CAST(sum(p.n_emails + p.n_ips + p.n_phones) AS BIGINT) AS n_pii
+FROM ({SQL_DOMAIN_GATE}) g
+JOIN ({SQL_GOPHER_FILTER}) q USING (doc_id)
+JOIN ({SQL_CLEAN_DUP_LINES}) l USING (doc_id)
+JOIN ({SQL_PII_REDACT}) p USING (doc_id)
+GROUP BY g.keep, q.keep
+"""
+
+
 QUERIES = {
     "dedup_lines": q_dedup_lines,
     "clean_dup_lines": q_clean_dup_lines,
     "pii_redact": q_pii_redact,
+    "corpus_clean_card": q_corpus_clean_card,
 }
 ORACLES = {
     "dedup_lines": SQL_DEDUP_LINES,
     "clean_dup_lines": SQL_CLEAN_DUP_LINES,
     "pii_redact": SQL_PII_REDACT,
+    "corpus_clean_card": _sql_clean_card(),
 }

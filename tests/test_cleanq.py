@@ -103,3 +103,20 @@ def test_pii_redact_scrubs_everything(spark):
     out = q_pii_redact(spark, SF).toPandas()
     for pat in (EMAIL_RE, IP_RE, PHONE_RE):
         assert not out["redacted"].str.contains(pat, regex=True).any()
+
+
+def test_corpus_clean_card_partitions_corpus(spark):
+    """The 4 cohort rows must partition the corpus exactly, and every
+    total must equal the sum of the per-doc stage outputs."""
+    from crawl4ai_spark.ops.cleanq import q_corpus_clean_card
+
+    card = q_corpus_clean_card(spark, SF).collect()
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert sum(r.n_docs for r in card) == len(df)
+    assert len({(r.dom_keep, r.quality_keep) for r in card}) == len(card)
+    per_doc_pii = q_pii_redact(spark, SF).collect()
+    assert sum(r.n_pii for r in card) == sum(
+        r.n_emails + r.n_ips + r.n_phones for r in per_doc_pii)
+    per_doc_lines = q_clean_dup_lines(spark, SF).collect()
+    assert sum(r.n_dup_lines for r in card) == sum(
+        r.n_dup_lines for r in per_doc_lines)
