@@ -48,6 +48,7 @@ _MODULES = [
     "perplexityq",
     "cleanq",
     "domainq",
+    "graphq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.

@@ -446,13 +446,12 @@ FROM mh GROUP BY doc_id
 """
 
 
-def q_dedup_minhash_bands2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized LSH band candidates: per-doc band keys in one Arrow stage
-    (no hashlib in the shingle loop), single shuffle = the band-key bucket
-    join — the same shape as bands_fast with the md5 constant factor gone."""
+def _mh2_band_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, band_key): the mh2 LSH band keys in
+    ONE Arrow stage, zero shuffle — shared by the intra-snapshot bucket join
+    (q_dedup_minhash_bands2) and the incremental delta-vs-base membership
+    probe (q_dedup_incremental)."""
     import pandas as pd
-
-    d = tbl(spark, sf_dir, "documents")
 
     def bands(batches):
         md5 = _hashlib.md5
@@ -467,8 +466,15 @@ def q_dedup_minhash_bands2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 md5(parts.encode()).hexdigest()))
             yield pd.DataFrame(out, columns=["doc_id", "band", "band_key"])
 
-    sig_bands = d.select("doc_id", "text").mapInPandas(
+    return d.select("doc_id", "text").mapInPandas(
         bands, "doc_id long, band long, band_key string")
+
+
+def q_dedup_minhash_bands2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized LSH band candidates: per-doc band keys in one Arrow stage
+    (no hashlib in the shingle loop), single shuffle = the band-key bucket
+    join — the same shape as bands_fast with the md5 constant factor gone."""
+    sig_bands = _mh2_band_keys(tbl(spark, sf_dir, "documents"))
     a = sig_bands.alias("a")
     b = sig_bands.alias("b")
     return (
@@ -953,6 +959,136 @@ LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# --- Incremental cross-snapshot dedup -------------------------------------
+#
+# The corpus-update path: a web-scale corpus is built snapshot by snapshot
+# (Common Crawl publishes monthly), and re-deduplicating the full corpus per
+# snapshot is O(corpus) — the production pattern is to dedupe the DELTA
+# against a persisted index of the existing snapshot: an exact content-hash
+# probe first, then MinHash-LSH band membership for the survivors, so the
+# per-snapshot cost is O(delta), never O(corpus).
+#
+# Snapshot model (deterministic, from the one documents table): the BASE
+# snapshot is doc_id % 4 != 0; the DELTA re-crawl is the genuinely new docs
+# (doc_id % 4 == 0 — these carry the corpus' near-dup structure across the
+# split) plus re-fetches of unchanged base docs (doc_id % 10 == 1, re-issued
+# under doc_id + 2^40 — byte-identical text, exercising the exact path).
+#
+# Verdict per delta doc: 'exact' (byte-identical to a base doc, md5 probe),
+# else 'near' (shares an mh2 LSH band with a base doc), else 'new';
+# match_id = min matching base doc_id (NULL for 'new'). Dups WITHIN the
+# delta are the intra-snapshot family's job (dedup_exact / bands2).
+#
+# 100 TB shape: the base side of both joins is its persisted INDEX — 16-byte
+# md5 + N_BANDS 16-byte band keys per doc (~80 B/doc, built once per
+# snapshot; bucket it on the probe key and the probe is shuffle-free) — the
+# base TEXT never moves. Delta-side work is one scan (md5) plus one Arrow
+# signature stage over exact-survivors only; both probes are equi-joins,
+# never delta × base.
+
+INC_REFETCH_OFFSET = 1 << 40  # re-issued doc_id namespace for re-fetches
+
+
+def _inc_snapshot_split(spark: SparkSession, sf_dir: str):
+    d = tbl(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    refetch = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + F.lit(INC_REFETCH_OFFSET)).alias("doc_id"), "text")
+    return base, new.unionByName(refetch)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, delta = _inc_snapshot_split(spark, sf_dir)
+    bh = base.select(F.col("doc_id").alias("base_id"), F.md5("text").alias("h"))
+    exact = (
+        delta.select("doc_id", F.md5("text").alias("h"))
+        .join(bh, "h")
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("exact_id"))
+    )
+    survivors = delta.join(exact, "doc_id", "left_anti")
+    base_bands = _mh2_band_keys(base).select(
+        F.col("doc_id").alias("base_id"), "band", "band_key")
+    near = (
+        _mh2_band_keys(survivors)
+        .join(base_bands, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("near_id"))
+    )
+    return (
+        delta.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+             .when(F.col("near_id").isNotNull(), F.lit("near"))
+             .otherwise(F.lit("new")).alias("verdict"),
+            F.coalesce("exact_id", "near_id").cast("long").alias("match_id"))
+    )
+
+
+def _sql_mh2_shingles_from(src: str) -> str:
+    """_SQL_MH2_SHINGLES parametrized over the source relation."""
+    return f"""
+  SELECT DISTINCT d.doc_id, {_SQL_MH2_H64} AS h64
+  FROM (SELECT doc_id, lower(text) AS t FROM {src}) d,
+       unnest(range((length(d.t) - {SHINGLE_K}) // {SHINGLE_STRIDE} + 1)) p(i)
+  WHERE length(d.t) >= {SHINGLE_K}
+"""
+
+
+def _sql_mh2_bands_from(sh: str) -> str:
+    """Per-doc mh2 band keys (the SQL_DEDUP_MINHASH_BANDS2 bands CTE body)
+    parametrized over the shingle CTE name."""
+    return f"""
+  SELECT doc_id, CAST(pi % {N_BANDS} AS BIGINT) AS band,
+         md5(string_agg(pi || '=' || mh, '|' ORDER BY pi)) AS band_key
+  FROM (SELECT doc_id, pi, min({_SQL_MH2_V}) AS mh
+        FROM {sh} CROSS JOIN perms GROUP BY doc_id, pi) mh
+  GROUP BY doc_id, pi % {N_BANDS}
+"""
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+), delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + {INC_REFETCH_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 1
+), exact AS (
+  SELECT dh.doc_id, min(bh.doc_id) AS match_id
+  FROM (SELECT doc_id, md5(text) AS h FROM delta) dh
+  JOIN (SELECT doc_id, md5(text) AS h FROM base) bh ON dh.h = bh.h
+  GROUP BY dh.doc_id
+), survivors AS (
+  SELECT d.doc_id, d.text FROM delta d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM exact)
+), perms AS ({_SQL_MH2_PERMS}),
+sh_b AS ({_sql_mh2_shingles_from("base")}),
+sh_d AS ({_sql_mh2_shingles_from("survivors")}),
+bands_b AS ({_sql_mh2_bands_from("sh_b")}),
+bands_d AS ({_sql_mh2_bands_from("sh_d")}),
+near AS (
+  SELECT bd.doc_id, min(bb.doc_id) AS match_id
+  FROM bands_d bd JOIN bands_b bb
+    ON bd.band = bb.band AND bd.band_key = bb.band_key
+  GROUP BY bd.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS verdict,
+       CAST(coalesce(e.match_id, n.match_id) AS BIGINT) AS match_id
+FROM delta d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
@@ -968,6 +1104,7 @@ QUERIES = {
     "dedup_minhash_bands2": q_dedup_minhash_bands2,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_incremental": q_dedup_incremental,
 }
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -984,4 +1121,5 @@ ORACLES = {
     "dedup_minhash_bands2": SQL_DEDUP_MINHASH_BANDS2,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }

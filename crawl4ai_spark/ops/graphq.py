@@ -1,0 +1,224 @@
+"""Web-graph analytics beyond PageRank: HyperBall harmonic centrality.
+
+Harmonic centrality ``H(v) = sum_{u != v} 1 / d(u, v)`` (distance measured
+INTO v) is the ranking Common Crawl publishes for its host/domain graphs;
+computing it exactly needs all-pairs BFS, which is infeasible at 10^10
+nodes. HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+Centralities with HyperBall", 2013) replaces each ball ``B(v, t)`` with a
+HyperLogLog counter and iterates one max-merge per edge per round:
+
+    c(v, t+1) = c(v, t)  MAX-MERGE  c(u, t)   for every edge u -> v
+
+so round t costs ONE edge-keyed equi-join + a (node, bucket) max aggregate
+— the same shuffle shape as a PageRank round (ops/analytics.py:223), with
+counter rows bounded by ``nodes × min(|ball|, m)``. Registers reuse the
+repo's deterministic md5-derived HLL scheme (ops/textstats.py HLL_M /
+HLL_RHO_CAP / integer linear-counting table), so every register, every
+per-round ball estimate, and the final harmonic sum are EXACT integers with
+a chained-CTE DuckDB oracle (the events_pagerank discipline).
+
+Estimator note: the raw->linear-counting regime switch is not strictly
+monotone at the boundary, so per-round ball deltas are clamped at 0
+(``greatest(b_t - b_{t-1}, 0)``) in BOTH engines before the 1/t weighting;
+all divisions keep nonnegative numerators so floor == truncate cross-engine
+(NOTES.md parity gotcha #6).
+
+Scale (100 TB / 10^10 edges): counters are (node, bucket, rho) rows — at
+m=256 the per-node counter is <=256 rows ~ 4 KB, 40 TB total at 10^10
+nodes, partitioned by node; each round shuffles |edges| x occupied-buckets
+rows on the edge key. HB_ITERS bounds the radius (Common Crawl's ranking
+uses a fixed small radius for exactly this reason); the per-round plan is
+embarrassingly parallel and AQE-skew-splittable on hub nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.ops.analytics import _pr_graph
+from crawl4ai_spark.ops.textstats import (
+    HLL_M,
+    HLL_RHO_CAP,
+    _HLL_ALPHA_M2_2_32,
+    _HLL_LC,
+    _HLL_LC_SQL,
+)
+
+HB_ITERS = 3  # ball radius: H(v) truncated at distance 3 (HyperBall's
+# fixed-radius mode; every engine term beyond it is graph-dependent tail)
+
+
+def _single_registers(nodes: DataFrame) -> DataFrame:
+    """HLL counter of the singleton set {node}: one (node, bucket, rho) row
+    per node, registers derived from md5(cast(node as string)) exactly as
+    ops/textstats.py q_text_hll_registers derives them from md5(text)."""
+    h = nodes.withColumn("_m", F.md5(F.col("node").cast("string")))
+    hv1 = "(instr('0123456789abcdef', substring(_m, 1, 1)) - 1)"
+    hv2 = "(instr('0123456789abcdef', substring(_m, 2, 1)) - 1)"
+    h = (
+        h.withColumn("bucket", F.expr(f"CAST(16 * {hv1} + {hv2} AS BIGINT)"))
+        .withColumn("hx", F.expr("trim(LEADING '0' FROM substring(_m, 3, 16))"))
+    )
+    first = F.substring("hx", 1, 1)
+    extra = (F.when(first == "1", 3)
+              .when(first.isin("2", "3"), 2)
+              .when(first.isin("4", "5", "6", "7"), 1)
+              .otherwise(0))
+    rho = F.when(F.col("hx") == "", F.lit(HLL_RHO_CAP)).otherwise(
+        F.least(F.lit(HLL_RHO_CAP),
+                (F.lit(16) - F.length("hx")) * 4 + extra + 1))
+    return h.select("node", "bucket", rho.cast("long").alias("rho"))
+
+
+def _ball_estimate(regs: DataFrame, out: str) -> DataFrame:
+    """Per-node HLL estimate from a (node, bucket, rho) counter table —
+    the q_text_hll_estimate formula keyed by node: exact-integer S term,
+    one cross-engine double division, linear-counting table in the
+    small-range regime."""
+    s = regs.groupBy("node").agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.expr("cast(shiftleft(1L, cast(32 - rho as int)) as bigint)"))
+        .alias("s_occ"))
+    raw = F.expr(f"CAST(ROUND({_HLL_ALPHA_M2_2_32} / "
+                 f"(({HLL_M} - occupied) * 4294967296 + s_occ)) AS BIGINT)")
+    empty = F.lit(HLL_M) - F.col("occupied")
+    lc = F.element_at(F.array(*[F.lit(v) for v in _HLL_LC]),
+                      empty.cast("int"))
+    return s.select(
+        "node",
+        F.when((empty > 0) & (raw <= int(2.5 * HLL_M)), lc.cast("long"))
+         .otherwise(raw).alias(out))
+
+
+def q_events_harmonic_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality over the events click graph via HyperBall.
+
+    Graph = the PageRank graph (ops/analytics.py _pr_graph: node = props.k,
+    edge = consecutive k per user). Output per node: the estimated in-ball
+    sizes at t=1..HB_ITERS and the truncated harmonic centrality
+    ``harmonic_e6 = sum_t max(b_t - b_{t-1}, 0) * 1e6 div t``.
+    """
+    nodes, edges, _ = _pr_graph(spark, sf_dir)
+    regs = _single_registers(nodes)
+    ests = [_ball_estimate(regs, "b0")]
+    for t in range(1, HB_ITERS + 1):
+        moved = (
+            edges.join(regs.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "bucket", "rho")
+        )
+        regs = (
+            regs.unionByName(moved)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        ests.append(_ball_estimate(regs, f"b{t}"))
+    out = nodes
+    for e in ests:
+        out = out.join(e, "node")
+    harmonic = F.expr(" + ".join(
+        f"greatest(b{t} - b{t - 1}, 0L) * 1000000 div {t}"
+        for t in range(1, HB_ITERS + 1)))
+    return out.select(
+        F.col("node").cast("long"),
+        *[F.col(f"b{t}").cast("long").alias(f"ball_t{t}")
+          for t in range(1, HB_ITERS + 1)],
+        harmonic.cast("long").alias("harmonic_e6"),
+    )
+
+
+# --- DuckDB oracle: the same graph CTEs as SQL_EVENTS_PAGERANK, singleton
+# registers from md5(CAST(node AS VARCHAR)), HB_ITERS chained max-merge
+# rounds, per-round estimates, clamped harmonic sum.
+
+_SQL_GRAPH = """
+ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT src, dst FROM e0 WHERE dst IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+)"""
+
+_SQL_R0 = f"""
+r0 AS (
+  SELECT node,
+         CAST(16 * (instr('0123456789abcdef', substr(m, 1, 1)) - 1)
+              + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)
+              AS BIGINT) AS bucket,
+         CAST(CASE WHEN hx = '' THEN {HLL_RHO_CAP}
+              ELSE least({HLL_RHO_CAP},
+                         (16 - length(hx)) * 4
+                         + CASE WHEN hx LIKE '1%' THEN 3
+                                WHEN hx LIKE '2%' OR hx LIKE '3%' THEN 2
+                                WHEN hx LIKE '4%' OR hx LIKE '5%'
+                                  OR hx LIKE '6%' OR hx LIKE '7%' THEN 1
+                                ELSE 0 END + 1) END AS BIGINT) AS rho
+  FROM (SELECT node, md5(CAST(node AS VARCHAR)) AS m,
+               ltrim(substr(md5(CAST(node AS VARCHAR)), 3, 16), '0') AS hx
+        FROM nodes) q
+)"""
+
+
+def _sql_hb_round(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.bucket, p.rho
+    FROM edges e JOIN {prev} p ON p.node = e.src
+  ) u GROUP BY node, bucket
+)"""
+
+
+def _sql_hb_est(regs: str, cur: str, col: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT node,
+         CASE WHEN empty > 0 AND raw <= {int(2.5 * HLL_M)}
+              THEN CAST({_HLL_LC_SQL}[empty] AS BIGINT)
+              ELSE raw END AS {col}
+  FROM (
+    SELECT node, CAST({HLL_M} - count(*) AS INT) AS empty,
+           CAST(ROUND({_HLL_ALPHA_M2_2_32} /
+                (({HLL_M} - count(*)) * 4294967296
+                 + sum(CAST(1 AS BIGINT) << CAST(32 - rho AS INT))))
+                AS BIGINT) AS raw
+    FROM {regs} GROUP BY node
+  ) s
+)"""
+
+
+SQL_EVENTS_HARMONIC_HYPERBALL = (
+    "WITH " + _SQL_GRAPH + "," + _SQL_R0
+    + "".join("," + _sql_hb_round(f"r{t - 1}", f"r{t}")
+              for t in range(1, HB_ITERS + 1))
+    + "".join("," + _sql_hb_est(f"r{t}", f"est{t}", f"b{t}")
+              for t in range(0, HB_ITERS + 1))
+    + f"""
+SELECT CAST(n.node AS BIGINT) AS node,
+       {", ".join(f"CAST(b{t} AS BIGINT) AS ball_t{t}"
+                  for t in range(1, HB_ITERS + 1))},
+       CAST({" + ".join(f"greatest(b{t} - b{t - 1}, 0) * 1000000 // {t}"
+                        for t in range(1, HB_ITERS + 1))} AS BIGINT)
+       AS harmonic_e6
+FROM nodes n
+{chr(10).join(f"JOIN est{t} ON est{t}.node = n.node"
+              for t in range(0, HB_ITERS + 1))}
+"""
+)
+
+
+QUERIES = {
+    "events_harmonic_hyperball": q_events_harmonic_hyperball,
+}
+ORACLES = {
+    "events_harmonic_hyperball": SQL_EVENTS_HARMONIC_HYPERBALL,
+}
