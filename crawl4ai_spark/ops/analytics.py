@@ -282,6 +282,114 @@ FROM r{PAGERANK_ITERS}
 """
 
 
+# ---------------------------------------------------------------------------
+# HITS hubs-and-authorities (Kleinberg 1999) over the same click graph —
+# the third classic web-ranking iteration next to PageRank and HyperBall
+# harmonic centrality. Exact-integer scheme: scores live in e6 fixed point;
+# each half-round is one edge-keyed equi-join + a node aggregate, then a
+# max-normalization (score * 1e6 div max) instead of the usual L2 norm so
+# every value stays a nonnegative integer and div == // cross-engine
+# (NOTES.md parity gotcha #6). The max is a 1-row aggregate broadcast back
+# onto the score table (BroadcastNestedLoopJoin on one row — never a real
+# cartesian), the distributed analogue of the driver-side norm constant.
+#
+# Scale shape per round: two equi-joins on the edge keys + two groupBy
+# aggregates + two O(1) global maxes — identical shuffle profile to two
+# PageRank rounds; score tables are node-keyed, edges shuffle on src/dst
+# only. Overflow: a,h <= 1e6, so raw <= 1e6 * indeg and raw * 1e6 fits
+# BIGINT up to indeg ~ 9e6 per node; beyond that (extreme hubs at 10^10
+# edges) drop the fixed point to e3 — documented, not needed at test SF.
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+
+
+def _hits_scale_to_max(raw: DataFrame, out: str) -> DataFrame:
+    """score = raw * 1e6 div max(raw): integer max-normalization, the 1-row
+    max broadcast onto the node-keyed score table."""
+    mx = raw.agg(F.max("raw").alias("_mx"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "node", F.expr("raw * 1000000 div _mx").cast("long").alias(out))
+
+
+def q_events_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS after HITS_ITERS rounds: authority_e6 / hub_e6 per node,
+    max-normalized each half-round (requires a non-empty edge set, which
+    _pr_graph guarantees on the events table)."""
+    nodes, edges, _ = _pr_graph(spark, sf_dir)
+    h = nodes.withColumn("h", F.lit(1_000_000).cast("long"))
+    a = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("s")))
+        a_raw = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("raw"))
+        a = _hits_scale_to_max(a_raw, "a")
+        h_raw = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("s")))
+        h_raw = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("raw"))
+        h = _hits_scale_to_max(h_raw, "h")
+    return nodes.join(a, "node").join(h, "node").select(
+        F.col("node").cast("long"),
+        F.col("a").cast("long").alias("authority_e6"),
+        F.col("h").cast("long").alias("hub_e6"))
+
+
+def _sql_hits_round(prev_h: str, t: int) -> str:
+    return f"""
+a{t}_raw AS (
+  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS raw
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst, sum(p.h) AS s
+             FROM edges e JOIN {prev_h} p ON p.node = e.src
+             GROUP BY e.dst) s ON s.dst = n.node
+), a{t} AS (
+  SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM a{t}_raw)
+               AS BIGINT) AS a
+  FROM a{t}_raw
+), h{t}_raw AS (
+  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS raw
+  FROM nodes n
+  LEFT JOIN (SELECT e.src, sum(p.a) AS s
+             FROM edges e JOIN a{t} p ON p.node = e.dst
+             GROUP BY e.src) s ON s.src = n.node
+), h{t} AS (
+  SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM h{t}_raw)
+               AS BIGINT) AS h
+  FROM h{t}_raw
+)"""
+
+
+SQL_EVENTS_HITS = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT src, dst FROM e0 WHERE dst IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), h0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes
+),{",".join(_sql_hits_round(f"h{i}", i + 1) for i in range(HITS_ITERS))}
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(a.a AS BIGINT) AS authority_e6,
+       CAST(h.h AS BIGINT) AS hub_e6
+FROM nodes n
+JOIN a{HITS_ITERS} a ON a.node = n.node
+JOIN h{HITS_ITERS} h ON h.node = n.node
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_customers": q_join_top_customers,
@@ -289,6 +397,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "events_windowed_counts": q_events_windowed_counts,
     "events_pagerank": q_events_pagerank,
+    "events_hits": q_events_hits,
 }
 ORACLES = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
@@ -297,4 +406,5 @@ ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "events_pagerank": SQL_EVENTS_PAGERANK,
+    "events_hits": SQL_EVENTS_HITS,
 }

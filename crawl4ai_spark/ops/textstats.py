@@ -664,6 +664,107 @@ FROM toks t LEFT JOIN vocab v USING (token)
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+# frequency sketch completing the repo's mergeable-sketch family (HLL
+# cardinality, Bloom/cuckoo membership, MinHash/SimHash similarity). At
+# 10^10 URLs you estimate token/host frequencies without ever shuffling the
+# full key space: the sketch is CMS_D × CMS_W integer cells, built by ONE
+# map-side-combinable aggregate over the token stream (each mapper holds
+# the whole grid, partials sum cell-wise — the mergeable property is also
+# what makes the streaming/micro-batch variant free), then heavy-hitter
+# candidates probe est(x) = min_d cell[d, h_d(x)] against the broadcast
+# grid. Hashes are the repo's deterministic md5-hex scheme (first 8 nibbles
+# of md5(d || ':' || key) mod CMS_W), exact in both engines, so every cell
+# and every estimate is an exact integer with est >= true guaranteed.
+#
+# CMS_W is deliberately SMALLER than the test vocabulary so collisions
+# actually occur and the oracle exercises the min-over-rows recovery (the
+# query reports true vs estimated counts per token; production sizing is
+# W = e/eps, D = ln(1/delta)).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 16
+
+
+def _cms_bucket_spark(key: str, d: str) -> str:
+    """First 8 md5 hex nibbles of '<d>:<key>' as an integer, mod CMS_W —
+    Spark SQL expression string."""
+    m = f"md5(concat(cast({d} as string), ':', {key}))"
+    val = " + ".join(
+        f"CAST(instr('0123456789abcdef', substring({m}, {k + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8))
+    return f"pmod({val}, {CMS_W})"
+
+
+def _cms_bucket_duck(key: str, d: str) -> str:
+    m = f"md5(CAST({d} AS VARCHAR) || ':' || {key})"
+    val = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({m}, {k + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8))
+    return f"(({val}) % {CMS_W})"
+
+
+def q_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per token: exact corpus count vs its count-min-sketch estimate.
+
+    Plan: token stream → explode CMS_D hash rows → ONE (d, bucket) count
+    aggregate (the ≤ CMS_D×CMS_W-cell sketch, map-side combined); candidate
+    probe = distinct tokens × rows joined to the broadcast grid, min over
+    rows. True counts computed alongside for the parity report only — the
+    sketch path never needs the full-vocab aggregate at scale.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(F.explode(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
+    rows = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    cells = (
+        toks.crossJoin(F.broadcast(rows))
+        .select("d", F.expr(_cms_bucket_spark("tok", "d")).alias("bucket"))
+        .groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    true_cnt = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    probe = (
+        true_cnt.select("tok").crossJoin(F.broadcast(rows))
+        .select("tok", "d", F.expr(_cms_bucket_spark("tok", "d")).alias("bucket"))
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok").agg(F.min("cnt").alias("est_cnt"))
+    )
+    return true_cnt.join(probe, "tok").select(
+        "tok",
+        F.col("true_cnt").cast("long"),
+        F.col("est_cnt").cast("long"),
+        (F.col("est_cnt") > F.col("true_cnt")).alias("overestimated"))
+
+
+SQL_TOKEN_CMS_TOPK = f"""
+WITH toks AS (
+  SELECT t.tok FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+), rows_d AS (
+  SELECT CAST(unnest(range({CMS_D})) AS INT) AS d
+), cells AS (
+  SELECT d, {_cms_bucket_duck('tok', 'd')} AS bucket, count(*) AS cnt
+  FROM toks CROSS JOIN rows_d GROUP BY 1, 2
+), true_cnt AS (
+  SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok
+), probe AS (
+  SELECT q.tok, min(c.cnt) AS est_cnt
+  FROM (SELECT tok, d, {_cms_bucket_duck('tok', 'd')} AS bucket
+        FROM (SELECT DISTINCT tok FROM toks) CROSS JOIN rows_d) q
+  JOIN cells c ON c.d = q.d AND c.bucket = q.bucket
+  GROUP BY q.tok
+)
+SELECT t.tok, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+       CAST(p.est_cnt AS BIGINT) AS est_cnt,
+       p.est_cnt > t.true_cnt AS overestimated
+FROM true_cnt t JOIN probe p ON p.tok = t.tok
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "vocab_build": q_vocab_build,
@@ -677,6 +778,7 @@ QUERIES = {
     "text_dup_ngrams": q_text_dup_ngrams,
     "text_hll_registers": q_text_hll_registers,
     "text_hll_estimate": q_text_hll_estimate,
+    "token_cms_topk": q_token_cms_topk,
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
@@ -691,4 +793,5 @@ ORACLES = {
     "text_dup_ngrams": SQL_TEXT_DUP_NGRAMS,
     "text_hll_registers": SQL_TEXT_HLL_REGISTERS,
     "text_hll_estimate": SQL_TEXT_HLL_ESTIMATE,
+    "token_cms_topk": SQL_TOKEN_CMS_TOPK,
 }
