@@ -998,9 +998,22 @@ def _inc_snapshot_split(spark: SparkSession, sf_dir: str):
     return base, new.unionByName(refetch)
 
 
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base, delta = _inc_snapshot_split(spark, sf_dir)
+def inc_index_frames(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The persisted per-snapshot index of a base corpus: (md5-hash table,
+    mh2 band-key table) — ~80 B/doc total; production writes both once per
+    snapshot (bucketed on their probe keys) and the base text never moves
+    again. scripts/scale_probe_r5.py materializes these to parquet to
+    measure the fixed-delta O(delta) probe cost."""
     bh = base.select(F.col("doc_id").alias("base_id"), F.md5("text").alias("h"))
+    base_bands = _mh2_band_keys(base).select(
+        F.col("doc_id").alias("base_id"), "band", "band_key")
+    return bh, base_bands
+
+
+def inc_verdicts(delta: DataFrame, bh: DataFrame,
+                 base_bands: DataFrame) -> DataFrame:
+    """Delta verdicts against a (possibly persisted) base index — the join
+    logic shared by the registry query and the scale probe."""
     exact = (
         delta.select("doc_id", F.md5("text").alias("h"))
         .join(bh, "h")
@@ -1008,8 +1021,6 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("base_id").alias("exact_id"))
     )
     survivors = delta.join(exact, "doc_id", "left_anti")
-    base_bands = _mh2_band_keys(base).select(
-        F.col("doc_id").alias("base_id"), "band", "band_key")
     near = (
         _mh2_band_keys(survivors)
         .join(base_bands, ["band", "band_key"])
@@ -1027,6 +1038,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.lit("new")).alias("verdict"),
             F.coalesce("exact_id", "near_id").cast("long").alias("match_id"))
     )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, delta = _inc_snapshot_split(spark, sf_dir)
+    bh, base_bands = inc_index_frames(base)
+    return inc_verdicts(delta, bh, base_bands)
 
 
 def _sql_mh2_shingles_from(src: str) -> str:
