@@ -49,6 +49,7 @@ _MODULES = [
     "cleanq",
     "domainq",
     "graphq",
+    "refreshq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.

@@ -1,0 +1,145 @@
+"""Re-crawl scheduling: change-rate estimation + refresh priority.
+
+The incremental-crawl counterpart of ``dedup_incremental``: a production
+crawler re-visits 10^10 URLs on a budget, so it must estimate each page's
+change rate from its fetch history and spend the budget on the pages most
+likely to be stale. Estimator: Cho & Garcia-Molina, "Estimating Frequency
+of Change" (ACM TOIT 2003) — for n re-visits of which X found the page
+changed, the bias-corrected Poisson-rate estimate is
+
+    lambda = -ln((n - X + 0.5) / (n + 0.5))    (changes per visit interval)
+
+and the practical refresh policy ranks by ``lambda × age`` (expected
+changes since the last crawl). The reference has no scheduler at all (its
+CacheMode is binary use-cache/refetch); this is the operator a 10^10-URL
+frontier needs on top.
+
+Exactness discipline: (n, X) ranges over a tiny finite domain, so the ln
+is PRECOMPUTED into an integer e6 table in Python and emitted as a nested
+CASE expression shared VERBATIM by Spark and DuckDB — zero libm in either
+engine, every output integer-exact (the DSIR/HLL integer-table pattern).
+
+Fetch history is synthesized deterministically from the documents table
+(the repo's md5-derivation convention): doc_id → n_visits in [3, 10], each
+visit's changed-bit drawn from an md5 nibble against a per-doc change
+propensity, age_days in [1, 30].
+
+Scale shape: one bounded explode (≤ MAX_VISITS rows/doc) + one doc-keyed
+partial aggregate + pure expressions — no join, no window, no python; at
+10^10 URLs the history table is the real input and the plan is the same
+single aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.ops.common import tbl
+
+MIN_VISITS = 3
+MAX_VISITS = 10
+
+# exact integer e6 table: (n, X) -> round(-ln((n - X + .5)/(n + .5)) * 1e6)
+LAMBDA_E6 = {
+    (n, x): round(-math.log((n - x + 0.5) / (n + 0.5)) * 1e6)
+    for n in range(MIN_VISITS, MAX_VISITS + 1)
+    for x in range(0, n + 1)
+}
+
+# the table as a nested CASE expression — identical text in both engines
+_LAMBDA_CASE = "CASE " + " ".join(
+    f"WHEN n_visits = {n} AND n_changes = {x} THEN {v}"
+    for (n, x), v in sorted(LAMBDA_E6.items())
+) + " ELSE 0 END"
+
+# priority buckets (expected changes since last crawl, e6): the knobs a
+# budgeted scheduler would tune
+HOT_E6 = 10_000_000   # >= 10 expected changes -> crawl now
+WARM_E6 = 2_000_000   # >= 2 -> this cycle
+
+
+def q_refresh_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per URL (doc): visits, observed changes, Cho–Garcia-Molina
+    change-rate estimate (e6), age, refresh priority = lambda × age, and
+    the scheduling bucket."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    hist = (
+        d.withColumn("n_visits",
+                     (F.lit(MIN_VISITS)
+                      + F.col("doc_id") % (MAX_VISITS - MIN_VISITS + 1))
+                     .cast("int"))
+        .withColumn("propensity", (F.col("doc_id") % 11).cast("int"))
+        .withColumn("i", F.explode(F.expr("sequence(1, n_visits)")))
+        .withColumn("nib", F.expr(
+            "instr('0123456789abcdef', "
+            "substring(md5(concat(cast(doc_id as string), ':', "
+            "cast(i as string))), 1, 1)) - 1"))
+        .withColumn("changed", (F.col("nib") < F.col("propensity")).cast("int"))
+    )
+    agg = hist.groupBy("doc_id", "n_visits").agg(
+        F.sum("changed").alias("n_changes"))
+    return (
+        agg.withColumn("lambda_e6", F.expr(_LAMBDA_CASE))
+        .withColumn("age_days", (F.lit(1) + (F.col("doc_id") * 7) % 30)
+                    .cast("long"))
+        .withColumn("priority_e6",
+                    (F.col("lambda_e6") * F.col("age_days")).cast("long"))
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_visits").cast("long"),
+            F.col("n_changes").cast("long"),
+            F.col("lambda_e6").cast("long"),
+            "age_days", "priority_e6",
+            F.when(F.col("priority_e6") >= HOT_E6, "hot")
+             .when(F.col("priority_e6") >= WARM_E6, "warm")
+             .otherwise("cold").alias("bucket"))
+    )
+
+
+SQL_REFRESH_SCHEDULE = f"""
+WITH hist AS (
+  SELECT doc_id,
+         CAST({MIN_VISITS} + doc_id % {MAX_VISITS - MIN_VISITS + 1} AS INT)
+           AS n_visits,
+         CAST(doc_id % 11 AS INT) AS propensity,
+         unnest(range(1, CAST({MIN_VISITS} + doc_id %
+                {MAX_VISITS - MIN_VISITS + 1} AS INT) + 1)) AS i
+  FROM documents
+), obs AS (
+  SELECT doc_id, n_visits,
+         CASE WHEN (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                               CAST(i AS VARCHAR)), 1, 1)) - 1)
+                   < propensity THEN 1 ELSE 0 END AS changed
+  FROM hist
+), agg AS (
+  SELECT doc_id, n_visits, sum(changed) AS n_changes
+  FROM obs GROUP BY doc_id, n_visits
+), est AS (
+  SELECT doc_id, n_visits, n_changes,
+         {_LAMBDA_CASE} AS lambda_e6,
+         1 + (doc_id * 7) % 30 AS age_days
+  FROM agg
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_visits AS BIGINT) AS n_visits,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(lambda_e6 AS BIGINT) AS lambda_e6,
+       CAST(age_days AS BIGINT) AS age_days,
+       CAST(lambda_e6 * age_days AS BIGINT) AS priority_e6,
+       CASE WHEN lambda_e6 * age_days >= {HOT_E6} THEN 'hot'
+            WHEN lambda_e6 * age_days >= {WARM_E6} THEN 'warm'
+            ELSE 'cold' END AS bucket
+FROM est
+"""
+
+
+QUERIES = {
+    "refresh_schedule": q_refresh_schedule,
+}
+ORACLES = {
+    "refresh_schedule": SQL_REFRESH_SCHEDULE,
+}
