@@ -708,6 +708,20 @@ def _cms_bucket_duck(key: str, d: str) -> str:
     return f"(({val}) % {CMS_W})"
 
 
+def cms_cells(toks: DataFrame) -> DataFrame:
+    """(tok) -> the CMS grid (d, bucket, cnt): the D-row hash fan-out is a
+    pure array-literal explode (stream-safe — no static-side join), then
+    ONE map-side-combinable count into <= CMS_D*CMS_W cells. Shared by the
+    batch query and streaming/stream.stream_token_cms (where the bounded
+    cell count IS the streaming state bound)."""
+    fan = toks.select(
+        "tok", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d"))
+    return (
+        fan.select("d", F.expr(_cms_bucket_spark("tok", "d")).alias("bucket"))
+        .groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per token: exact corpus count vs its count-min-sketch estimate.
 
@@ -721,11 +735,7 @@ def q_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
     rows = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
-    cells = (
-        toks.crossJoin(F.broadcast(rows))
-        .select("d", F.expr(_cms_bucket_spark("tok", "d")).alias("bucket"))
-        .groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
-    )
+    cells = cms_cells(toks)
     true_cnt = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
     probe = (
         true_cnt.select("tok").crossJoin(F.broadcast(rows))

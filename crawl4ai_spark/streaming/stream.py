@@ -343,6 +343,30 @@ def stream_pii_redact(spark: SparkSession, docs_dir: str) -> DataFrame:
     ).select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
 
 
+def stream_token_cms(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming count-min sketch over an arriving document stream: the
+    same ``ops/textstats.cms_cells`` grid maintained as a streaming
+    aggregate — the CMS's mergeability is exactly what makes this work,
+    and the streaming STATE is bounded at CMS_D × CMS_W cells no matter
+    how long the stream runs (contrast a streaming per-token count, whose
+    state grows with the key space). Complete-mode cells after any number
+    of micro-batches equal the batch grid over the same documents,
+    asserted in tests with maxFilesPerTrigger=1 forcing multi-batch
+    merges."""
+    from crawl4ai_spark.ops.textstats import cms_cells
+
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    toks = docs.select(F.explode(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
+    return cms_cells(toks)
+
+
 def stream_pages_from_warc(spark: SparkSession, segments_dir: str) -> DataFrame:
     """Continuous Common-Crawl-style ingestion (S12 streaming read): WARC
     segments arriving in a directory become a pages stream — binaryFile

@@ -333,3 +333,34 @@ def test_stream_pii_redact_matches_batch(spark, tmp_path_factory):
                 for r in rows}
     assert streamed == batch
     assert sum(v[0] + v[1] + v[2] for v in streamed.values()) > 0
+
+
+def test_stream_token_cms_matches_batch(spark, tmp_path_factory):
+    """Streaming CMS grid after multiple micro-batches (maxFilesPerTrigger=1
+    over two parquet files) must equal the batch grid over the same docs —
+    the sketch's mergeability executed, with state bounded at D*W cells."""
+    import time
+
+    from crawl4ai_spark.ops.textstats import CMS_D, CMS_W, cms_cells
+    from crawl4ai_spark.streaming.stream import stream_token_cms
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("cms_stream"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{d}/a")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{d}/b")
+
+    out = stream_token_cms(spark, d + "/*")
+    q = run_stream_to_memory(out, "stream_cms_t", complete=True)
+    assert len(q.recentProgress) >= 2  # multi-batch: the merge really ran
+    got = {(r.d, r.bucket): r.cnt
+           for r in spark.sql("SELECT * FROM stream_cms_t").collect()}
+
+    toks = docs.select(F.explode(F.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
+    want = {(r.d, r.bucket): r.cnt for r in cms_cells(toks).collect()}
+    assert got == want
+    assert 0 < len(got) <= CMS_D * CMS_W  # the state bound
