@@ -71,6 +71,44 @@ def q_crawl_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anchor_text_table(results: DataFrame) -> DataFrame:
+    """The classic search-index link signal: per (target URL, anchor text),
+    how many pages link there with that text and from how many distinct
+    source hosts. Anchor text describes the TARGET page better than the
+    target's own content (the original PageRank-era insight), and the
+    aggregation is what an indexer joins onto the document table.
+
+    Works on any engine/extraction results carrying the ``links`` struct
+    (hrefs already resolved + canonicalized by the scraper). Scale: one
+    explode + ONE (target, anchor) aggregate — partial counts map-side;
+    n_src_hosts is a countDistinct whose dedup rides the same shuffle key.
+    At 10^10 edges this is the same single-aggregate plan; skewed targets
+    (home pages) split fine under AQE because the key includes the anchor
+    text."""
+    links = results.select(
+        F.col("host").alias("src_host"),
+        F.explode(F.concat(F.col("links.internal"),
+                           F.col("links.external"))).alias("l"))
+    return (
+        links.select("src_host",
+                     F.col("l.href").alias("target_url"),
+                     F.lower(F.trim(F.col("l.text"))).alias("anchor"))
+        .groupBy("target_url", "anchor")
+        .agg(F.count("*").cast("long").alias("n_inlinks"),
+             F.countDistinct("src_host").cast("long").alias("n_src_hosts"))
+    )
+
+
+def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text table over the synthetic site's extraction results
+    (rows-only registry entry; the aggregation itself is exactly tested in
+    tests/test_anchor_text.py on hand-built link structs)."""
+    pages = generate_pages(spark, 4, 8)
+    out = process_pages(pages).withColumn(
+        "host", F.expr("parse_url(url, 'HOST')"))
+    return anchor_text_table(out)
+
+
 SMAP_HOSTS = 3
 SMAP_URLS = 9
 
@@ -132,6 +170,7 @@ def q_chunk_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "crawl_bfs_e2e": q_crawl_bfs_e2e,
     "crawl_extract_markdown": q_crawl_extract_markdown,
+    "crawl_anchor_text": q_crawl_anchor_text,
     "crawl_text_identity": q_crawl_text_identity,
     "seed_sitemaps": q_seed_sitemaps,
     "chunk_topics": q_chunk_topics,
