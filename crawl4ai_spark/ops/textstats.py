@@ -775,6 +775,69 @@ FROM true_cnt t JOIN probe p ON p.tok = t.tok
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable log2-histogram quantiles: distribution stats (p50/p90/p99 of
+# document length per language) WITHOUT a global sort — the way you get
+# quantiles at 100 TB. Bucket = bit_length(n_chars) = len(bin(n_chars)),
+# an integer identical in both engines (no log2/libm); the histogram is one
+# map-side-combinable (lang, bucket) count, mergeable across partitions /
+# snapshots / micro-batches exactly like the CMS grid; the quantile is the
+# smallest bucket whose cumulative count reaches ceil(q·n) (disc-quantile
+# semantics at bucket resolution — the t-digest trade made deterministic).
+# The only window is a per-lang cumsum over ≤ 64 histogram rows.
+# ---------------------------------------------------------------------------
+
+QUANTILES_E2 = (50, 90, 99)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    hist = (
+        d.select("lang", F.expr("length(bin(n_chars))").alias("bucket"))
+        .groupBy("lang", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("lang")))
+    aggs = [F.count("*").alias("n_buckets")]
+    for q in QUANTILES_E2:
+        aggs.append(F.min(F.when(
+            F.col("cum") * 100 >= F.col("n") * q, F.col("bucket")))
+            .cast("long").alias(f"p{q}_bucket"))
+    out = cum.groupBy("lang", "n").agg(*aggs)
+    cols = [F.col("lang"), F.col("n").cast("long").alias("n_docs"),
+            F.col("n_buckets").cast("long")]
+    for q in QUANTILES_E2:
+        cols += [F.col(f"p{q}_bucket"),
+                 F.expr(f"CAST(shiftleft(1L, CAST(p{q}_bucket - 1 AS INT)) "
+                        f"AS BIGINT)").alias(f"p{q}_lo_chars")]
+    return out.select(*cols)
+
+
+SQL_LENGTH_QUANTILES = f"""
+WITH hist AS (
+  SELECT lang, length(bin(n_chars)) AS bucket, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       {", ".join(
+           f"CAST(min(CASE WHEN cum * 100 >= n * {q} THEN bucket END) "
+           f"AS BIGINT) AS p{q}_bucket, "
+           f"CAST(1 << CAST(min(CASE WHEN cum * 100 >= n * {q} "
+           f"THEN bucket END) - 1 AS INT) AS BIGINT) AS p{q}_lo_chars"
+           for q in QUANTILES_E2)}
+FROM cum GROUP BY lang, n
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "vocab_build": q_vocab_build,
@@ -789,6 +852,7 @@ QUERIES = {
     "text_hll_registers": q_text_hll_registers,
     "text_hll_estimate": q_text_hll_estimate,
     "token_cms_topk": q_token_cms_topk,
+    "length_quantiles": q_length_quantiles,
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
@@ -804,4 +868,5 @@ ORACLES = {
     "text_hll_registers": SQL_TEXT_HLL_REGISTERS,
     "text_hll_estimate": SQL_TEXT_HLL_ESTIMATE,
     "token_cms_topk": SQL_TOKEN_CMS_TOPK,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
 }
