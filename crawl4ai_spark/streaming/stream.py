@@ -343,6 +343,45 @@ def stream_pii_redact(spark: SparkSession, docs_dir: str) -> DataFrame:
     ).select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
 
 
+def run_incremental_dedup_stream(spark: SparkSession, delta_dir: str,
+                                 index_dir: str, out_dir: str):
+    """Streaming snapshot admission: re-crawled documents ARRIVE as a
+    stream and each micro-batch is verdicted (exact / near / new + min
+    match_id) against the PERSISTED base index via foreachBatch running
+    the exact batch join logic (``ops/dedup.inc_verdicts``). Per-doc
+    verdicts depend only on the doc and the static index, so micro-
+    batching is exact: the union of per-batch outputs equals the batch
+    verdict set over the full delta (asserted in tests). The production
+    shape — the monthly snapshot streams through a fixed-size admission
+    job, base text never loads, state lives in the appended verdict
+    table (restartable via the checkpoint)."""
+    from crawl4ai_spark.ops.dedup import inc_verdicts
+
+    bh = spark.read.parquet(f"{index_dir}/hash")
+    bands = spark.read.parquet(f"{index_dir}/bands")
+    delta = (
+        spark.readStream
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (inc_verdicts(batch_df, bh, bands)
+         .write.mode("append").parquet(out_dir))
+
+    q = (
+        delta.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_token_cms(spark: SparkSession, docs_dir: str) -> DataFrame:
     """Streaming count-min sketch over an arriving document stream: the
     same ``ops/textstats.cms_cells`` grid maintained as a streaming

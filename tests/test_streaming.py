@@ -364,3 +364,37 @@ def test_stream_token_cms_matches_batch(spark, tmp_path_factory):
     want = {(r.d, r.bucket): r.cnt for r in cms_cells(toks).collect()}
     assert got == want
     assert 0 < len(got) <= CMS_D * CMS_W  # the state bound
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path_factory):
+    """Streaming snapshot admission: delta docs arriving over >= 2
+    micro-batches, verdicted per batch against the persisted base index,
+    must produce exactly the batch q_dedup_incremental verdict set."""
+    import time
+
+    from crawl4ai_spark.ops.dedup import (
+        _inc_snapshot_split, inc_index_frames, q_dedup_incremental)
+    from crawl4ai_spark.streaming.stream import run_incremental_dedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path_factory.mktemp("inc_stream"))
+    base, delta = _inc_snapshot_split(spark, sf)
+    bh, bands = inc_index_frames(base)
+    bh.write.parquet(f"{root}/index/hash")
+    bands.write.parquet(f"{root}/index/bands")
+    delta = delta.cache()
+    delta.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(f"{root}/delta/a")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    delta.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.parquet(f"{root}/delta/b")
+
+    q = run_incremental_dedup_stream(
+        spark, f"{root}/delta/*", f"{root}/index", f"{root}/verdicts")
+    assert q.lastProgress["batchId"] >= 1  # really ran >= 2 micro-batches
+    got = {r.doc_id: (r.verdict, r.match_id)
+           for r in spark.read.parquet(f"{root}/verdicts").collect()}
+    want = {r.doc_id: (r.verdict, r.match_id)
+            for r in q_dedup_incremental(spark, sf).collect()}
+    assert got == want
+    assert {v for v, _ in got.values()} == {"exact", "near", "new"}
