@@ -50,6 +50,7 @@ _MODULES = [
     "domainq",
     "graphq",
     "refreshq",
+    "trapq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
