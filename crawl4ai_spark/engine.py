@@ -142,6 +142,16 @@ class CrawlConfig:
     # the reference attaching it to CrawlResult, so resume/schema are
     # unaffected.
     fetch_ssl_certificate: bool = False
+    # CrawlResult.redirected_url analog (ref models.py:151): a RESOLVED
+    # redirect map DataFrame (src_url, dst_url) — e.g. the output of
+    # ops/redirectq.resolve_redirects over a raw 3xx edge set, so chains
+    # are already collapsed and cycles dropped. When set, scheduled URLs
+    # with a map entry fetch the TARGET's content (each distinct target
+    # fetched once, then fanned back to its originals), results keep the
+    # ORIGINAL url and carry `redirected_url` = landing URL; targets
+    # missing from pages 404 under the original url. None (default)
+    # leaves the fetch path byte-identical — no extra column, no join.
+    redirects: object | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -631,6 +641,19 @@ class SparkWebEngine:
             limited = allowed.filter(hit)
             allowed = allowed.filter(~hit)
 
+        # redirect map (CrawlConfig.redirects): rewrite scheduled URLs to
+        # their resolved landing URL before the fetch join. _fetch_url is
+        # the page actually fetched; url stays the ORIGINAL for results.
+        redirected = cfg.redirects is not None
+        if redirected:
+            rmap = cfg.redirects.select(
+                F.col("src_url").alias("url"), F.col("dst_url"))
+            allowed = (
+                allowed.join(F.broadcast(rmap), "url", "left")
+                .withColumn("_fetch_url", F.coalesce("dst_url", "url"))
+                .drop("dst_url"))
+        fetch_url = F.col("_fetch_url") if redirected else F.col("url")
+
         # the "fetch": equi-join the scheduled batch against the pages table.
         # batch is small (quota-bounded) → broadcast it to avoid shuffling
         # the page bodies (at 100 TB the html column must never shuffle).
@@ -644,15 +667,22 @@ class SparkWebEngine:
         page_probe = pages.select("url")
         if "hb" in pages.columns:
             from crawl4ai_spark.sources.pagesgen import host_bucket_col
-            hb = host_bucket_col(
-                F.coalesce(F.try_parse_url("url", F.lit("HOST")), F.lit("")))
+            hb = host_bucket_col(F.coalesce(
+                F.try_parse_url(fetch_url, F.lit("HOST")), F.lit("")))
             hbs = [r[0] for r in
                    allowed.select(hb.alias("hb")).distinct().collect()]
             pages = pages.filter(F.col("hb").isin(hbs))
             page_probe = pages.select("url")
-        fetched = pages.join(
-            F.broadcast(allowed.select("url", "host", "depth")),
-            on="url", how="inner")
+        if redirected:
+            # fetch each distinct landing page ONCE, fan back to originals
+            # after processing (two originals may share a target)
+            fetched = pages.join(
+                F.broadcast(allowed.select(fetch_url.alias("url")).distinct()),
+                on="url", how="inner")
+        else:
+            fetched = pages.join(
+                F.broadcast(allowed.select("url", "host", "depth")),
+                on="url", how="inner")
         processed = process_pages(
             fetched,
             extraction_schema=cfg.extraction_schema,
@@ -665,16 +695,40 @@ class SparkWebEngine:
         )
         # re-attach host/depth (processed keeps url) + 404s for scheduled
         # urls missing from pages
-        meta_cols = allowed.select("url", "host", "depth")
-        processed = processed.join(meta_cols, on="url", how="inner")
+        if redirected:
+            # processed is keyed by the LANDING url; fan back to originals,
+            # report the original as `url` + the landing as `redirected_url`
+            meta_cols = allowed.select(
+                F.col("_fetch_url").alias("url"),
+                F.col("url").alias("_orig_url"), "host", "depth")
+            processed = (
+                processed.join(meta_cols, on="url", how="inner")
+                .withColumn(
+                    "redirected_url",
+                    F.when(F.col("url") != F.col("_orig_url"), F.col("url")))
+                .drop("url")
+                .withColumnRenamed("_orig_url", "url"))
+            missing = (
+                allowed.select(F.col("_fetch_url").alias("_fu"),
+                               "url", "host", "depth")
+                .join(page_probe.select(F.col("url").alias("_fu")),
+                      on="_fu", how="left_anti")
+                .drop("_fu")
+                .withColumn("status_code", F.lit(404))
+                .withColumn("success", F.lit(False))
+                .withColumn("error_message", F.lit("not in pages table"))
+            )
+        else:
+            meta_cols = allowed.select("url", "host", "depth")
+            processed = processed.join(meta_cols, on="url", how="inner")
 
-        missing = (
-            allowed.select("url", "host", "depth")
-            .join(page_probe, on="url", how="left_anti")
-            .withColumn("status_code", F.lit(404))
-            .withColumn("success", F.lit(False))
-            .withColumn("error_message", F.lit("not in pages table"))
-        )
+            missing = (
+                allowed.select("url", "host", "depth")
+                .join(page_probe, on="url", how="left_anti")
+                .withColumn("status_code", F.lit(404))
+                .withColumn("success", F.lit(False))
+                .withColumn("error_message", F.lit("not in pages table"))
+            )
         blocked403 = blocked.select("url", "host", "depth") \
             .withColumn("status_code", F.lit(403)) \
             .withColumn("success", F.lit(False)) \

@@ -51,6 +51,7 @@ _MODULES = [
     "graphq",
     "refreshq",
     "trapq",
+    "redirectq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
