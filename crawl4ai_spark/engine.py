@@ -506,6 +506,10 @@ class SparkWebEngine:
             assert cfg.sink_dir, "sink='warc' requires sink_dir"
             self.export_warc(cfg.sink_dir, pages=pages,
                              n_buckets=cfg.sink_buckets, date=cfg.sink_date)
+        elif cfg.sink == "wet":
+            assert cfg.sink_dir, "sink='wet' requires sink_dir"
+            self.export_wet(cfg.sink_dir, n_buckets=cfg.sink_buckets,
+                            date=cfg.sink_date)
         out = self.store.read(spark, "results")
         if out is None:
             return spark.createDataFrame([], FR.FRONTIER_SCHEMA)
@@ -1128,6 +1132,58 @@ class SparkWebEngine:
         manifest = rows.groupBy("bucket").applyInPandas(
             write_segment, man_schema)
         # materialize: applyInPandas is lazy — the write IS the effect
+        manifest = manifest.cache()
+        manifest.count()
+        return manifest
+
+    def export_wet(self, out_dir: str, *, n_buckets: int = 8,
+                   date: str = "2026-01-01T00:00:00Z") -> DataFrame:
+        """WET sibling of :meth:`export_warc`: archive the crawl's
+        EXTRACTED TEXT as conversion-record segments — the format most
+        corpus pipelines consume from Common Crawl. No pages join needed
+        (text lives in results); same one-shuffle host-bucket shape,
+        ``texts_from_wet`` (sources/rawpages.py) is the matching reader
+        and the roundtrip is byte-identical per url (tested)."""
+        import hashlib as _hl
+        import os as _os
+
+        import pandas as _pd
+
+        from crawl4ai_spark.html.warc import build_wet
+
+        results = self.results()
+        assert results is not None, "no results to export"
+        rows = (
+            results.filter(F.col("success") & F.col("text").isNotNull())
+            .select("url", "text", "host")
+            .dropDuplicates(["url"])
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("host"), F.lit(n_buckets))
+                        .cast("int"))
+        )
+        _os.makedirs(out_dir, exist_ok=True)
+        man_schema = ("bucket int, path string, n_records long, "
+                      "n_bytes long, sha256 string")
+
+        def write_segment(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            pdf = pdf.sort_values("url", kind="mergesort")
+            recs = [{"uri": u, "text": t}
+                    for u, t in zip(pdf["url"], pdf["text"])]
+            bucket = int(pdf["bucket"].iloc[0])
+            blob = build_wet(recs, date=date)
+            path = _os.path.join(out_dir, f"segment-{bucket:04d}.warc.wet")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            _os.replace(tmp, path)   # atomic publish, crash-safe
+            return _pd.DataFrame([{
+                "bucket": bucket, "path": path, "n_records": len(recs),
+                "n_bytes": len(blob),
+                "sha256": _hl.sha256(blob).hexdigest(),
+            }])
+
+        manifest = rows.groupBy("bucket").applyInPandas(
+            write_segment, man_schema)
         manifest = manifest.cache()
         manifest.count()
         return manifest

@@ -58,6 +58,35 @@ def build_warc(records: list[dict], *, date: str) -> bytes:
     return out
 
 
+def build_wet(records: list[dict], *, date: str) -> bytes:
+    """WET (the Common-Crawl extracted-text sibling of WARC): one
+    warcinfo record then one ``conversion`` record per input —
+    ``records``: dicts with uri, text (str). Conversion blocks are the
+    bare UTF-8 text (no HTTP envelope); WARC-Refers-To links each record
+    to the response record id the WARC writer would emit for the same
+    uri, so a WET segment lines up 1:1 with its WARC segment."""
+    info_block = (f"software: {SOFTWARE}\r\n"
+                  "format: WARC File Format 1.0\r\n"
+                  "conformsTo: WET").encode()
+    out = _record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", date),
+         ("WARC-Record-ID", _uuid_of("warcinfo-wet")),
+         ("Content-Type", "application/warc-fields")],
+        info_block)
+    for r in records:
+        block = r["text"].encode("utf-8")
+        out += _record(
+            [("WARC-Type", "conversion"),
+             ("WARC-Target-URI", r["uri"]),
+             ("WARC-Date", date),
+             ("WARC-Record-ID", _uuid_of("wet:" + r["uri"])),
+             ("WARC-Refers-To", _uuid_of(r["uri"])),
+             ("Content-Type", "text/plain")],
+            block)
+    return out
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """Walk the Content-Length framing; return one dict per record with
     warc_type, uri, date, and (for responses) status, content_type,
@@ -89,6 +118,11 @@ def parse_warc(data: bytes) -> list[dict]:
             "date": headers.get("warc-date", ""),
             "record_id": headers.get("warc-record-id", ""),
         }
+        if rec["warc_type"] == "conversion":
+            # WET record: the block IS the payload (no HTTP envelope)
+            rec["content_type"] = headers.get("content-type", "")
+            rec["refers_to"] = headers.get("warc-refers-to", "")
+            rec["payload"] = block
         if rec["warc_type"] == "response":
             http_end = block.index(b"\r\n\r\n")
             http_lines = block[:http_end].decode().split("\r\n")

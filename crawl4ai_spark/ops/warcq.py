@@ -86,5 +86,63 @@ FROM b JOIN n USING (bucket)
 """
 
 
-QUERIES = {"warc_roundtrip": q_warc_roundtrip}
-ORACLES = {"warc_roundtrip": SQL_WARC_ROUNDTRIP}
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (extracted-text conversion records — what most corpus pipelines
+    actually consume from Common Crawl): group docs into WET_BATCH-record
+    segments, write REAL WET bytes, parse back, explode the conversion
+    records; the refers-to linkage to the sibling WARC response ids is
+    verified structurally (non-empty, distinct from the record's own id)."""
+    import pandas as pd
+
+    from crawl4ai_spark.html.warc import build_wet
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("bucket", F.expr(f"doc_id div {WARC_BATCH}"))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [{"uri": f"{URI_PREFIX}{doc_id}", "text": text}
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])]
+        blob = build_wet(recs, date=WARC_DATE)
+        parsed = parse_warc(blob)
+        out = []
+        conv = [r for r in parsed if r["warc_type"] == "conversion"]
+        for r in conv:
+            out.append((
+                int(key[0]), r["uri"], r["content_type"],
+                len(r["payload"]),
+                hashlib.md5(r["payload"]).hexdigest(),
+                bool(r["refers_to"]) and r["refers_to"] != r["record_id"],
+                len(conv)))
+        return pd.DataFrame(out, columns=[
+            "bucket", "uri", "wet_content_type", "payload_len",
+            "payload_md5", "refers_ok", "n_records"])
+
+    return d.groupBy("bucket").applyInPandas(
+        assemble,
+        "bucket long, uri string, wet_content_type string,"
+        " payload_len long, payload_md5 string, refers_ok boolean,"
+        " n_records long")
+
+
+SQL_WET_ROUNDTRIP = f"""
+WITH b AS (
+  SELECT doc_id, text, doc_id // {WARC_BATCH} AS bucket FROM documents
+),
+n AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_records FROM b GROUP BY bucket
+)
+SELECT b.bucket, '{URI_PREFIX}' || b.doc_id AS uri,
+       'text/plain' AS wet_content_type,
+       CAST(octet_length(encode(b.text)) AS BIGINT) AS payload_len,
+       md5(b.text) AS payload_md5,
+       TRUE AS refers_ok,
+       n.n_records
+FROM b JOIN n USING (bucket)
+"""
+
+
+QUERIES = {"warc_roundtrip": q_warc_roundtrip,
+           "wet_roundtrip": q_wet_roundtrip}
+ORACLES = {"warc_roundtrip": SQL_WARC_ROUNDTRIP,
+           "wet_roundtrip": SQL_WET_ROUNDTRIP}

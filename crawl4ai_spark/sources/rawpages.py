@@ -74,3 +74,35 @@ def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
         "url", "warc_ts", "html",
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"))
+
+
+def texts_from_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET segments → (url, warc_ts, text) rows: the extracted-text
+    ingestion path most corpus pipelines start from (they never touch the
+    WARC html at all). Same per-file Arrow parse as ``pages_from_warc``,
+    exploding the conversion records instead."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from crawl4ai_spark.html.warc import parse_warc
+
+    bf = spark.read.format("binaryFile").load(path_glob) \
+        .select("path", "content")
+
+    def explode_records(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                for r in parse_warc(bytes(blob)):
+                    if r["warc_type"] != "conversion":
+                        continue
+                    ts = _dt.datetime.strptime(
+                        r["date"], "%Y-%m-%dT%H:%M:%SZ").replace(
+                        tzinfo=_dt.timezone.utc)
+                    out.append((r["uri"], ts,
+                                r["payload"].decode("utf-8")))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "text"])
+
+    return bf.mapInPandas(explode_records,
+                          "url string, warc_ts timestamp, text string")
