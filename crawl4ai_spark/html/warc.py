@@ -87,6 +87,41 @@ def build_wet(records: list[dict], *, date: str) -> bytes:
     return out
 
 
+def build_wat(records: list[dict], *, date: str) -> bytes:
+    """WAT (the Common-Crawl metadata sibling of WARC/WET): one warcinfo
+    record then one ``metadata`` record per input — ``records``: dicts
+    with uri, meta (a JSON-serializable dict, conventionally the CC
+    ``Envelope`` structure). The payload is CANONICAL compact JSON
+    (sorted keys, no whitespace, ensure_ascii) so the emitted bytes are a
+    pure function of the metadata — the oracle can rebuild the exact
+    string by concatenation. WARC-Refers-To links each record to the
+    response record id the WARC writer emits for the same uri, so a WAT
+    segment lines up 1:1 with its WARC segment."""
+    import json
+
+    info_block = (f"software: {SOFTWARE}\r\n"
+                  "format: WARC File Format 1.0\r\n"
+                  "conformsTo: WAT").encode()
+    out = _record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", date),
+         ("WARC-Record-ID", _uuid_of("warcinfo-wat")),
+         ("Content-Type", "application/warc-fields")],
+        info_block)
+    for r in records:
+        block = json.dumps(r["meta"], sort_keys=True,
+                           separators=(",", ":")).encode()
+        out += _record(
+            [("WARC-Type", "metadata"),
+             ("WARC-Target-URI", r["uri"]),
+             ("WARC-Date", date),
+             ("WARC-Record-ID", _uuid_of("wat:" + r["uri"])),
+             ("WARC-Refers-To", _uuid_of(r["uri"])),
+             ("Content-Type", "application/json")],
+            block)
+    return out
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """Walk the Content-Length framing; return one dict per record with
     warc_type, uri, date, and (for responses) status, content_type,
@@ -118,8 +153,9 @@ def parse_warc(data: bytes) -> list[dict]:
             "date": headers.get("warc-date", ""),
             "record_id": headers.get("warc-record-id", ""),
         }
-        if rec["warc_type"] == "conversion":
-            # WET record: the block IS the payload (no HTTP envelope)
+        if rec["warc_type"] in ("conversion", "metadata"):
+            # WET conversion / WAT metadata: the block IS the payload
+            # (bare text / canonical JSON — no HTTP envelope)
             rec["content_type"] = headers.get("content-type", "")
             rec["refers_to"] = headers.get("warc-refers-to", "")
             rec["payload"] = block

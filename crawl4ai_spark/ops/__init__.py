@@ -52,6 +52,7 @@ _MODULES = [
     "refreshq",
     "trapq",
     "redirectq",
+    "indexq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.

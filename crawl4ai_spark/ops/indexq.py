@@ -1,0 +1,150 @@
+"""Search-index construction operators: positional phrase match and
+postings-list compression sizing — the inverted-index half of a web
+search stack (BM25 ranking lives in ``ops/ranking.py``; the link signal
+in ``ops/analytics.py`` PageRank/HITS and the anchor-text table).
+
+No direct reference counterpart (crawl4ai feeds downstream indexers);
+these are the queries the corpus a crawl produces exists to serve.
+
+Scale shape:
+- ``index_phrase_match``: the positional index is the posexplode of the
+  token array; each phrase term filters it to a SMALL postings stream
+  (filter pushed below the join), and the phrase is an equi-join on
+  (doc_id, base_position) — k-1 hash joins for a k-term phrase, never a
+  cross join, never a per-doc window. At 100 TB the streams co-partition
+  on doc_id so all joins share one exchange.
+- ``index_postings_size``: postings build is the standard shape — one
+  distinct + shuffle on term, in-partition sort by doc_id, delta-gap +
+  varint cost folded per term. Document ids enter the window already
+  term-partitioned; a skewed (stop-word) term degrades to one partition's
+  sort, which is why real indexers shard hot terms — noted, not needed at
+  this vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawl4ai_spark.ops.common import tbl
+
+# 2-term phrase: at the synthetic corpus' document length (~55 tokens)
+# specific trigrams are absent at some scales (vacuous 0-row results);
+# every bigram over the 31-token vocabulary has df >= 10 at sf0.001/0.01/0.1
+PHRASE = ["spark", "join"]
+TOP_TERMS = 20
+
+
+def _postoks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    arr = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)).alias("arr"),
+    )
+    return arr.select("doc_id", F.posexplode("arr").alias("pos", "tok")) \
+              .withColumn("pos", F.col("pos").cast("long"))
+
+
+_SQL_POSTOKS = """
+  SELECT doc_id,
+         CAST(generate_subscripts(m, 1) - 1 AS BIGINT) AS pos,
+         m[generate_subscripts(m, 1)] AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS m
+        FROM documents)
+"""
+
+
+def q_index_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval for the fixed query phrase via positional
+    postings intersection: term k's postings join the match set on
+    (doc_id, pos - k), the document-at-a-time plan every positional
+    inverted index executes."""
+    toks = _postoks(spark, sf_dir)
+    m = None
+    for k, term in enumerate(PHRASE):
+        p = (toks.filter(F.col("tok") == term)
+                 .select("doc_id", (F.col("pos") - F.lit(k)).alias("base")))
+        m = p if m is None else m.join(p, ["doc_id", "base"])
+    return (m.groupBy("doc_id")
+             .agg(F.count("*").cast("long").alias("n_matches"),
+                  F.min("base").alias("first_pos"),
+                  F.max("base").alias("last_pos"))
+             .select(F.col("doc_id").cast("long"), "n_matches",
+                     "first_pos", "last_pos"))
+
+
+_PHRASE_JOINS = "\n".join(
+    f"  JOIN toks p{k} ON p{k}.doc_id = p0.doc_id"
+    f" AND p{k}.pos = p0.pos + {k} AND p{k}.tok = '{t}'"
+    for k, t in enumerate(PHRASE) if k > 0
+)
+
+SQL_INDEX_PHRASE_MATCH = f"""
+WITH toks AS ({_SQL_POSTOKS}),
+m AS (
+  SELECT p0.doc_id, p0.pos AS base
+  FROM toks p0
+{_PHRASE_JOINS}
+  WHERE p0.tok = '{PHRASE[0]}'
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       min(base) AS first_pos, max(base) AS last_pos
+FROM m GROUP BY doc_id
+"""
+
+
+def q_index_postings_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index sizing for the TOP_TERMS highest-df terms: build
+    each term's document postings list, delta-encode the sorted doc-id
+    gaps (first gap = doc_id + 1, i.e. the delta from sentinel -1, so
+    every gap ≥ 1), and cost it in varint (7-data-bits-per-byte) bytes —
+    the d-gap + vbyte estimate every postings compressor starts from.
+    Integer-exact in both engines: bit length via length(bin(gap)), no
+    floating log."""
+    post = _postoks(spark, sf_dir).select("doc_id", "tok").distinct()
+    df_ = post.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    top = df_.orderBy(F.desc("df"), F.asc("tok")).limit(TOP_TERMS)
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = (post.join(F.broadcast(top), "tok")
+                .withColumn("prev", F.lag("doc_id").over(w))
+                .withColumn("gap", F.coalesce(
+                    F.col("doc_id") - F.col("prev"),
+                    F.col("doc_id") + F.lit(1)))
+                .withColumn("vb", F.expr("1 + (length(bin(gap)) - 1) div 7")))
+    return (gaps.groupBy("tok", "df")
+                .agg(F.sum("vb").cast("long").alias("vbyte_bytes"))
+                .withColumn("fixed_bytes", (F.col("df") * F.lit(8)).cast("long"))
+                .select("tok", "df", "vbyte_bytes", "fixed_bytes"))
+
+
+SQL_INDEX_POSTINGS_SIZE = f"""
+WITH post AS (SELECT DISTINCT doc_id, tok FROM ({_SQL_POSTOKS})),
+top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df
+  FROM post GROUP BY tok
+  ORDER BY df DESC, tok ASC LIMIT {TOP_TERMS}
+),
+gaps AS (
+  SELECT p.tok, top.df,
+         coalesce(p.doc_id - lag(p.doc_id) OVER
+                    (PARTITION BY p.tok ORDER BY p.doc_id),
+                  p.doc_id + 1) AS gap
+  FROM post p JOIN top USING (tok)
+)
+SELECT tok, df,
+       CAST(sum(1 + (length(bin(gap)) - 1) // 7) AS BIGINT) AS vbyte_bytes,
+       CAST(df * 8 AS BIGINT) AS fixed_bytes
+FROM gaps GROUP BY tok, df
+"""
+
+
+QUERIES = {
+    "index_phrase_match": q_index_phrase_match,
+    "index_postings_size": q_index_postings_size,
+}
+ORACLES = {
+    "index_phrase_match": SQL_INDEX_PHRASE_MATCH,
+    "index_postings_size": SQL_INDEX_POSTINGS_SIZE,
+}

@@ -142,7 +142,134 @@ FROM b JOIN n USING (bucket)
 """
 
 
+N_LINK_SPACE = 997  # deterministic synthetic outlink id space
+
+
+def _wat_title(text: str) -> str:
+    """JSON-safe-by-construction title slug: lower, first 48 chars,
+    [a-z0-9 ] only, trimmed — identical semantics in python / Spark /
+    DuckDB (substr is chars in all three; the char class leaves no
+    whitespace but ' ' so trim == strip)."""
+    import re
+
+    return re.sub(r"[^a-z0-9 ]", "", text[:48].lower()).strip()
+
+
+def _wat_links(doc_id: int) -> list[str]:
+    return [f"{URI_PREFIX}{(doc_id * 7 + k * 13 + 1) % N_LINK_SPACE}"
+            for k in range(3)]
+
+
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT (the Common-Crawl metadata sibling — JSON Envelope records
+    describing each response: headers, title, outlinks): group docs into
+    WARC_BATCH-record segments, write REAL WAT bytes whose payload is
+    canonical compact JSON, parse back, explode the metadata records and
+    re-extract title / link count FROM THE PARSED JSON. The DuckDB oracle
+    rebuilds the exact canonical JSON string by concatenation (title slug
+    is JSON-safe by construction) and hashes it — any drift in the
+    writer's canonicalization, the Content-Length framing, or the
+    parser's payload walk breaks the value-hash match. Completes the
+    WARC/WET/WAT Common-Crawl format trio."""
+    import json
+
+    import pandas as pd
+
+    from crawl4ai_spark.html.warc import build_wat
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("bucket", F.expr(f"doc_id div {WARC_BATCH}"))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            meta = {"Envelope": {
+                "Format": "WARC",
+                "Payload-Metadata": {
+                    "Actual-Content-Type": "application/http; msgtype=response",
+                    "HTTP-Response-Metadata": {
+                        "Entity-Length": len(text.encode()),
+                        "HTML-Metadata": {
+                            "Head": {"Title": _wat_title(text)},
+                            "Links": [{"url": u} for u in _wat_links(int(doc_id))],
+                        },
+                    },
+                },
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": f"{URI_PREFIX}{doc_id}",
+                    "WARC-Type": "response",
+                },
+            }}
+            recs.append({"uri": f"{URI_PREFIX}{doc_id}", "meta": meta})
+        blob = build_wat(recs, date=WARC_DATE)
+        parsed = parse_warc(blob)
+        out = []
+        md = [r for r in parsed if r["warc_type"] == "metadata"]
+        for r in md:
+            env = json.loads(r["payload"])["Envelope"]
+            http = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+            out.append((
+                int(key[0]), r["uri"], r["content_type"],
+                len(r["payload"]),
+                hashlib.md5(r["payload"]).hexdigest(),
+                bool(r["refers_to"]) and r["refers_to"] != r["record_id"],
+                http["HTML-Metadata"]["Head"]["Title"],
+                len(http["HTML-Metadata"]["Links"]),
+                http["Entity-Length"],
+                len(md)))
+        return pd.DataFrame(out, columns=[
+            "bucket", "uri", "wat_content_type", "payload_len",
+            "payload_md5", "refers_ok", "title", "n_links",
+            "entity_len", "n_records"])
+
+    return d.groupBy("bucket").applyInPandas(
+        assemble,
+        "bucket long, uri string, wat_content_type string,"
+        " payload_len long, payload_md5 string, refers_ok boolean,"
+        " title string, n_links long, entity_len long, n_records long")
+
+
+SQL_WAT_ROUNDTRIP = f"""
+WITH b AS (
+  SELECT doc_id, text, doc_id // {WARC_BATCH} AS bucket FROM documents
+),
+n AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_records FROM b GROUP BY bucket
+),
+f AS (
+  SELECT bucket, doc_id,
+         trim(regexp_replace(lower(substr(text, 1, 48)), '[^a-z0-9 ]', '', 'g')) AS title,
+         CAST(octet_length(encode(text)) AS BIGINT) AS entity_len,
+         '{URI_PREFIX}' || doc_id AS uri,
+         '{URI_PREFIX}' || ((doc_id * 7 + 1) % {N_LINK_SPACE}) AS l0,
+         '{URI_PREFIX}' || ((doc_id * 7 + 14) % {N_LINK_SPACE}) AS l1,
+         '{URI_PREFIX}' || ((doc_id * 7 + 27) % {N_LINK_SPACE}) AS l2
+  FROM b
+),
+j AS (
+  SELECT *,
+    '{{"Envelope":{{"Format":"WARC","Payload-Metadata":{{"Actual-Content-Type":"application/http; msgtype=response","HTTP-Response-Metadata":{{"Entity-Length":'
+    || entity_len
+    || ',"HTML-Metadata":{{"Head":{{"Title":"' || title
+    || '"}},"Links":[{{"url":"' || l0 || '"}},{{"url":"' || l1
+    || '"}},{{"url":"' || l2
+    || '"}}]}}}}}},"WARC-Header-Metadata":{{"WARC-Target-URI":"' || uri
+    || '","WARC-Type":"response"}}}}}}' AS js
+  FROM f
+)
+SELECT j.bucket, j.uri, 'application/json' AS wat_content_type,
+       CAST(octet_length(encode(js)) AS BIGINT) AS payload_len,
+       md5(js) AS payload_md5,
+       TRUE AS refers_ok, j.title,
+       CAST(3 AS BIGINT) AS n_links, j.entity_len, n.n_records
+FROM j JOIN n USING (bucket)
+"""
+
+
 QUERIES = {"warc_roundtrip": q_warc_roundtrip,
-           "wet_roundtrip": q_wet_roundtrip}
+           "wet_roundtrip": q_wet_roundtrip,
+           "wat_roundtrip": q_wat_roundtrip}
 ORACLES = {"warc_roundtrip": SQL_WARC_ROUNDTRIP,
-           "wet_roundtrip": SQL_WET_ROUNDTRIP}
+           "wet_roundtrip": SQL_WET_ROUNDTRIP,
+           "wat_roundtrip": SQL_WAT_ROUNDTRIP}

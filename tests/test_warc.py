@@ -226,3 +226,44 @@ def test_engine_wet_sink_roundtrip(spark, tmp_path):
            texts_from_wet(spark, str(seg_dir / "*.warc.wet"))
            .select("url", "text").collect()}
     assert got == want and len(got) > 5
+
+
+def test_wat_roundtrip_fields():
+    """WAT metadata records: canonical-JSON payload survives the framing
+    roundtrip and the refers-to linkage points at the sibling WARC
+    response ids."""
+    import json
+
+    from crawl4ai_spark.html.warc import build_wat
+
+    recs = [{"uri": r["uri"],
+             "meta": {"Envelope": {
+                 "Format": "WARC",
+                 "Payload-Metadata": {"Entity-Length": len(r["body"])},
+                 "WARC-Header-Metadata": {"WARC-Target-URI": r["uri"]}}}}
+            for r in _recs()]
+    blob = build_wat(recs, date=DATE)
+    parsed = parse_warc(blob)
+    assert parsed[0]["warc_type"] == "warcinfo"
+    md = [r for r in parsed if r["warc_type"] == "metadata"]
+    assert [r["uri"] for r in md] == [r["uri"] for r in recs]
+    assert all(r["content_type"] == "application/json" for r in md)
+    for r, src in zip(md, recs):
+        env = json.loads(r["payload"])
+        assert env == src["meta"]
+        # canonical: compact separators, sorted keys — re-dump is identical
+        assert r["payload"] == json.dumps(
+            env, sort_keys=True, separators=(",", ":")).encode()
+    # refers-to = the WARC response ids build_warc emits for the same uris
+    warc_ids = {r["uri"]: r["record_id"]
+                for r in parse_warc(build_warc(_recs(), date=DATE))
+                if r["warc_type"] == "response"}
+    assert all(r["refers_to"] == warc_ids[r["uri"]] for r in md)
+
+
+def test_wat_deterministic():
+    from crawl4ai_spark.html.warc import build_wat
+
+    recs = [{"uri": "https://a.example/x",
+             "meta": {"b": 1, "a": {"z": [2, 3], "y": "s"}}}]
+    assert build_wat(recs, date=DATE) == build_wat(recs, date=DATE)
