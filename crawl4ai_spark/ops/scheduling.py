@@ -348,7 +348,13 @@ def q_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Early-exit AND filter chain (ref FilterChain filters.py:69-116):
     URL pattern + domain allowlist + content-type — cheap predicates first,
     all pushable to the scan."""
-    n = _normalize(_urls(spark, sf_dir)).select("host", "url_norm", "path").distinct()
+    # dedup RAW urls before normalizing — normalize once per distinct URL
+    # (the scale-correct order), and the post-shuffle stage references the
+    # materialized `url` column instead of re-inlining the synth expression
+    # into every normalization step (which blew whole-stage codegen past
+    # the JVM 64 KB method limit and fell back to interpreted eval)
+    raw = _urls(spark, sf_dir).select("host", "url").distinct()
+    n = _normalize(raw).select("host", "url_norm", "path").distinct()
     hid = F.regexp_extract("host", r"www\.host(\d+)\.com", 1).cast("int")
     return (
         n.filter(hid < 15)                                   # DomainFilter allowlist
