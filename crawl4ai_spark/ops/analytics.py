@@ -390,6 +390,137 @@ JOIN h{HITS_ITERS} h ON h.node = n.node
 """
 
 
+# ---------------------------------------------------------------------------
+# OPIC — On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+# WWW 2003): the page-importance measure designed FOR crawlers — importance
+# accrues while the crawl runs (cash + history) instead of requiring a
+# converged offline eigenvector, so the frontier can be prioritized by it
+# mid-crawl (the reference's best-first scorers — bff_strategy.py:19,130 —
+# have no link-structure signal at all; OPIC is the crawl-native one).
+#
+# Batch-synchronous rounds, exact integers (e6 fixed point):
+#   c0(i) = 1e6, hist0(i) = 0, virtual cash v0 = 0.
+#   Per round: share_i = c(i) div (outdeg_i + 1)   [+1 = the implicit edge
+#   every page has to the VIRTUAL page — the paper's strong-connectivity
+#   device, which also absorbs dangling nodes]; hist += c; each node
+#   receives sum of in-edge shares (multiplicity kept) plus an equal cut
+#   v div N of the virtual page's cash; the virtual page collects every
+#   node's own share + division remainder (c - outdeg*share) plus its own
+#   remainder v - N*(v div N). Total cash is conserved at N*1e6 exactly —
+#   asserted by the from-spec guard (tests/test_opic.py).
+#
+# Scale shape per round: one equi-join of the (node, cash) table on edge
+# src + one groupBy dst — identical shuffle profile to a PageRank round;
+# the two scalars (node count, virtual cash) are 1-row aggregates broadcast
+# back (BroadcastNestedLoopJoin on one row, the HITS norm-constant shape).
+# Importance = hist + cash (the paper's X = (H+C)/|H| estimate; the 1/|H|
+# normalizer is a per-corpus constant that ranking is invariant to, so the
+# integer form stays exact cross-engine).
+# ---------------------------------------------------------------------------
+
+OPIC_ITERS = 3
+
+
+def q_events_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC after OPIC_ITERS synchronous rounds over the events click-graph:
+    (node, cash_e6, opic_e6 = history + cash)."""
+    nodes, edges, outdeg = _pr_graph(spark, sf_dir)
+    nn = nodes.agg(F.count("*").alias("n"))  # 1-row scalar, broadcast below
+    c = nodes.withColumn("cash", F.lit(1_000_000).cast("long"))
+    h = nodes.withColumn("hist", F.lit(0).cast("long"))
+    v = spark.range(1).select(F.lit(0).cast("long").alias("v"))
+    for _ in range(OPIC_ITERS):
+        s = (
+            c.join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+            .select("node", "cash",
+                    F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+            .withColumn("share", F.expr("cash div (d + 1)"))
+        )
+        h = h.join(c, "node").select(
+            "node", (F.col("hist") + F.col("cash")).cast("long").alias("hist"))
+        inflow = (
+            edges.join(s.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inf"))
+        )
+        to_v = s.agg(
+            F.sum(F.col("cash") - F.col("d") * F.col("share")).alias("tv"))
+        vd = v.crossJoin(F.broadcast(nn)).select(
+            F.expr("v div n").alias("vdist"),
+            F.expr("v - n * (v div n)").alias("vrem"))
+        c = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(vd))
+            .select("node", (F.coalesce("inf", F.lit(0)) + F.col("vdist"))
+                    .cast("long").alias("cash"))
+        )
+        v = vd.crossJoin(F.broadcast(to_v)).select(
+            (F.col("vrem") + F.col("tv")).cast("long").alias("v"))
+    return h.join(c, "node").select(
+        F.col("node").cast("long"),
+        F.col("cash").cast("long").alias("cash_e6"),
+        (F.col("hist") + F.col("cash")).cast("long").alias("opic_e6"))
+
+
+def _sql_opic_round(t: int) -> str:
+    prev_c, prev_h, prev_v = f"c{t}", f"h{t}", f"v{t}"
+    return f"""
+s{t} AS (
+  SELECT c.node, c.cash, CAST(COALESCE(d.d, 0) AS BIGINT) AS d,
+         c.cash // (CAST(COALESCE(d.d, 0) AS BIGINT) + 1) AS share
+  FROM {prev_c} c LEFT JOIN outdeg d ON d.src = c.node
+), h{t + 1} AS (
+  SELECT h.node, CAST(h.hist + c.cash AS BIGINT) AS hist
+  FROM {prev_h} h JOIN {prev_c} c ON c.node = h.node
+), vd{t} AS (
+  SELECT (SELECT v FROM {prev_v}) // (SELECT n FROM nn) AS vdist,
+         (SELECT v FROM {prev_v})
+           - (SELECT n FROM nn)
+             * ((SELECT v FROM {prev_v}) // (SELECT n FROM nn)) AS vrem
+), c{t + 1} AS (
+  SELECT n.node,
+         CAST(COALESCE(i.s, 0) + (SELECT vdist FROM vd{t}) AS BIGINT) AS cash
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst, sum(s.share) AS s
+             FROM edges e JOIN s{t} s ON s.node = e.src
+             GROUP BY e.dst) i ON i.dst = n.node
+), v{t + 1} AS (
+  SELECT CAST((SELECT vrem FROM vd{t})
+              + (SELECT sum(cash - d * share) FROM s{t}) AS BIGINT) AS v
+)"""
+
+
+SQL_EVENTS_OPIC = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT src, dst FROM e0 WHERE dst IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), outdeg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), c0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS cash FROM nodes
+), h0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS hist FROM nodes
+), v0 AS (
+  SELECT CAST(0 AS BIGINT) AS v
+),{",".join(_sql_opic_round(i) for i in range(OPIC_ITERS))}
+SELECT CAST(h.node AS BIGINT) AS node,
+       CAST(c.cash AS BIGINT) AS cash_e6,
+       CAST(h.hist + c.cash AS BIGINT) AS opic_e6
+FROM h{OPIC_ITERS} h JOIN c{OPIC_ITERS} c ON c.node = h.node
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_customers": q_join_top_customers,
@@ -398,6 +529,7 @@ QUERIES = {
     "events_windowed_counts": q_events_windowed_counts,
     "events_pagerank": q_events_pagerank,
     "events_hits": q_events_hits,
+    "events_opic": q_events_opic,
 }
 ORACLES = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
@@ -407,4 +539,5 @@ ORACLES = {
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "events_pagerank": SQL_EVENTS_PAGERANK,
     "events_hits": SQL_EVENTS_HITS,
+    "events_opic": SQL_EVENTS_OPIC,
 }
