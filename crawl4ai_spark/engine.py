@@ -510,6 +510,10 @@ class SparkWebEngine:
             assert cfg.sink_dir, "sink='wet' requires sink_dir"
             self.export_wet(cfg.sink_dir, n_buckets=cfg.sink_buckets,
                             date=cfg.sink_date)
+        elif cfg.sink == "sitemap":
+            assert cfg.sink_dir, "sink='sitemap' requires sink_dir"
+            self.export_sitemaps(cfg.sink_dir,
+                                 lastmod=cfg.sink_date[:10])
         out = self.store.read(spark, "results")
         if out is None:
             return spark.createDataFrame([], FR.FRONTIER_SCHEMA)
@@ -1186,6 +1190,81 @@ class SparkWebEngine:
             write_segment, man_schema)
         manifest = manifest.cache()
         manifest.count()
+        return manifest
+
+    def export_sitemaps(self, out_dir: str, *,
+                        shard_size: int = 50_000,
+                        lastmod: str = "2026-01-01") -> DataFrame:
+        """Publish the crawl's successfully-fetched URL set as canonical
+        per-host sitemaps (html/sitemap.py) — the re-seed artifact the
+        reference's AsyncUrlSeeder consumes but never produces. Hosts over
+        ``shard_size`` URLs (protocol cap 50k) get sharded urlsets linked
+        from a ``sitemap.xml`` index; smaller hosts get the urlset at
+        ``sitemap.xml`` directly, so the seeder's /sitemap.xml convention
+        probe (sources/seeder.py seed_from_sitemaps) finds either form.
+
+        Scale shape: one shuffle on host (the natural sitemap partition
+        key — each host's file set is independent), each ``applyInPandas``
+        group writes its own files executor-side; only the per-file
+        manifest (host, url, path, kind, n_urls, n_bytes, sha256) crosses
+        the wire. Roundtrip tested: crawl → export → seed_from_sitemaps
+        over the emitted blobs == the crawl's successful URL set."""
+        import hashlib as _hl
+        import os as _os
+
+        import pandas as _pd
+
+        from crawl4ai_spark.html.sitemap import build_sitemap_index, build_urlset
+
+        results = self.results()
+        assert results is not None, "no results to export"
+        rows = (
+            results.filter(F.col("success"))
+            .select("url", "host").dropDuplicates(["url"])
+        )
+        _os.makedirs(out_dir, exist_ok=True)
+        man_schema = ("host string, url string, path string, kind string, "
+                      "n_urls long, n_bytes long, sha256 string")
+
+        def write_host(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            host = pdf["host"].iloc[0]
+            locs = sorted(pdf["url"])
+            hdir = _os.path.join(out_dir, host)
+            _os.makedirs(hdir, exist_ok=True)
+
+            def publish(fname: str, blob: bytes, kind: str, n: int) -> dict:
+                path = _os.path.join(hdir, fname)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(blob)
+                _os.replace(tmp, path)   # atomic publish, crash-safe
+                return {"host": host, "url": f"https://{host}/{fname}",
+                        "path": path, "kind": kind, "n_urls": n,
+                        "n_bytes": len(blob),
+                        "sha256": _hl.sha256(blob).hexdigest()}
+
+            out = []
+            if len(locs) <= shard_size:
+                out.append(publish(
+                    "sitemap.xml", build_urlset(locs, lastmod=lastmod),
+                    "urlset", len(locs)))
+            else:
+                shard_urls = []
+                for k in range(0, len(locs), shard_size):
+                    chunk = locs[k:k + shard_size]
+                    fname = f"sitemap-{k // shard_size:04d}.xml"
+                    out.append(publish(
+                        fname, build_urlset(chunk, lastmod=lastmod),
+                        "urlset", len(chunk)))
+                    shard_urls.append(f"https://{host}/{fname}")
+                out.append(publish(
+                    "sitemap.xml", build_sitemap_index(shard_urls),
+                    "sitemapindex", len(shard_urls)))
+            return _pd.DataFrame(out)
+
+        manifest = rows.groupBy("host").applyInPandas(write_host, man_schema)
+        manifest = manifest.cache()
+        manifest.count()   # applyInPandas is lazy — the write IS the effect
         return manifest
 
     def results(self) -> DataFrame | None:

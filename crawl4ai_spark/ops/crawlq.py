@@ -109,6 +109,65 @@ def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_table(out)
 
 
+def q_sitemap_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap WRITE side (html/sitemap.py build_urlset — the engine's
+    ``sink='sitemap'`` artifact): per host, the canonical urlset document
+    over the synthetic URL corpus, reported as (n_urls, n_bytes, xml_md5).
+    The REAL python writer runs in the query (one applyInPandas group per
+    host — the export_sitemaps shape); the DuckDB oracle REBUILDS the
+    canonical XML by string concatenation (escape → sort by raw url →
+    frame) and md5s its UTF-8 bytes, so any escaping/ordering/framing
+    drift in the writer breaks the value hash."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from crawl4ai_spark.html.sitemap import build_urlset
+    from crawl4ai_spark.ops.scheduling import _urls
+
+    rows = _urls(spark, sf_dir).select("host", "url").distinct()
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = build_urlset(sorted(pdf["url"]), lastmod="2026-01-01")
+        return pd.DataFrame([{
+            "host": pdf["host"].iloc[0],
+            "n_urls": len(pdf),
+            "n_bytes": len(blob),
+            "xml_md5": _hl.md5(blob).hexdigest(),
+        }])
+
+    return rows.groupBy("host").applyInPandas(
+        emit, "host string, n_urls long, n_bytes long, xml_md5 string")
+
+
+from crawl4ai_spark.ops.scheduling import _SQL_URLS  # noqa: E402
+
+SQL_SITEMAP_EMIT = f"""
+WITH u AS (
+  SELECT DISTINCT host, url FROM ({_SQL_URLS})
+), esc AS (
+  SELECT host, url,
+         replace(replace(replace(url, '&', '&amp;'), '<', '&lt;'),
+                 '>', '&gt;') AS loc
+  FROM u
+), doc AS (
+  SELECT host, count(*) AS n_urls,
+         '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+         || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         || chr(10)
+         || string_agg('<url><loc>' || loc
+                       || '</loc><lastmod>2026-01-01</lastmod></url>'
+                       || chr(10), '' ORDER BY url)
+         || '</urlset>' || chr(10) AS xml
+  FROM esc GROUP BY host
+)
+SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(octet_length(encode(xml)) AS BIGINT) AS n_bytes,
+       md5(xml) AS xml_md5
+FROM doc
+"""
+
+
 SMAP_HOSTS = 3
 SMAP_URLS = 9
 
@@ -173,8 +232,10 @@ QUERIES = {
     "crawl_anchor_text": q_crawl_anchor_text,
     "crawl_text_identity": q_crawl_text_identity,
     "seed_sitemaps": q_seed_sitemaps,
+    "sitemap_emit": q_sitemap_emit,
     "chunk_topics": q_chunk_topics,
 }
 # crawl_* are rows-only (oracle = pytest parity + golden suites);
-# seed_sitemaps has a full result oracle
-ORACLES: dict = {"seed_sitemaps": SQL_SEED_SITEMAPS}
+# seed_sitemaps / sitemap_emit have full result oracles
+ORACLES: dict = {"seed_sitemaps": SQL_SEED_SITEMAPS,
+                 "sitemap_emit": SQL_SITEMAP_EMIT}
