@@ -127,6 +127,76 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT (the 1997 paper's second measure next to
+    resemblance): c(A,B) = |S(A)∩S(B)| / |S(A)| — asymmetric, so it
+    catches subset relations resemblance dilutes (a quote inside a longer
+    page, a wrapped repost, boilerplate-plus-payload) where Jaccard stays
+    low because the container's extra shingles inflate the union. Top-20
+    unordered pairs by max(c(A,B), c(B,A)) with BOTH directions reported.
+    Same scale shape as q_dedup_ngram_pairs: candidates meet only through
+    the shingle-key join, hot shingles capped before the self-join."""
+    sh = _shingles(spark, sf_dir)
+    hot = (sh.groupBy("h").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > NGRAM_DF_CAP).select("h"))
+    sh = sh.join(hot, on="h", how="left_anti").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    c = (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+              .withColumnRenamed("sz", "s1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("sz", "s2"), "d2")
+        .withColumn("c12_e6", e6(F.col("n_inter") / F.col("s1")))
+        .withColumn("c21_e6", e6(F.col("n_inter") / F.col("s2")))
+        .withColumn("cmax_e6", F.greatest("c12_e6", "c21_e6"))
+    )
+    top = c.orderBy(F.desc("cmax_e6"), F.asc("d1"), F.asc("d2")).limit(20)
+    w = Window.orderBy(F.desc("cmax_e6"), F.asc("d1"), F.asc("d2"))
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(F.col("d1").cast("long"), F.col("d2").cast("long"),
+                F.col("n_inter").cast("long"), "c12_e6", "c21_e6",
+                "cmax_e6", "rk")
+    )
+
+
+SQL_DEDUP_CONTAINMENT_PAIRS = f"""
+WITH sh0 AS ({_SQL_SHINGLES}),
+sh AS (
+  SELECT sh0.doc_id, sh0.h FROM sh0
+  JOIN (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= {NGRAM_DF_CAP}) keep
+    ON keep.h = sh0.h
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT i.d1, i.d2, i.n_inter,
+         CAST(ROUND(CAST(i.n_inter AS DOUBLE) / s1.sz * 1e6) AS BIGINT) AS c12_e6,
+         CAST(ROUND(CAST(i.n_inter AS DOUBLE) / s2.sz * 1e6) AS BIGINT) AS c21_e6,
+         greatest(CAST(ROUND(CAST(i.n_inter AS DOUBLE) / s1.sz * 1e6) AS BIGINT),
+                  CAST(ROUND(CAST(i.n_inter AS DOUBLE) / s2.sz * 1e6) AS BIGINT)) AS cmax_e6
+  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(n_inter AS BIGINT) AS n_inter, c12_e6, c21_e6, cmax_e6, rk
+FROM (SELECT *, CAST(row_number() OVER (ORDER BY cmax_e6 DESC, d1 ASC, d2 ASC) AS BIGINT) AS rk FROM c)
+WHERE rk <= 20
+"""
+
+
 SQL_DEDUP_NGRAM_PAIRS = f"""
 WITH sh0 AS ({_SQL_SHINGLES}),
 sh AS (
@@ -1113,6 +1183,7 @@ QUERIES = {
     "clean_dup_spans": q_clean_dup_spans,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_containment_pairs": q_dedup_containment_pairs,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
     "dedup_minhash_sig2": q_dedup_minhash_sig2,
@@ -1130,6 +1201,7 @@ ORACLES = {
     "clean_dup_spans": SQL_CLEAN_DUP_SPANS,
     "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
+    "dedup_containment_pairs": SQL_DEDUP_CONTAINMENT_PAIRS,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_sig_fast": SQL_DEDUP_MINHASH_SIG,  # same output, zero shuffle
     "dedup_minhash_sig2": SQL_DEDUP_MINHASH_SIG2,
