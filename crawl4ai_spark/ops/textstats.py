@@ -838,6 +838,97 @@ FROM cum GROUP BY lang, n
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top-k keyword extraction (late r5): the per-document keyword
+# signal next to BM25's per-query ranking (ops/ranking.py) — what a corpus
+# card, search snippet, or topic label needs per doc. Exactness: idf is
+# -ln of the QUANTIZED document-frequency ratio via the perplexityq
+# discipline — q = df * CAP div N on a fixed integer grid, -ln(midpoint)
+# through a driver-computed (CAP+1)-row broadcast table, so no libm call
+# ever crosses engines; score_e6 = tf * idf_e6 stays integer.
+#
+# Scale shape: one (doc, tok) aggregate (map-side combinable), one
+# token-keyed df aggregate, a token-keyed equi-join of the two (the
+# vocab-sized side shuffles on its own key — no corpus-byte shuffle), the
+# N scalar and ln table broadcast, and a doc-partitioned top-k window
+# (never global).
+# ---------------------------------------------------------------------------
+
+TFIDF_CAP = 2048
+TFIDF_TOPK = 5
+
+
+def _tfidf_neglog_values() -> list[int]:
+    """-ln of each grid cell's midpoint ratio, e6 ints (perplexityq's
+    midpoint convention: q represents r in [q/CAP, (q+1)/CAP))."""
+    import math
+
+    return [round(-math.log((2 * q + 1) / (2.0 * (TFIDF_CAP + 1))) * 1e6)
+            for q in range(TFIDF_CAP + 1)]
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOPK keywords per document: (doc_id, tok, tf, df,
+    score_e6, rk) with score = tf * -ln(quantized df/N)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    nrow = tf.select("doc_id").distinct().agg(
+        F.count("*").cast("long").alias("n"))
+    lnt = spark.createDataFrame(
+        list(enumerate(_tfidf_neglog_values())), "q long, idf_e6 long")
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nrow))
+        .withColumn("q", F.expr(f"df * {TFIDF_CAP} div n"))
+        .join(F.broadcast(lnt), "q")
+        .withColumn("score_e6", (F.col("tf") * F.col("idf_e6"))
+                    .cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "tok", "tf", "df", "score_e6", "rk")
+    )
+
+
+def _sql_text_tfidf_topk() -> str:
+    lnvals = ", ".join(f"({q}, {v})"
+                       for q, v in enumerate(_tfidf_neglog_values()))
+    return f"""
+WITH lnt(q, idf_e6) AS (VALUES {lnvals}),
+tok0 AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tok0 GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         CAST(tf.tf * l.idf_e6 AS BIGINT) AS score_e6
+  FROM tf JOIN df USING (tok)
+  JOIN lnt l ON l.q = df.df * {TFIDF_CAP} // (SELECT n FROM nn)
+)
+SELECT doc_id, tok, tf, df, score_e6, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_e6 DESC, tok ASC) AS rk
+      FROM scored)
+WHERE rk <= {TFIDF_TOPK}
+"""
+
+
+SQL_TEXT_TFIDF_TOPK = _sql_text_tfidf_topk()
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "vocab_build": q_vocab_build,
@@ -853,6 +944,7 @@ QUERIES = {
     "text_hll_estimate": q_text_hll_estimate,
     "token_cms_topk": q_token_cms_topk,
     "length_quantiles": q_length_quantiles,
+    "text_tfidf_topk": q_text_tfidf_topk,
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
@@ -869,4 +961,5 @@ ORACLES = {
     "text_hll_estimate": SQL_TEXT_HLL_ESTIMATE,
     "token_cms_topk": SQL_TOKEN_CMS_TOPK,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
 }
