@@ -161,5 +161,129 @@ FROM scored
 """
 
 
-QUERIES = {"url_filters_head": q_url_filters_head}
-ORACLES = {"url_filters_head": SQL_URL_FILTERS_HEAD}
+# ---------------------------------------------------------------------------
+# JSON-LD structured-data extraction (late r5): the reference's seeder
+# parses <script type="application/ld+json"> blocks into head info
+# (async_url_seeder.py:123-129 lxml path, :146-153 regex fallback —
+# json.loads each block, SKIP invalid, append in document order). Spark
+# realization: native regexp_extract_all over the html (the reference's
+# regex-fallback discipline, JVM-side), posexplode for in-document block
+# order, validity + field access through get_json_object (JVM JSON parser
+# — no python anywhere), object and array-of-objects payloads both
+# handled (coalesce of $ and $[0] paths, like real consumers).
+#
+# The page corpus is synthesized in-query from events (SQL-reconstructible,
+# the scheduling._urls pattern) and exercises: malformed JSON (skipped),
+# top-level arrays, multiple blocks per page, five schema.org types. The
+# DuckDB oracle NEVER sees the HTML — it rebuilds the ground-truth blocks
+# from the same construction and extracts via its own json functions, so
+# any drift in the Spark-side regex framing or JSON pathing breaks the
+# value hash.
+#
+# Scale shape: pure per-row expressions + one posexplode — zero shuffles,
+# zero python; runs at corpus-scan cost.
+# ---------------------------------------------------------------------------
+
+_LD_RX = (r'(?is)<script[^>]+type=["\']application/ld\+json["\'][^>]*>'
+          r'(.*?)</script>')
+
+
+def extract_jsonld(pages: DataFrame, html_col: str = "html_str") -> DataFrame:
+    """(url, ld_idx, ld_type, ld_name) for every VALID ld+json block, in
+    document order (invalid blocks keep their index gap, matching the
+    reference's append-on-success over an enumerated scan)."""
+    blocks = pages.select(
+        "url",
+        F.posexplode(F.regexp_extract_all(html_col, F.lit(_LD_RX), 1))
+        .alias("ld_idx", "payload"))
+    obj = F.get_json_object("payload", "$")
+    return (
+        blocks.filter(obj.isNotNull())
+        .select(
+            "url", F.col("ld_idx").cast("long"),
+            F.coalesce(F.get_json_object("payload", "$['@type']"),
+                       F.get_json_object("payload", "$[0]['@type']"))
+            .alias("ld_type"),
+            F.coalesce(F.get_json_object("payload", "$['name']"),
+                       F.get_json_object("payload", "$[0]['name']"))
+            .alias("ld_name"))
+    )
+
+
+def q_head_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select("event_id", "user_id")
+    m5 = F.col("event_id") % 5
+    typ = (F.when(m5 == 0, "Product").when(m5 == 1, "Article")
+           .when(m5 == 2, "Organization").when(m5 == 3, "WebPage")
+           .otherwise("Event"))
+    block0 = (
+        F.when(F.col("event_id") % 7 == 0,
+               F.lit('{"@type":"Broken","name":'))      # malformed → skip
+        .when(F.col("event_id") % 7 == 1, F.concat(
+            F.lit('[{"@type":"Article","name":"a'), F.col("event_id"),
+            F.lit('"},{"@type":"Person","name":"x"}]')))
+        .otherwise(F.concat(
+            F.lit('{"@type":"'), typ, F.lit('","name":"n'),
+            F.col("event_id"), F.lit('","sku":'),
+            F.col("event_id") % 500, F.lit("}")))
+    )
+    html = F.concat(
+        F.lit('<html><head><title>t</title>'
+              '<script type="application/ld+json">'),
+        block0, F.lit("</script>"),
+        F.when(F.col("event_id") % 3 == 0, F.concat(
+            F.lit('<script  type="application/ld+json">'
+                  '{"@type":"BreadcrumbList","name":"bc'),
+            F.col("event_id"), F.lit('"}</script>')))
+        .otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"))
+    pages = ev.select(
+        F.concat(F.lit("https://www.host"), F.col("user_id") % 20,
+                 F.lit(".com/ld/p"), F.col("event_id")).alias("url"),
+        html.alias("html_str"))
+    return extract_jsonld(pages)
+
+
+SQL_HEAD_JSONLD = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         'https://www.host' || (user_id % 20) || '.com/ld/p' || event_id
+           AS url
+  FROM events
+),
+b0 AS (
+  SELECT url, 0 AS ld_idx,
+         CASE WHEN event_id % 7 = 0 THEN '{"@type":"Broken","name":'
+              WHEN event_id % 7 = 1 THEN
+                '[{"@type":"Article","name":"a' || event_id
+                || '"},{"@type":"Person","name":"x"}]'
+              ELSE '{"@type":"'
+                || (CASE event_id % 5 WHEN 0 THEN 'Product'
+                    WHEN 1 THEN 'Article' WHEN 2 THEN 'Organization'
+                    WHEN 3 THEN 'WebPage' ELSE 'Event' END)
+                || '","name":"n' || event_id || '","sku":'
+                || (event_id % 500) || '}'
+         END AS payload
+  FROM ev
+),
+b1 AS (
+  SELECT url, 1 AS ld_idx,
+         '{"@type":"BreadcrumbList","name":"bc' || event_id || '"}'
+           AS payload
+  FROM ev WHERE event_id % 3 = 0
+),
+blocks AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+SELECT url, CAST(ld_idx AS BIGINT) AS ld_idx,
+       COALESCE(json_extract_string(payload, '$."@type"'),
+                json_extract_string(payload, '$[0]."@type"')) AS ld_type,
+       COALESCE(json_extract_string(payload, '$.name'),
+                json_extract_string(payload, '$[0].name')) AS ld_name
+FROM blocks
+WHERE json_valid(payload)
+"""
+
+
+QUERIES = {"url_filters_head": q_url_filters_head,
+           "head_jsonld": q_head_jsonld}
+ORACLES = {"url_filters_head": SQL_URL_FILTERS_HEAD,
+           "head_jsonld": SQL_HEAD_JSONLD}
