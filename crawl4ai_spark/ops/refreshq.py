@@ -137,9 +137,68 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (late r5): the crawl-update ledger between two monthly
+# snapshots — added / removed / changed / unchanged per URL, the artifact
+# Common Crawl publishes as crawl-over-crawl deltas and the input both
+# ``refresh_schedule`` (change histories) and ``dedup_incremental``
+# (delta-vs-base) consume. Snapshots are synthesized deterministically
+# from documents (the dedup_incremental convention): snapshot 1 = docs
+# with doc_id % 5 != 4; snapshot 2 = docs with doc_id % 5 != 0, where
+# docs with doc_id % 3 == 0 carry EDITED text (a deterministic suffix) —
+# so all four verdicts are non-degenerate.
+#
+# Scale shape: content never moves — each side reduces to (doc_id, md5)
+# before the ONE full-outer equi-join on doc_id; verdicts are pure
+# expressions. At 10^10 URLs this is two scans + one hash-keyed join of
+# 48-byte rows.
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = (d.filter(F.col("doc_id") % 5 != 4)
+          .select("doc_id", F.md5(F.col("text")).alias("h1")))
+    s2 = (d.filter(F.col("doc_id") % 5 != 0)
+          .select("doc_id", F.md5(
+              F.when(F.col("doc_id") % 3 == 0,
+                     F.concat(F.col("text"), F.lit(" [edited v2]")))
+              .otherwise(F.col("text"))).alias("h2")))
+    return (
+        s1.join(s2, "doc_id", "full_outer")
+        .select(
+            F.col("doc_id").cast("long"), "h1", "h2",
+            F.when(F.col("h1").isNull(), "added")
+            .when(F.col("h2").isNull(), "removed")
+            .when(F.col("h1") != F.col("h2"), "changed")
+            .otherwise("unchanged").alias("verdict"))
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH s1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 5 != 4
+),
+s2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [edited v2]'
+                  ELSE text END) AS h2
+  FROM documents WHERE doc_id % 5 != 0
+)
+SELECT CAST(COALESCE(s1.doc_id, s2.doc_id) AS BIGINT) AS doc_id, h1, h2,
+       CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 != h2 THEN 'changed'
+            ELSE 'unchanged' END AS verdict
+FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+"""
+
+
 QUERIES = {
     "refresh_schedule": q_refresh_schedule,
+    "snapshot_diff": q_snapshot_diff,
 }
 ORACLES = {
     "refresh_schedule": SQL_REFRESH_SCHEDULE,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 }
