@@ -421,15 +421,19 @@ JOIN h{HITS_ITERS} h ON h.node = n.node
 OPIC_ITERS = 3
 
 
-def q_events_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPIC after OPIC_ITERS synchronous rounds over the events click-graph:
-    (node, cash_e6, opic_e6 = history + cash)."""
-    nodes, edges, outdeg = _pr_graph(spark, sf_dir)
+def opic_scores(nodes: DataFrame, edges: DataFrame,
+                iters: int = OPIC_ITERS) -> DataFrame:
+    """Generic OPIC rounds over any (node) / (src, dst) graph — node keys
+    may be any equi-joinable type (long click-graph ids here, URL strings
+    in the frontier bridge ``opic_frontier_scores``). Returns
+    (node, cash_e6, opic_e6)."""
+    spark = nodes.sparkSession
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
     nn = nodes.agg(F.count("*").alias("n"))  # 1-row scalar, broadcast below
     c = nodes.withColumn("cash", F.lit(1_000_000).cast("long"))
     h = nodes.withColumn("hist", F.lit(0).cast("long"))
     v = spark.range(1).select(F.lit(0).cast("long").alias("v"))
-    for _ in range(OPIC_ITERS):
+    for _ in range(iters):
         s = (
             c.join(outdeg.withColumnRenamed("src", "node"), "node", "left")
             .select("node", "cash",
@@ -457,9 +461,41 @@ def q_events_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = vd.crossJoin(F.broadcast(to_v)).select(
             (F.col("vrem") + F.col("tv")).cast("long").alias("v"))
     return h.join(c, "node").select(
-        F.col("node").cast("long"),
+        "node",
         F.col("cash").cast("long").alias("cash_e6"),
         (F.col("hist") + F.col("cash")).cast("long").alias("opic_e6"))
+
+
+def q_events_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC after OPIC_ITERS synchronous rounds over the events click-graph:
+    (node, cash_e6, opic_e6 = history + cash)."""
+    nodes, edges, _ = _pr_graph(spark, sf_dir)
+    return opic_scores(nodes, edges).select(
+        F.col("node").cast("long"), "cash_e6", "opic_e6")
+
+
+def opic_frontier_scores(results: DataFrame,
+                         iters: int = OPIC_ITERS) -> DataFrame:
+    """The engine bridge: OPIC over a finished crawl's internal-link graph
+    → (url, score) rows for ``SparkWebEngine.run(score_overrides=...)``.
+    Two-phase pattern: a budgeted discovery crawl builds the graph, OPIC
+    ranks it, the main best-first crawl spends its budget on importance —
+    the link-structure prioritization the reference's scorers
+    (bff_strategy.py:19,130) never have. Scale: the graph reduces to
+    (src, dst) url pairs before any shuffle; each round is the PageRank
+    join shape."""
+    edges = (
+        results.select(F.col("url").alias("src"),
+                       F.explode("links.internal").alias("l"))
+        .select("src", F.col("l.href").alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )
+    nodes = (results.select(F.col("url").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    return opic_scores(nodes, edges, iters=iters).select(
+        F.col("node").alias("url"),
+        (F.col("opic_e6").cast("double") / 1e6).alias("score"))
 
 
 def _sql_opic_round(t: int) -> str:
