@@ -197,6 +197,112 @@ WHERE rk <= 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Host mirror detection via bottom-k (KMV) sketches (Cohen 1997; Broder's
+# min-wise family): per host, the K smallest md5(path) values are an
+# order-statistics sketch of its PATH SET; two hosts' path-set Jaccard is
+# estimated from the union's bottom-K alone — |bottomK(A ∪ B) ∩ A ∩ B| / K.
+# This is how mirror/alias hosts (the classic Common-Crawl pathology) are
+# found at 10^7 hosts WITHOUT pairwise-comparing full URL sets: sketches
+# are ~K rows/host, candidates meet only through shared sketch values,
+# and per-pair work is bounded by 2K rows. Everything is deterministic
+# (md5, string order), so the DuckDB oracle is exact; the estimator's
+# accuracy vs exact path-set Jaccard is asserted from-spec in
+# tests/test_host_mirror.py.
+# ---------------------------------------------------------------------------
+
+MIRROR_K = 32
+
+
+def q_host_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host_a, host_b, k_eff, n_both, est_jaccard_e6) per candidate host
+    pair (pairs sharing >= 1 bottom-K value), estimate = n_both/k_eff over
+    the union's bottom-K (k_eff = min(K, |union sketch|))."""
+    from crawl4ai_spark.ops.scheduling import _normalize, _urls
+
+    paths = (_normalize(_urls(spark, sf_dir))
+             .select("host", "path").distinct())
+    wk = Window.partitionBy("host").orderBy("h")
+    sk = (paths.select("host", F.md5("path").alias("h"))
+          .withColumn("rk", F.row_number().over(wk))
+          .filter(F.col("rk") <= MIRROR_K).select("host", "h").cache())
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.host") < F.col("b.host")))
+        .select(F.col("a.host").alias("ha"), F.col("b.host").alias("hb"))
+        .distinct()
+    )
+    ua = (pairs.join(sk.withColumnRenamed("host", "ha"), "ha")
+          .select("ha", "hb", "h", F.lit(1).alias("in_a"),
+                  F.lit(0).alias("in_b")))
+    ub = (pairs.join(sk.withColumnRenamed("host", "hb"), "hb")
+          .select("ha", "hb", "h", F.lit(0).alias("in_a"),
+                  F.lit(1).alias("in_b")))
+    u = (ua.unionByName(ub)
+         .groupBy("ha", "hb", "h")
+         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    wp = Window.partitionBy("ha", "hb").orderBy("h")
+    return (
+        u.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= MIRROR_K)
+        .groupBy("ha", "hb")
+        .agg(F.count("*").cast("long").alias("k_eff"),
+             F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+             .alias("n_both"))
+        .select(F.col("ha").alias("host_a"), F.col("hb").alias("host_b"),
+                "k_eff", "n_both",
+                F.expr("n_both * 1000000 div k_eff").cast("long")
+                .alias("est_jaccard_e6"))
+    )
+
+
+SQL_HOST_MIRROR_PAIRS = """
+WITH paths AS (
+  SELECT DISTINCT host, path FROM ({_SQL_NORM_})
+),
+sk0 AS (
+  SELECT host, md5(path) AS h,
+         row_number() OVER (PARTITION BY host ORDER BY md5(path)) AS rk
+  FROM paths
+),
+sk AS (SELECT host, h FROM sk0 WHERE rk <= {MIRROR_K}),
+pairs AS (
+  SELECT DISTINCT a.host AS ha, b.host AS hb
+  FROM sk a JOIN sk b ON a.h = b.h AND a.host < b.host
+),
+u AS (
+  SELECT ha, hb, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT p.ha, p.hb, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.host = p.ha
+    UNION ALL
+    SELECT p.ha, p.hb, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.host = p.hb
+  ) GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY ha, hb ORDER BY h) AS rk FROM u
+)
+SELECT ha AS host_a, hb AS host_b,
+       CAST(count(*) AS BIGINT) AS k_eff,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       CAST(sum(in_a * in_b) * 1000000 // count(*) AS BIGINT)
+         AS est_jaccard_e6
+FROM r WHERE rk <= {MIRROR_K}
+GROUP BY 1, 2
+"""
+
+
+def _sql_host_mirror() -> str:
+    # .replace, not .format — the normalize fragment carries regex braces
+    from crawl4ai_spark.ops.scheduling import _SQL_NORM
+
+    return (SQL_HOST_MIRROR_PAIRS
+            .replace("{_SQL_NORM_}", _SQL_NORM)
+            .replace("{MIRROR_K}", str(MIRROR_K)))
+
+
 SQL_DEDUP_NGRAM_PAIRS = f"""
 WITH sh0 AS ({_SQL_SHINGLES}),
 sh AS (
@@ -1184,6 +1290,7 @@ QUERIES = {
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_containment_pairs": q_dedup_containment_pairs,
+    "host_mirror_pairs": q_host_mirror_pairs,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
     "dedup_minhash_sig2": q_dedup_minhash_sig2,
@@ -1202,6 +1309,7 @@ ORACLES = {
     "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "dedup_containment_pairs": SQL_DEDUP_CONTAINMENT_PAIRS,
+    "host_mirror_pairs": _sql_host_mirror(),
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_sig_fast": SQL_DEDUP_MINHASH_SIG,  # same output, zero shuffle
     "dedup_minhash_sig2": SQL_DEDUP_MINHASH_SIG2,
