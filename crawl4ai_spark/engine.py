@@ -1289,6 +1289,43 @@ class SparkWebEngine:
         return (fr.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1).drop("__rn"))
 
+    def report(self) -> DataFrame | None:
+        """Per-host operational crawl card — the run's observability
+        rollup over the stored results + current frontier view: crawl
+        counts by outcome class (ok / robots-403 / other-http-error),
+        depth and generation reach, retry volume, link yield, and what's
+        still queued. One host-keyed aggregate per table + one host
+        equi-join — O(#hosts) output, scan-bounded at 10^10 rows (the
+        corpus datacard's discipline applied to the crawl itself)."""
+        results = self.results()
+        if results is None:
+            return None
+        res = results.groupBy("host").agg(
+            F.count("*").cast("long").alias("n_crawled"),
+            F.sum(F.col("success").cast("long")).cast("long").alias("n_ok"),
+            F.sum((F.col("status_code") == 403).cast("long")).cast("long")
+            .alias("n_robots_blocked"),
+            F.sum(((~F.col("success")) & (F.col("status_code") != 403))
+                  .cast("long")).cast("long").alias("n_http_error"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.max("generation").cast("long").alias("n_generations"),
+            F.sum("retry_count").cast("long").alias("n_retries"),
+            F.sum(F.when(F.col("success"),
+                         F.size("links.internal")).otherwise(0))
+            .cast("long").alias("n_internal_links"),
+        )
+        fr = self.frontier()
+        queued = (
+            fr.filter(F.col("status") == "QUEUED")
+            .groupBy("host").agg(F.count("*").cast("long")
+                                 .alias("n_queued"))
+            if fr is not None else None)
+        out = res
+        if queued is not None:
+            out = res.join(queued, "host", "left")
+        return out.withColumn(
+            "n_queued", F.coalesce(F.col("n_queued"), F.lit(0)))
+
     def metrics(self) -> DataFrame | None:
         return self.store.read(self.spark, "metrics")
 
