@@ -53,6 +53,7 @@ _MODULES = [
     "trapq",
     "redirectq",
     "indexq",
+    "shardq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.

@@ -557,6 +557,206 @@ FROM h{OPIC_ITERS} h JOIN c{OPIC_ITERS} c ON c.node = h.node
 """
 
 
+# ---------------------------------------------------------------------------
+# TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the anti-spam
+# ranking a production crawler runs NEXT TO PageRank — PageRank with the
+# teleport restricted to a human-vetted trusted seed set, so trust decays
+# with link distance from the seeds and link-farm islands that inflate raw
+# PageRank get ~0. The reference has no link-structure ranking at all (its
+# best-first scorers — bff_strategy.py:19,130 — are URL-local); this is the
+# crawl-native spam defense a 10^10-page frontier needs.
+#
+# Same exact-integer e6 scheme as q_events_pagerank, with the static part
+# made seed-conditional: r0 = seed ? 1e6 : 0;
+#   r_{t+1}(i) = (seed_i ? 150000 : 0) + 850000 * inflow_t(i) div 1e6,
+#   inflow_t(i) = sum over edges u→i (multiplicity kept) of r_t(u) div d_u.
+# The paper normalizes the teleport vector by 1/|seeds|; that is a global
+# constant every score scales by, so the integer form drops it — ranking
+# (and the spam-gap guard in tests/test_trustrank.py) is invariant, the
+# OPIC/DSIR per-corpus-constant trick. Seed set here: node % 5 == 0, the
+# deterministic stand-in for the paper's oracle-assessed whitelist (the
+# seam a deployment replaces with its curated list).
+#
+# Scale shape per round: identical to a PageRank round — one equi-join of
+# the node-keyed rank table on edge src + one groupBy dst; the seed
+# indicator is a pure expression on the node key, no extra join. Dangling
+# mass dropped (the deterministic variant, as in q_events_pagerank).
+# ---------------------------------------------------------------------------
+
+TRUSTRANK_ITERS = 3
+TR_SEED_MOD = 5
+
+
+def q_events_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank after TRUSTRANK_ITERS rounds: (node, is_seed,
+    trust_e6). Non-seed nodes unreachable from the seed set in
+    TRUSTRANK_ITERS hops score exactly 0."""
+    nodes, edges, outdeg = _pr_graph(spark, sf_dir)
+    seed = (F.col("node") % TR_SEED_MOD == 0)
+    base = F.when(seed, F.lit(PR_BASE_E6)).otherwise(F.lit(0)).cast("long")
+    r = nodes.withColumn(
+        "r", F.when(seed, F.lit(1_000_000)).otherwise(F.lit(0)).cast("long"))
+    for _ in range(TRUSTRANK_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(s, nodes["node"] == s["dst"], "left")
+            .select("node",
+                    (base + F.expr(f"CAST({PR_DAMP_E6} * coalesce(s, 0) "
+                                   f"div 1000000 AS BIGINT)")).alias("r"))
+        )
+    return r.select(
+        F.col("node").cast("long"),
+        (F.col("node") % TR_SEED_MOD == 0).alias("is_seed"),
+        F.col("r").cast("long").alias("trust_e6"))
+
+
+def _sql_tr_round(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node,
+         CAST((CASE WHEN n.node % {TR_SEED_MOD} = 0
+                    THEN {PR_BASE_E6} ELSE 0 END)
+              + {PR_DAMP_E6} * COALESCE(s.s, 0) // 1000000
+              AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.r // d.d) AS s
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = n.node
+)"""
+
+
+SQL_EVENTS_TRUSTRANK = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT src, dst FROM e0 WHERE dst IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), outdeg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), t0 AS (
+  SELECT node,
+         CAST(CASE WHEN node % {TR_SEED_MOD} = 0 THEN 1000000 ELSE 0 END
+              AS BIGINT) AS r
+  FROM nodes
+),{",".join(_sql_tr_round(f"t{i}", f"t{i + 1}")
+            for i in range(TRUSTRANK_ITERS))}
+SELECT CAST(node AS BIGINT) AS node,
+       node % {TR_SEED_MOD} = 0 AS is_seed,
+       CAST(r AS BIGINT) AS trust_e6
+FROM t{TRUSTRANK_ITERS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (Raghavan, Albert & Kumara 2007): the
+# near-linear community detector a host-graph pipeline runs to find site
+# clusters / link farms — the natural sibling of the connected-components
+# path (clusterq large-star) when edge DENSITY, not mere reachability,
+# should define the groups. Deterministic synchronous variant: every node
+# starts as its own label; each round it adopts the label with the largest
+# total edge multiplicity among its neighbors (both directions — the
+# undirected reading of the click graph), ties broken by the SMALLEST
+# label, isolated nodes keep their label. Synchronous + total tie order =
+# exact, engine-independent rounds (the known LPA oscillation on bipartite
+# structure is bounded by the fixed round count; the async variant trades
+# determinism for convergence and is documented out).
+#
+# Scale shape per round: one equi-join of the node-keyed label table onto
+# the symmetrized edge list + one (node, label) aggregate + one
+# per-node arg-max window over that aggregate's rows (bounded by the
+# node's distinct neighbor-label count, not the corpus). Labels are node
+# ids, so the state is 2 longs per node forever.
+# ---------------------------------------------------------------------------
+
+LABELPROP_ITERS = 3
+
+
+def q_events_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, community) after LABELPROP_ITERS deterministic synchronous
+    label-propagation rounds over the undirected click graph."""
+    nodes, edges, _ = _pr_graph(spark, sf_dir)
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    lab = nodes.withColumn("lab", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(LABELPROP_ITERS):
+        cnt = (
+            sym.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("lab").alias("new_lab")))
+        lab = (
+            lab.join(pick, "node", "left")
+            .select("node",
+                    F.coalesce("new_lab", "lab").cast("long").alias("lab"))
+        )
+    return lab.select(F.col("node").cast("long"),
+                      F.col("lab").cast("long").alias("community"))
+
+
+def _sql_lp_round(prev: str, t: int) -> str:
+    return f"""
+cnt{t} AS (
+  SELECT e.dst AS node, p.lab AS lab, count(*) AS c
+  FROM sym e JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst, p.lab
+), pick{t} AS (
+  SELECT node, lab,
+         row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+  FROM cnt{t}
+), l{t} AS (
+  SELECT q.node, CAST(COALESCE(p.lab, q.lab) AS BIGINT) AS lab
+  FROM {prev} q
+  LEFT JOIN (SELECT node, lab FROM pick{t} WHERE rn = 1) p
+    ON p.node = q.node
+)"""
+
+
+SQL_EVENTS_LABELPROP = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT src, dst FROM e0 WHERE dst IS NOT NULL
+), sym AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), l0 AS (
+  SELECT node, CAST(node AS BIGINT) AS lab FROM nodes
+),{",".join(_sql_lp_round(f"l{i}", i + 1)
+            for i in range(LABELPROP_ITERS))}
+SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS community
+FROM l{LABELPROP_ITERS}
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_customers": q_join_top_customers,
@@ -566,6 +766,8 @@ QUERIES = {
     "events_pagerank": q_events_pagerank,
     "events_hits": q_events_hits,
     "events_opic": q_events_opic,
+    "events_trustrank": q_events_trustrank,
+    "events_labelprop": q_events_labelprop,
 }
 ORACLES = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
@@ -576,4 +778,6 @@ ORACLES = {
     "events_pagerank": SQL_EVENTS_PAGERANK,
     "events_hits": SQL_EVENTS_HITS,
     "events_opic": SQL_EVENTS_OPIC,
+    "events_trustrank": SQL_EVENTS_TRUSTRANK,
+    "events_labelprop": SQL_EVENTS_LABELPROP,
 }

@@ -687,24 +687,19 @@ GROUP BY a.doc_id, b.doc_id
 _N_HEX = 15
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-frequency-weighted 60-bit SimHash per doc.
-
-    SimHash is a strictly per-row computation, so it runs as ONE Arrow
-    ``mapInPandas`` stage with ZERO shuffle — the r01 column-expression
-    version exploded tokens × 60 bit positions (a 60× row blowup plus a
-    (doc_id, bit) shuffle) for what is local arithmetic (VERDICT r01
-    "what's wrong" — dedup_simhash perf-weak). The bit definition is
-    unchanged (first 15 md5 hex chars → 4 bits each, signed sum over token
-    occurrences, sign → bit), so the DuckDB oracle still matches exactly.
-    """
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       id_type: str = "long") -> DataFrame:
+    """Token-frequency-weighted 60-bit SimHash over any (id, text) frame —
+    one Arrow ``mapInPandas`` stage, zero shuffle (SimHash is strictly
+    per-row). Bit definition: first 15 md5 hex chars of each token → 4 bits
+    each, signed sum over token occurrences, sign → bit (the exact scheme
+    SQL_DEDUP_SIMHASH mirrors). Returns (id_col, simhash60)."""
     import hashlib
     import re as _re
 
     import numpy as np
     import pandas as pd
 
-    d = tbl(spark, sf_dir, "documents")
     n_bits = _N_HEX * 4
     shifts = np.arange(n_bits, dtype=np.uint64)
 
@@ -712,12 +707,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_re = _re.compile(r"[a-z0-9]+")
         for pdf in batches:
             out_ids, out_sigs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for key, text in zip(pdf[id_col], pdf["text"]):
                 counts: dict[str, int] = {}
                 for t in tok_re.findall((text or "").lower()):
                     counts[t] = counts.get(t, 0) + 1
                 if not counts:
-                    out_ids.append(doc_id)
+                    out_ids.append(key)
                     out_sigs.append(0)
                     continue
                 # reversed so hex digit `pos` (counted from the LEFT, as the
@@ -731,13 +726,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bits = ((hs[:, None] >> shifts) & 1).astype(np.int64)
                 s = ((2 * bits - 1) * w[:, None]).sum(axis=0)
                 sig = int(((s > 0).astype(np.uint64) << shifts).sum())
-                out_ids.append(doc_id)
+                out_ids.append(key)
                 out_sigs.append(sig)
-            yield pd.DataFrame({"doc_id": out_ids, "simhash60": out_sigs})
+            yield pd.DataFrame({id_col: out_ids, "simhash60": out_sigs})
 
-    return d.select("doc_id", "text").mapInPandas(
-        _simhash_batches, "doc_id long, simhash60 long"
+    return df.select(id_col, "text").mapInPandas(
+        _simhash_batches, f"{id_col} {id_type}, simhash60 long"
     )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency-weighted 60-bit SimHash per doc.
+
+    SimHash is a strictly per-row computation, so it runs as ONE Arrow
+    ``mapInPandas`` stage with ZERO shuffle — the r01 column-expression
+    version exploded tokens × 60 bit positions (a 60× row blowup plus a
+    (doc_id, bit) shuffle) for what is local arithmetic (VERDICT r01
+    "what's wrong" — dedup_simhash perf-weak). The bit definition is
+    unchanged (first 15 md5 hex chars → 4 bits each, signed sum over token
+    occurrences, sign → bit), so the DuckDB oracle still matches exactly.
+    """
+    return simhash_signatures(tbl(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_SIMHASH = f"""

@@ -1411,6 +1411,98 @@ FROM m, unnest(range(n)) k(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# Content-type sniffing (the WHATWG mime-sniffing algorithm's magic-byte
+# table, the subset our container formats exercise): a crawl CANNOT trust
+# the Content-Type header — misconfigured servers label images text/html
+# and vice versa — so ingestion sniffs the leading bytes before routing a
+# payload to a decoder. The reference routes on headers/extensions only
+# (async_crawler_strategy.py); this is the byte-level gate in front of the
+# decode_real family.
+#
+# The sniff itself is PURE JVM expressions over the binary column — binary
+# slice equality against the magic constants, zero Python — the blob
+# builder Arrow stage is only the test fixture. well_formed additionally
+# checks the format trailer where one is defined (PNG IEND+CRC, JPEG EOI),
+# i.e. a cheap truncation detector: at 100 TB this is the scan-side filter
+# that keeps truncated fetches out of the decoder fleet.
+# ---------------------------------------------------------------------------
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mime, well_formed, n_bytes) per synthesized media blob:
+    magic-byte sniff + trailer check, all native binary expressions. The
+    oracle recomputes mime and n_bytes from the construction arithmetic
+    (doc_id % 5 → kind) — a mis-sniff of any REAL blob mismatches it."""
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [_BUILDERS[i % 5](i) for i in ids],
+            })
+
+    blobs = d.mapInPandas(run, "doc_id long, payload binary")
+    return sniff_mime(blobs).select(
+        F.col("doc_id").cast("long"), "mime", "well_formed",
+        F.length("payload").cast("long").alias("n_bytes"))
+
+
+def sniff_mime(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Adds (mime, well_formed) columns from magic-byte + trailer checks
+    over the binary ``payload_col`` — native binary-slice expressions
+    only, zero Python."""
+    p = payload_col
+    mime = (
+        F.when((F.expr(f"substring({p}, 1, 4)") == F.lit(b"RIFF"))
+               & (F.expr(f"substring({p}, 9, 4)") == F.lit(b"WAVE")),
+               "audio/wav")
+        .when(F.expr(f"substring({p}, 1, 2)") == F.lit(b"BM"),
+              "image/bmp")
+        .when(F.expr(f"substring({p}, 1, 8)")
+              == F.lit(bytes([0x89]) + b"PNG\r\n" + bytes([0x1A, 0x0A])),
+              "image/png")
+        .when(F.expr(f"substring({p}, 1, 3)")
+              == F.lit(bytes([0xFF, 0xD8, 0xFF])), "image/jpeg")
+        .when(F.expr(f"substring({p}, 5, 4)") == F.lit(b"ftyp"),
+              "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    well_formed = (
+        F.when(mime == "image/png",
+               F.expr(f"substring({p}, length({p}) - 7, 8)")
+               == F.lit(b"IEND" + bytes([0xAE, 0x42, 0x60, 0x82])))
+        .when(mime == "image/jpeg",
+              F.expr(f"substring({p}, length({p}) - 1, 2)")
+              == F.lit(bytes([0xFF, 0xD9])))
+        .otherwise(F.lit(True))
+    )
+    return df.withColumn("mime", mime).withColumn("well_formed", well_formed)
+
+
+SQL_MIME_SNIFF = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+                       WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/jpeg'
+                       ELSE 'video/mp4' END AS mime,
+       TRUE AS well_formed,
+       CAST(CASE doc_id % 5
+              WHEN 0 THEN 44 + (200 + doc_id % 57)
+              WHEN 1 THEN 54 + ((3 * (4 + doc_id % 13) + 3) // 4) * 4
+                             * (3 + doc_id % 7)
+              WHEN 2 THEN 68 + (3 + doc_id % 6) * (1 + 3 * (4 + doc_id % 11))
+              WHEN 3 THEN 173 + 4 * (1 + doc_id % 3) * (1 + doc_id % 2)
+              ELSE 418 + (64 + doc_id % 100)
+            END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
@@ -1418,6 +1510,7 @@ QUERIES = {
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_frames": q_multimodal_frames,
+    "mime_sniff": q_mime_sniff,
 }
 ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
@@ -1425,5 +1518,6 @@ ORACLES = {
     "multimodal_mp4_frames": SQL_MULTIMODAL_MP4_FRAMES,
     "multimodal_decode_real": SQL_MULTIMODAL_DECODE_REAL,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "mime_sniff": SQL_MIME_SNIFF,
     # multimodal_decode_stub: rows-only (decode stub is not SQL-expressible)
 }

@@ -126,9 +126,127 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Soft-404 detection (Bar-Yossef, Broder, Kumar & Tomkins, "Sic Transit
+# Gloria Telae", WWW 2004): hosts that answer missing URLs with HTTP 200 +
+# an error page poison a corpus with near-identical junk documents the
+# status-code gate never sees. The standard detector probes each host with
+# a known-nonsense URL, takes that response as the host's ERROR SIGNATURE,
+# and flags any page whose content is near-identical to the signature.
+# The reference trusts status codes alone (async_crawler_strategy.py's
+# response handling); this is the content-level defense a 10^10-page crawl
+# needs.
+#
+# Deterministic synthesis from the documents table (the refreshq
+# convention): host = doc_id % SOFT404_HOST_MOD; 2 in SOFT404_RATE_MOD
+# docs "serve" the host's error template plus a tiny per-doc variant (the
+# echoed-URL part of a real soft 404) instead of their own text. The probe
+# corpus is one pure-template row per host — the nonsense-URL fetch.
+# Verdict: 60-bit SimHash hamming(page, host probe) ≤ SOFT404_HAM_T.
+# Template-plus-variant pages land at hamming ~7 (the variant token only
+# flips bits the template leaves tied), real documents at ~30 (independent
+# signatures) — the threshold sits in a wide deterministic gap.
+#
+# Scale shape: both signature passes are zero-shuffle mapInPandas stages
+# (simhash_signatures); the host is re-derived from doc_id AFTER signing,
+# so page rows never shuffle at all — the only join is the O(#hosts) probe
+# table broadcast onto the signature stream. At 100 TB: one pass over the
+# pages, one trivial probe fetch per host.
+# ---------------------------------------------------------------------------
+
+SOFT404_HOST_MOD = 40
+SOFT404_RATE_MOD = 10   # doc_id % 10 < 2 → the page serves the error template
+SOFT404_HAM_T = 15
+_S404_TMPL = ("error 404 page not found the requested resource does not "
+              "exist on this server host ")
+
+
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.ops.dedup import simhash_signatures
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    host = F.concat(F.lit("err"),
+                    (F.col("doc_id") % SOFT404_HOST_MOD).cast("string"),
+                    F.lit(".example"))
+    tmpl = F.concat(F.lit(_S404_TMPL), host)
+    pages = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % SOFT404_RATE_MOD < 2,
+               F.concat(tmpl, F.lit(" v"), F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    probes = (
+        d.select(host.alias("host")).distinct()
+        .select("host", F.concat(F.lit(_S404_TMPL), F.col("host"))
+                .alias("text")))
+    sig_p = simhash_signatures(pages).withColumn(
+        "host", F.concat(F.lit("err"),
+                         (F.col("doc_id") % SOFT404_HOST_MOD).cast("string"),
+                         F.lit(".example")))
+    sig_q = (simhash_signatures(probes, "host", "string")
+             .withColumnRenamed("simhash60", "probe_sig"))
+    return (
+        sig_p.join(F.broadcast(sig_q), "host")
+        .select(
+            F.col("doc_id").cast("long"), "host",
+            F.bit_count(F.col("simhash60").bitwiseXOR(F.col("probe_sig")))
+            .cast("long").alias("hamming"))
+        .withColumn("is_soft404", F.col("hamming") <= SOFT404_HAM_T)
+    )
+
+
+def _sql_simhash_ctes(prefix: str, src: str, key: str) -> str:
+    """DuckDB CTE chain computing the 60-bit SimHash scheme of
+    dedup.SQL_DEDUP_SIMHASH over ``src`` (columns: key, text), emitting
+    ``{prefix}sig(key, simhash60)``. Shares the global ``bits`` CTE."""
+    return f"""
+{prefix}toks AS (
+  SELECT {key}, md5(t.tok) AS m
+  FROM {src}, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+), {prefix}contrib AS (
+  SELECT {key}, bi,
+         sum(2 * ((instr('0123456789abcdef', substr(m, pos + 1, 1)) - 1 >> b)
+                  & 1) - 1) AS s
+  FROM {prefix}toks CROSS JOIN bits GROUP BY {key}, bi
+), {prefix}sig AS (
+  SELECT {key},
+         CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END)::BIGINT << bi)
+              AS BIGINT) AS simhash60
+  FROM {prefix}contrib GROUP BY {key}
+)"""
+
+
+SQL_SOFT404_DETECT = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'err' || (doc_id % {SOFT404_HOST_MOD}) || '.example' AS host,
+         CASE WHEN doc_id % {SOFT404_RATE_MOD} < 2
+              THEN '{_S404_TMPL}' || 'err' || (doc_id % {SOFT404_HOST_MOD})
+                   || '.example' || ' v' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), probes AS (
+  SELECT DISTINCT host, '{_S404_TMPL}' || host AS text FROM pages
+), bits AS (
+  SELECT CAST(i // 4 AS INT) AS pos, CAST(i % 4 AS INT) AS b,
+         CAST(i AS INT) AS bi
+  FROM range(60) r(i)
+),{_sql_simhash_ctes("p", "pages", "doc_id")},{
+    _sql_simhash_ctes("q", "probes", "host")}
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id, g.host,
+       CAST(bit_count(xor(p.simhash60, q.simhash60)) AS BIGINT) AS hamming,
+       bit_count(xor(p.simhash60, q.simhash60)) <= {SOFT404_HAM_T}
+         AS is_soft404
+FROM (SELECT doc_id, host FROM pages) g
+JOIN psig p ON p.doc_id = g.doc_id
+JOIN qsig q ON q.host = g.host
+"""
+
+
 QUERIES = {
     "trap_detect": q_trap_detect,
+    "soft404_detect": q_soft404_detect,
 }
 ORACLES = {
     "trap_detect": SQL_TRAP_DETECT,
+    "soft404_detect": SQL_SOFT404_DETECT,
 }
