@@ -38,6 +38,18 @@ PROBES = ["dedup_spans", "dedup_spans_fast128", "decontaminate",
           "gopher_filter", "resample_temperature", "pack_sequences",
           "corpus_ledger", "dedup_semantic_auto"]
 
+# (r5 continuation) probes whose output columns must be checksummed —
+# under a bare count() Catalyst prunes the rank/verdict computation away
+# (aggregate right sides are provably unique on the join key), the
+# clean_dup_lines trap documented in NOTES.md.
+FORCE_SUM = {
+    "events_trustrank": "trust_e6",
+    "events_labelprop": "community",
+    "soft404_detect": "hamming",
+    "shard_rendezvous": "shard_n * 31 + shard_n1",
+    "mime_sniff": "n_bytes",
+}
+
 
 def _spans_tail(pos: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -228,8 +240,19 @@ def main() -> None:
             continue
         times = {}
         for tag, d in (("1x", one), (f"{r}x", big)):
-            wall, rows, w, rd = shuffle_bytes_of(
-                spark, lambda: queries[name](spark, d).count())
+            if name in FORCE_SUM:
+                expr = FORCE_SUM[name]
+
+                def _run(q=queries[name], d=d, expr=expr):
+                    row = q(spark, d).agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.expr(expr)).alias("chk")).collect()[0]
+                    return row["n"]
+
+                wall, rows, w, rd = shuffle_bytes_of(spark, _run)
+            else:
+                wall, rows, w, rd = shuffle_bytes_of(
+                    spark, lambda: queries[name](spark, d).count())
             times[tag] = {"seconds": round(wall, 2), "rows": rows,
                           "shuffle_write_mb": round(w / 1e6, 1),
                           "shuffle_read_mb": round(rd / 1e6, 1)}
