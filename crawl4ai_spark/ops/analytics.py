@@ -757,6 +757,72 @@ FROM l{LABELPROP_ITERS}
 """
 
 
+# ---------------------------------------------------------------------------
+# Link reciprocity (Davison 2000, "Recognizing nepotistic links on the
+# Web"): the fraction of a node's distinct out-links that link straight
+# back. Organic linking is largely asymmetric; link-exchange rings and
+# nepotistic site families reciprocate heavily, so per-node reciprocity is
+# the cheap first-order spam feature fed to TrustRank seed selection /
+# demotion. Self-loops excluded (a page linking itself is navigation, not
+# nepotism).
+#
+# Scale shape: edges reduce to DISTINCT (src, dst) pairs first (one
+# aggregate — multiplicity is irrelevant to the measure), then ONE
+# self-equi-join on the swapped key pair (left-semi: only existence of the
+# reverse edge matters) and one src-keyed aggregate. Never cartesian; at
+# 10^10 edges both sides shuffle on the same composite key.
+# ---------------------------------------------------------------------------
+
+
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, n_out, n_reciprocal, reciprocity_e6) per node with at least
+    one non-self distinct out-edge."""
+    _, edges, _ = _pr_graph(spark, sf_dir)
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n_out = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("n_out"))
+    n_rec = recip.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("n_reciprocal"))
+    return (
+        n_out.join(n_rec, "node", "left")
+        .select(F.col("node").cast("long"), "n_out",
+                F.coalesce("n_reciprocal", F.lit(0)).cast("long")
+                .alias("n_reciprocal"))
+        .withColumn("reciprocity_e6",
+                    F.expr("n_reciprocal * 1000000 div n_out").cast("long"))
+    )
+
+
+SQL_LINK_RECIPROCITY = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), e AS (
+  SELECT DISTINCT src, dst FROM e0 WHERE dst IS NOT NULL AND src != dst
+), recip AS (
+  SELECT a.src, a.dst FROM e a
+  WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)
+)
+SELECT CAST(e.src AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(COALESCE(r.nr, 0) AS BIGINT) AS n_reciprocal,
+       CAST(COALESCE(r.nr, 0) * 1000000 // count(*) AS BIGINT)
+         AS reciprocity_e6
+FROM e
+LEFT JOIN (SELECT src, count(*) AS nr FROM recip GROUP BY src) r
+  ON r.src = e.src
+GROUP BY e.src, r.nr
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_customers": q_join_top_customers,
@@ -768,6 +834,7 @@ QUERIES = {
     "events_opic": q_events_opic,
     "events_trustrank": q_events_trustrank,
     "events_labelprop": q_events_labelprop,
+    "link_reciprocity": q_link_reciprocity,
 }
 ORACLES = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
@@ -780,4 +847,5 @@ ORACLES = {
     "events_opic": SQL_EVENTS_OPIC,
     "events_trustrank": SQL_EVENTS_TRUSTRANK,
     "events_labelprop": SQL_EVENTS_LABELPROP,
+    "link_reciprocity": SQL_LINK_RECIPROCITY,
 }

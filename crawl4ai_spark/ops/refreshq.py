@@ -194,11 +194,124 @@ FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Revisit economics: the bandwidth ledger for conditional re-crawling.
+# `refresh_schedule` decides WHEN to revisit; this prices HOW — a revisit
+# fleet that refetches every live URL pays body bytes for pages that have
+# not changed, while a conditional fleet (If-None-Match / If-Modified-Since)
+# pays one ~400-byte request/304 exchange for unchanged pages and full
+# bodies only for changed/added ones. At Common-Crawl scale the unchanged
+# fraction dominates, so this ratio IS the refresh budget.
+#
+# Same snapshot-pair synthesis as q_snapshot_diff (crawl 1 = doc_id%5 != 4,
+# crawl 2 = doc_id%5 != 0, every third doc edited), hosts doc_id % 25.
+# Policies priced exactly, in integers:
+#   naive:       header + body for every doc live in crawl 2, header for
+#                each removed-doc probe (the 404 response);
+#   conditional: header for every probe, body only for changed/added.
+#
+# Scale shape: both sides reduce to (doc_id, bytes) before the one
+# full-outer equi-join (the snapshot_diff discipline — content never
+# moves), then ONE host-keyed aggregate; output O(#hosts).
+# ---------------------------------------------------------------------------
+
+REVISIT_HEADER_BYTES = 400
+REVISIT_HOST_MOD = 25
+
+
+def q_revisit_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = (d.filter(F.col("doc_id") % 5 != 4)
+          .select("doc_id", F.md5(F.col("text")).alias("h1")))
+    body2 = (F.when(F.col("doc_id") % 3 == 0,
+                    F.concat(F.col("text"), F.lit(" [edited v2]")))
+             .otherwise(F.col("text")))
+    s2 = (d.filter(F.col("doc_id") % 5 != 0)
+          .select("doc_id", F.md5(body2).alias("h2"),
+                  F.octet_length(body2).cast("long").alias("b2")))
+    j = (s1.join(s2, "doc_id", "full_outer")
+         .select(
+             (F.col("doc_id") % REVISIT_HOST_MOD).cast("long").alias("hostk"),
+             F.when(F.col("h1").isNull(), "added")
+             .when(F.col("h2").isNull(), "removed")
+             .when(F.col("h1") != F.col("h2"), "changed")
+             .otherwise("unchanged").alias("verdict"),
+             F.coalesce("b2", F.lit(0)).cast("long").alias("b2")))
+    hdr = F.lit(REVISIT_HEADER_BYTES).cast("long")
+    agg = j.groupBy("hostk").agg(
+        F.sum(F.when(F.col("verdict") == "unchanged", 1).otherwise(0))
+        .cast("long").alias("n_unchanged"),
+        F.sum(F.when(F.col("verdict") == "changed", 1).otherwise(0))
+        .cast("long").alias("n_changed"),
+        F.sum(F.when(F.col("verdict") == "added", 1).otherwise(0))
+        .cast("long").alias("n_added"),
+        F.sum(F.when(F.col("verdict") == "removed", 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        F.sum(hdr + F.col("b2")).cast("long").alias("bytes_naive"),
+        F.sum(hdr + F.when(F.col("verdict") == "unchanged", F.lit(0))
+              .otherwise(F.col("b2"))).cast("long")
+        .alias("bytes_conditional"))
+    return agg.select(
+        "hostk", "n_unchanged", "n_changed", "n_added", "n_removed",
+        "bytes_naive", "bytes_conditional",
+        F.expr("(bytes_naive - bytes_conditional) * 1000000 div bytes_naive")
+        .cast("long").alias("saved_ratio_e6"))
+
+
+SQL_REVISIT_ECONOMICS = f"""
+WITH s1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 5 != 4
+),
+s2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [edited v2]'
+                  ELSE text END) AS h2,
+         CAST(octet_length(encode(CASE WHEN doc_id % 3 = 0
+                                       THEN text || ' [edited v2]'
+                                       ELSE text END)) AS BIGINT) AS b2
+  FROM documents WHERE doc_id % 5 != 0
+),
+j AS (
+  SELECT COALESCE(s1.doc_id, s2.doc_id) % {REVISIT_HOST_MOD} AS hostk,
+         CASE WHEN h1 IS NULL THEN 'added'
+              WHEN h2 IS NULL THEN 'removed'
+              WHEN h1 != h2 THEN 'changed'
+              ELSE 'unchanged' END AS verdict,
+         COALESCE(b2, 0) AS b2
+  FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+),
+agg AS (
+  SELECT hostk,
+         CAST(sum(CASE WHEN verdict = 'unchanged' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unchanged,
+         CAST(sum(CASE WHEN verdict = 'changed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_changed,
+         CAST(sum(CASE WHEN verdict = 'added' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_added,
+         CAST(sum(CASE WHEN verdict = 'removed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         CAST(sum({REVISIT_HEADER_BYTES} + b2) AS BIGINT) AS bytes_naive,
+         CAST(sum({REVISIT_HEADER_BYTES}
+                  + CASE WHEN verdict = 'unchanged' THEN 0 ELSE b2 END)
+              AS BIGINT) AS bytes_conditional
+  FROM j GROUP BY hostk
+)
+SELECT CAST(hostk AS BIGINT) AS hostk,
+       n_unchanged, n_changed, n_added, n_removed,
+       bytes_naive, bytes_conditional,
+       CAST((bytes_naive - bytes_conditional) * 1000000 // bytes_naive
+            AS BIGINT) AS saved_ratio_e6
+FROM agg
+"""
+
+
 QUERIES = {
     "refresh_schedule": q_refresh_schedule,
     "snapshot_diff": q_snapshot_diff,
+    "revisit_economics": q_revisit_economics,
 }
 ORACLES = {
     "refresh_schedule": SQL_REFRESH_SCHEDULE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "revisit_economics": SQL_REVISIT_ECONOMICS,
 }

@@ -929,6 +929,136 @@ WHERE rk <= {TFIDF_TOPK}
 SQL_TEXT_TFIDF_TOPK = _sql_text_tfidf_topk()
 
 
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: distinct-vocabulary size at nested corpus
+# prefixes (1/8, 1/4, 1/2, all of the docs, in doc_id order). The curve a
+# tokenizer-budget planner reads before fixing a vocab size — Heaps' law
+# says V(n) ≈ K·n^β with β < 1, so vocabulary must grow SLOWER than token
+# volume; the pytest guard asserts exactly that on every adjacent prefix
+# pair. Completes the corpus-statistics card next to the Zipf-ish CMS
+# heavy hitters and the log2 length histogram.
+#
+# Scale shape: vocabulary never materializes per prefix — each token
+# reduces to (first_seen = min(doc_id), one occurrence count per prefix)
+# in ONE token-keyed partial aggregate over the exploded stream, then a
+# second O(|vocab|)→4-row global aggregate. The doc-count scalar rides a
+# 1-row broadcast (the HITS norm-constant shape). No window, no python;
+# prefix membership is integer arithmetic on doc_id (ids are contiguous
+# 0..N-1 in this corpus — asserted in the guard, documented as the
+# contract; a production run would rank by crawl timestamp instead).
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_DIVS = (8, 4, 2, 1)
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nested prefix: token volume, unigram vocabulary, and word-
+    TRIGRAM vocabulary. The unigram column exposes saturation (this
+    corpus's unigram vocab is tiny and fills within the first prefix —
+    itself the datum a tokenizer budget reads); the trigram column is the
+    live Heaps curve the guard tests the β < 1 law on."""
+    d = tbl(spark, sf_dir, "documents")
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    arr = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"),
+                             F.lit(0)).alias("toks"))
+    toks = arr.select("doc_id", F.explode("toks").alias("tok"))
+    per_tok = (
+        toks.crossJoin(F.broadcast(nn))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_seen"),
+             F.max("n").alias("n"),
+             *[F.sum(F.when(F.col("doc_id") < F.expr(f"n div {m}"), 1)
+                     .otherwise(0)).alias(f"occ{m}")
+               for m in VOCAB_GROWTH_DIVS]))
+    wide1 = per_tok.agg(
+        F.max("n").alias("n"),
+        *[F.sum(F.when(F.col("first_seen") < F.expr(f"n div {m}"), 1)
+                .otherwise(0)).cast("long").alias(f"v{m}")
+          for m in VOCAB_GROWTH_DIVS],
+        *[F.sum(f"occ{m}").cast("long").alias(f"t{m}")
+          for m in VOCAB_GROWTH_DIVS])
+    tri = (
+        arr.filter(F.expr("size(toks) >= 3"))
+        .select("doc_id",
+                F.explode(F.expr("sequence(1, size(toks) - 2)")).alias("i"),
+                "toks")
+        .select("doc_id",
+                F.expr("concat(element_at(toks, i), ' ', "
+                       "element_at(toks, i + 1), ' ', "
+                       "element_at(toks, i + 2))").alias("g")))
+    wide2 = (
+        tri.groupBy("g").agg(F.min("doc_id").alias("first_seen"))
+        .crossJoin(F.broadcast(nn))
+        .agg(*[F.sum(F.when(F.col("first_seen") < F.expr(f"n div {m}"), 1)
+                     .otherwise(0)).cast("long").alias(f"w{m}")
+               for m in VOCAB_GROWTH_DIVS]))
+    wide = wide1.crossJoin(F.broadcast(wide2))
+    stack = ", ".join(
+        f"{i + 1}L, n div {m}, v{m}, w{m}, t{m}"
+        for i, m in enumerate(VOCAB_GROWTH_DIVS))
+    return wide.selectExpr(
+        f"stack({len(VOCAB_GROWTH_DIVS)}, {stack}) "
+        "as (prefix_no, n_docs_prefix, vocab, vocab_tri, tokens)"
+    ).selectExpr("CAST(prefix_no AS BIGINT) AS prefix_no",
+                 "CAST(n_docs_prefix AS BIGINT) AS n_docs_prefix",
+                 "CAST(vocab AS BIGINT) AS vocab",
+                 "CAST(vocab_tri AS BIGINT) AS vocab_tri",
+                 "CAST(tokens AS BIGINT) AS tokens")
+
+
+def _sql_vocab_growth() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS prefix_no, "
+        f"CAST((SELECT n FROM nn) // {m} AS BIGINT) AS n_docs_prefix, "
+        f"CAST(v{m} AS BIGINT) AS vocab, "
+        f"CAST((SELECT w{m} FROM wide2) AS BIGINT) AS vocab_tri, "
+        f"CAST(t{m} AS BIGINT) AS tokens "
+        f"FROM wide"
+        for i, m in enumerate(VOCAB_GROWTH_DIVS))
+    occ = ", ".join(
+        f"sum(CASE WHEN doc_id < (SELECT n FROM nn) // {m} THEN 1 ELSE 0 END)"
+        f" AS occ{m}" for m in VOCAB_GROWTH_DIVS)
+    outer = ", ".join(
+        f"sum(CASE WHEN first_seen < (SELECT n FROM nn) // {m} "
+        f"THEN 1 ELSE 0 END) AS v{m}, sum(occ{m}) AS t{m}"
+        for m in VOCAB_GROWTH_DIVS)
+    outer_tri = ", ".join(
+        f"sum(CASE WHEN first_seen < (SELECT n FROM nn) // {m} "
+        f"THEN 1 ELSE 0 END) AS w{m}"
+        for m in VOCAB_GROWTH_DIVS)
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+         AS tok
+  FROM documents
+),
+per_tok AS (
+  SELECT tok, min(doc_id) AS first_seen, {occ}
+  FROM toks GROUP BY tok
+),
+arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, a[u.i] || ' ' || a[u.i + 1] || ' ' || a[u.i + 2] AS g
+  FROM arrs, unnest(range(1, len(a) - 1)) u(i)
+),
+per_tri AS (
+  SELECT g, min(doc_id) AS first_seen FROM tris GROUP BY g
+),
+wide AS (SELECT {outer} FROM per_tok),
+wide2 AS (SELECT {outer_tri} FROM per_tri)
+{selects}
+"""
+
+
+SQL_VOCAB_GROWTH = _sql_vocab_growth()
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "vocab_build": q_vocab_build,
@@ -945,6 +1075,7 @@ QUERIES = {
     "token_cms_topk": q_token_cms_topk,
     "length_quantiles": q_length_quantiles,
     "text_tfidf_topk": q_text_tfidf_topk,
+    "vocab_growth": q_vocab_growth,
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
@@ -962,4 +1093,5 @@ ORACLES = {
     "token_cms_topk": SQL_TOKEN_CMS_TOPK,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
+    "vocab_growth": SQL_VOCAB_GROWTH,
 }

@@ -194,6 +194,22 @@ def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def soft404_probe_signatures(spark: SparkSession, sf_dir: str) -> dict:
+    """The batch-calibration half for the streaming gate: one probe fetch
+    per host (the nonsense-URL round) → {host: simhash60}. O(#hosts) —
+    small enough to broadcast into a stream as a literal map."""
+    from crawl4ai_spark.ops.dedup import simhash_signatures
+
+    d = tbl(spark, sf_dir, "documents").select(
+        F.concat(F.lit("err"),
+                 (F.col("doc_id") % SOFT404_HOST_MOD).cast("string"),
+                 F.lit(".example")).alias("host")).distinct()
+    probes = d.select(
+        "host", F.concat(F.lit(_S404_TMPL), F.col("host")).alias("text"))
+    return {r.host: r.simhash60
+            for r in simhash_signatures(probes, "host", "string").collect()}
+
+
 def _sql_simhash_ctes(prefix: str, src: str, key: str) -> str:
     """DuckDB CTE chain computing the 60-bit SimHash scheme of
     dedup.SQL_DEDUP_SIMHASH over ``src`` (columns: key, text), emitting

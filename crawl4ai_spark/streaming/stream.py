@@ -343,6 +343,55 @@ def stream_pii_redact(spark: SparkSession, docs_dir: str) -> DataFrame:
     ).select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
 
 
+def stream_soft404_gate(spark: SparkSession, docs_dir: str,
+                        probe_sig_by_host: dict) -> DataFrame:
+    """Streaming soft-404 admission: the batch-calibrate / stream-apply
+    pattern over ``ops/trapq.q_soft404_detect``. Per-host probe signatures
+    are computed batch-side (``trapq.soft404_probe_signatures`` — one
+    nonsense-URL fetch per host) and broadcast into the stream as a
+    literal map; each arriving page is then a stateless sign-and-compare
+    (the SimHash Arrow stage is per-row, so micro-batching is exact and
+    the streamed verdicts are row-identical to the batch query's). Pages
+    from hosts missing a probe signature are dropped, mirroring the batch
+    inner join (the stream_corpus_gate NULL lesson, ADVICE r4)."""
+    from crawl4ai_spark.ops.dedup import simhash_signatures
+    from crawl4ai_spark.ops.trapq import (
+        _S404_TMPL, SOFT404_HAM_T, SOFT404_HOST_MOD, SOFT404_RATE_MOD)
+
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .parquet(docs_dir)
+    )
+    host = F.concat(F.lit("err"),
+                    (F.col("doc_id") % SOFT404_HOST_MOD).cast("string"),
+                    F.lit(".example"))
+    tmpl = F.concat(F.lit(_S404_TMPL), host)
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % SOFT404_RATE_MOD < 2,
+               F.concat(tmpl, F.lit(" v"), F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    sigs = simhash_signatures(pages).withColumn(
+        "host", F.concat(F.lit("err"),
+                         (F.col("doc_id") % SOFT404_HOST_MOD).cast("string"),
+                         F.lit(".example")))
+    pairs = []
+    for h, sig in sorted(probe_sig_by_host.items()):
+        pairs += [F.lit(h), F.lit(int(sig))]
+    probe = F.create_map(*pairs)[F.col("host")]
+    return (
+        sigs.select(
+            "doc_id", "host",
+            F.bit_count(F.col("simhash60").bitwiseXOR(probe))
+            .cast("long").alias("hamming"),
+            probe.isNotNull().alias("_mapped"))
+        .filter(F.col("_mapped")).drop("_mapped")
+        .withColumn("is_soft404", F.col("hamming") <= SOFT404_HAM_T)
+    )
+
+
 def run_incremental_dedup_stream(spark: SparkSession, delta_dir: str,
                                  index_dir: str, out_dir: str):
     """Streaming snapshot admission: re-crawled documents ARRIVE as a

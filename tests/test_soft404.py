@@ -22,6 +22,31 @@ def test_soft404_detects_exactly_the_template_pages(spark):
         assert r.is_soft404 == truly, (r.doc_id, r.hamming)
 
 
+def test_stream_soft404_gate_matches_batch(spark, tmp_path_factory):
+    """Streaming admission with batch-calibrated probe signatures must
+    produce verdicts row-identical to the batch query (per-row stateless
+    sign-and-compare → micro-batching exact)."""
+    import shutil
+
+    from crawl4ai_spark.ops.trapq import soft404_probe_signatures
+    from crawl4ai_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_soft404_gate,
+    )
+
+    d = str(tmp_path_factory.mktemp("s404"))
+    shutil.copy(f"{SF}/documents.parquet", f"{d}/documents.parquet")
+
+    batch = {(r.doc_id, r.host, r.hamming, r.is_soft404)
+             for r in q_soft404_detect(spark, SF).collect()}
+    probes = soft404_probe_signatures(spark, SF)
+    out = stream_soft404_gate(spark, d, probes)
+    run_stream_to_memory(out, "stream_s404_t")
+    rows = spark.sql("SELECT * FROM stream_s404_t").collect()
+    got = {(r.doc_id, r.host, r.hamming, r.is_soft404) for r in rows}
+    assert got == batch
+
+
 def test_soft404_separation_is_wide(spark):
     """Soft 404s sit far below the threshold, real docs far above — the
     variant token only flips template-tied bits (~7 of 60) while
