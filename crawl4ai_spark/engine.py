@@ -152,6 +152,17 @@ class CrawlConfig:
     # missing from pages 404 under the original url. None (default)
     # leaves the fetch path byte-identical — no extra column, no join.
     redirects: object | None = None
+    # Crawl-trap pattern block-list (the ops/trapq.q_trap_detect
+    # composition — Mercator-style pattern budgeting applied as a
+    # scheduler gate): (host, pattern) rows where pattern is the URL
+    # digit-template regexp_replace(url, '[0-9]+', '#'). Queued candidates
+    # whose (host, template) matches are dropped BEFORE ranking, so a
+    # flagged calendar/faceted explosion never spends quota again. The
+    # table is O(#flagged patterns) — broadcast, one left-anti join.
+    # Build it from a finished discovery crawl with
+    # ops/trapq.trap_patterns_from_results(results). None (default)
+    # leaves the schedule path byte-identical — no column, no join.
+    blocked_patterns: object | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -551,6 +562,17 @@ class SparkWebEngine:
             cand = cand.filter(
                 (F.col("depth") == 0) | (F.col("score") >= cfg.score_threshold)
             )
+        if cfg.blocked_patterns is not None:
+            # trap gate: drop candidates whose (host, digit-template)
+            # is on the block-list — a broadcast left-anti join, the
+            # domain_gate composition shape
+            bp = cfg.blocked_patterns.select(
+                "host", F.col("pattern").alias("__tpl"))
+            cand = (
+                cand.withColumn(
+                    "__tpl", F.regexp_replace("url", "[0-9]+", "#"))
+                .join(F.broadcast(bp), ["host", "__tpl"], "left_anti")
+                .drop("__tpl"))
         if cfg.policy in ("bfs", "dfs"):
             # level-synchronous: only the shallowest (BFS) / deepest (DFS)
             # queued depth runs. The depth gate is a one-row broadcast-joined

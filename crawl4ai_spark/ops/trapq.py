@@ -194,6 +194,30 @@ def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trap_patterns_from_results(results: DataFrame,
+                               min_urls: int = TRAP_MIN_URLS,
+                               diversity_x: int = TRAP_DIVERSITY_X
+                               ) -> DataFrame:
+    """The engine bridge: q_trap_detect's verdict computed over a finished
+    crawl's OWN results → the (host, pattern) block-list
+    ``CrawlConfig(blocked_patterns=...)`` consumes. Two-phase trap
+    defense, the OPIC discovery-crawl pattern: a budgeted discovery crawl
+    surfaces the fan-out, the main crawl stops scheduling it. Content key
+    = md5 of the extracted text (the crawl's own content signal). One
+    (host, pattern) aggregate; output is O(#flagged patterns)."""
+    base = results.filter(F.col("success") & F.col("text").isNotNull())
+    pat = base.select(
+        "host", F.regexp_replace("url", "[0-9]+", "#").alias("pattern"),
+        "url", F.md5(F.col("text")).alias("content_key"))
+    agg = pat.groupBy("host", "pattern").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("content_key").alias("n_contents"))
+    return (agg.filter((F.col("n_urls") >= min_urls)
+                       & (F.col("n_contents") * diversity_x
+                          <= F.col("n_urls")))
+            .select("host", "pattern"))
+
+
 def soft404_probe_signatures(spark: SparkSession, sf_dir: str) -> dict:
     """The batch-calibration half for the streaming gate: one probe fetch
     per host (the nonsense-URL round) → {host: simhash60}. O(#hosts) —
