@@ -1059,6 +1059,151 @@ wide2 AS (SELECT {outer_tri} FROM per_tri)
 SQL_VOCAB_GROWTH = _sql_vocab_growth()
 
 
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies (Gale & Sampson 1995, "Good-Turing
+# frequency estimation without tears"): the coverage/unseen-mass estimator a
+# corpus builder runs to answer "how much vocabulary is the next crawl going
+# to surface?". Per observed term frequency r the table carries N_r (types
+# seen exactly r times), the Turing-adjusted count r* = (r+1)·N_{r+1}/N_r,
+# the per-type GT probability r*/N, and the leave-one-out unseen mass
+# p0 = N_1/N on every row. All ratios quantized to *_e6 integers with
+# nonnegative numerators, so floor-div == truncate in both engines.
+#
+# Scale (100 TB): the only corpus-sized shuffle is the ONE term-count
+# aggregate (map-side combinable); the frequency-of-frequencies table is
+# bounded by max term count (~10^4 rows at any corpus size) and every later
+# step — the lead(N_{r+1}) window, the total-token sum — runs over that tiny
+# table. This is the same collapse-then-analyze shape as vocab_build.
+# ---------------------------------------------------------------------------
+
+
+def q_text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("r"))
+    fof = counts.groupBy("r").agg(F.count("*").cast("long").alias("n_types"))
+    w = Window.orderBy("r")
+    tot = Window.partitionBy()
+    fof = (
+        fof.withColumn("n_next", F.coalesce(F.lead("n_types").over(w), F.lit(0)))
+        .withColumn("r_next", F.coalesce(F.lead("r").over(w), F.lit(0)))
+        .withColumn("n_total", F.sum(F.col("r") * F.col("n_types")).over(tot))
+        .withColumn("n1", F.max(F.when(F.col("r") == 1, F.col("n_types"))
+                                .otherwise(F.lit(0))).over(tot))
+    )
+    # Turing adjustment r* uses N_{r+1} only when the next OBSERVED frequency
+    # is exactly r+1 (gaps in the freq-of-freq table mean N_{r+1} = 0).
+    fof = fof.withColumn(
+        "n_rp1", F.when(F.col("r_next") == F.col("r") + 1, F.col("n_next"))
+                  .otherwise(F.lit(0)))
+    return fof.select(
+        F.col("r").cast("long").alias("freq"),
+        F.col("n_types"),
+        F.expr("(r + 1) * n_rp1 * 1000000 div n_types")
+        .cast("long").alias("gt_count_e6"),
+        F.expr("(r + 1) * n_rp1 * 1000000 div (n_types * n_total)")
+        .cast("long").alias("gt_prob_e6"),
+        F.expr("n1 * 1000000 div n_total")
+        .cast("long").alias("p0_unseen_e6"),
+    )
+
+
+SQL_TEXT_GOOD_TURING = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS r FROM toks GROUP BY tok),
+fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types FROM counts GROUP BY r),
+led AS (
+  SELECT r, n_types,
+         coalesce(lead(n_types) OVER (ORDER BY r), 0) AS n_next,
+         coalesce(lead(r) OVER (ORDER BY r), 0) AS r_next,
+         CAST(sum(r * n_types) OVER () AS BIGINT) AS n_total,
+         CAST(max(CASE WHEN r = 1 THEN n_types ELSE 0 END) OVER ()
+              AS BIGINT) AS n1
+  FROM fof
+)
+SELECT CAST(r AS BIGINT) AS freq,
+       n_types,
+       CAST((r + 1) * (CASE WHEN r_next = r + 1 THEN n_next ELSE 0 END)
+            * 1000000 // n_types AS BIGINT) AS gt_count_e6,
+       CAST((r + 1) * (CASE WHEN r_next = r + 1 THEN n_next ELSE 0 END)
+            * 1000000 // (n_types * n_total) AS BIGINT) AS gt_prob_e6,
+       CAST(n1 * 1000000 // n_total AS BIGINT) AS p0_unseen_e6
+FROM led
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability card: reading-ease + Flesch-Kincaid grade with the
+# classic vowel-group syllable heuristic (a syllable ~ one maximal [aeiouy]+
+# run) and sentence count = punctuation-terminated runs (min 1). The corpus
+# quality-gate signal Gopher/C4 pipelines bucket documents by. Coefficients
+# ship as exact micro-unit integers (206.835 → 206_835_000) and every ratio
+# is an integer div with a nonnegative numerator, so the two engines agree
+# bit-for-bit. Zero shuffles: one narrow projection over the scan.
+# ---------------------------------------------------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")),
+            F.lit(1)).cast("long").alias("w"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+            F.lit(1)).cast("long").alias("s"),
+        F.greatest(
+            F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1)).cast("long").alias("st"),
+    )
+    flesch = F.expr(
+        "206835000 - (1015000 * w div st) - (84600000 * s div w)")
+    fk = F.expr("(390000 * w div st) + (11800000 * s div w) - 15590000")
+    bucket = (F.when(flesch >= F.lit(60_000_000), "easy")
+               .when(flesch >= F.lit(30_000_000), "standard")
+               .otherwise("difficult"))
+    return m.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_syllables"),
+        F.col("st").alias("n_sentences"),
+        flesch.cast("long").alias("flesch_e6"),
+        fk.cast("long").alias("fk_grade_e6"),
+        bucket.alias("band"),
+    )
+
+
+SQL_TEXT_READABILITY = """
+WITH m AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1) AS w,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS s,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS st
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_syllables,
+       CAST(st AS BIGINT) AS n_sentences,
+       CAST(206835000 - (1015000 * w // st) - (84600000 * s // w)
+            AS BIGINT) AS flesch_e6,
+       CAST((390000 * w // st) + (11800000 * s // w) - 15590000
+            AS BIGINT) AS fk_grade_e6,
+       CASE WHEN 206835000 - (1015000 * w // st) - (84600000 * s // w)
+                 >= 60000000 THEN 'easy'
+            WHEN 206835000 - (1015000 * w // st) - (84600000 * s // w)
+                 >= 30000000 THEN 'standard'
+            ELSE 'difficult' END AS band
+FROM m
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "vocab_build": q_vocab_build,
@@ -1076,6 +1221,8 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "text_tfidf_topk": q_text_tfidf_topk,
     "vocab_growth": q_vocab_growth,
+    "text_good_turing": q_text_good_turing,
+    "text_readability": q_text_readability,
 }
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
@@ -1094,4 +1241,6 @@ ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "text_good_turing": SQL_TEXT_GOOD_TURING,
+    "text_readability": SQL_TEXT_READABILITY,
 }
