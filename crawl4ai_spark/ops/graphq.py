@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crawl4ai_spark.ops.analytics import _pr_graph
 from crawl4ai_spark.ops.textstats import (
@@ -216,9 +217,113 @@ FROM nodes n
 )
 
 
+# ---------------------------------------------------------------------------
+# k-core decomposition (coreness) via the convergent h-index iteration of
+# Lü, Zhou, Zhang & Stanley ("The H-index of a network node", Nature
+# Communications 2016): c_0(v) = degree(v); c_{t+1}(v) = H({c_t(u) : u in
+# N(v)}) where H is the h-index — the largest h such that at least h
+# neighbors carry value >= h. The sequence decreases monotonically to the
+# exact coreness, which is the peeling-order k-core number (Batagelj &
+# Zaversnik's algorithm) that crawl prioritizers use to find the web's
+# dense nucleus vs its tendril periphery.
+#
+# Distributed shape: the classic peel is inherently sequential (remove the
+# global min-degree node, repeat); the h-index form is one edge-keyed
+# equi-join + a node-partitioned window + aggregate PER ROUND — the same
+# shuffle shape as a PageRank round, embarrassingly parallel at 10^10 edges.
+# KCORE_ITERS fixes the round count so the DuckDB oracle is a chained CTE;
+# the from-spec pytest guard runs exact peeling to convergence and asserts
+# the truncated iteration has already reached the fixpoint on the test
+# graph (measured: 7 rounds at sf0.001, 5 at sf0.01).
+#
+# h-index without python: sort each node's neighbor values descending with
+# row_number rn, then h = max(least(rn, val)) — invariant to tie order, so
+# the nondeterministic row_number tie-break cannot diverge cross-engine.
+# ---------------------------------------------------------------------------
+
+KCORE_ITERS = 8
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrize + simplify: both arc directions, self-loops dropped,
+    duplicates collapsed. Neighbors of v = dst where src = v."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (edges.unionByName(rev)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def q_events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness per node of the (undirected, simplified) events click graph.
+
+    Output: node, degree, coreness after KCORE_ITERS h-index rounds (== the
+    exact k-core number once converged; see module guard)."""
+    nodes, edges0, _ = _pr_graph(spark, sf_dir)
+    ue = _undirected(edges0)
+    deg = ue.groupBy("src").agg(F.count("*").alias("val"))
+    c = nodes.join(deg, nodes["node"] == deg["src"], "left").select(
+        "node", F.coalesce("val", F.lit(0)).cast("long").alias("val"))
+    degree = c.select("node", F.col("val").alias("degree"))
+    for _ in range(KCORE_ITERS):
+        nbr = (ue.join(c.withColumnRenamed("node", "src"), "src")
+                 .select(F.col("dst").alias("node"), "val"))
+        w = Window.partitionBy("node").orderBy(F.col("val").desc())
+        h = (nbr.withColumn("rn", F.row_number().over(w))
+                .groupBy("node")
+                .agg(F.max(F.least("rn", "val")).alias("h")))
+        c = nodes.join(h, "node", "left").select(
+            "node", F.coalesce("h", F.lit(0)).cast("long").alias("val"))
+    return (degree.join(c, "node")
+            .select(F.col("node").cast("long"), "degree",
+                    F.col("val").alias("coreness")))
+
+
+def _sql_kcore_round(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node, CAST(coalesce(h.h, 0) AS BIGINT) AS val
+  FROM nodes n LEFT JOIN (
+    SELECT node, max(least(rn, val)) AS h FROM (
+      SELECT e.dst AS node, p.val,
+             row_number() OVER (PARTITION BY e.dst ORDER BY p.val DESC)
+             AS rn
+      FROM ue e JOIN {prev} p ON p.node = e.src
+    ) q GROUP BY node
+  ) h ON h.node = n.node
+)"""
+
+
+SQL_EVENTS_KCORE = (
+    "WITH " + _SQL_GRAPH + """,
+ue AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+  ) b WHERE src <> dst
+),
+c0 AS (
+  SELECT n.node, CAST(coalesce(d.val, 0) AS BIGINT) AS val
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, count(*) AS val FROM ue GROUP BY src
+  ) d ON d.node = n.node
+)"""
+    + "".join("," + _sql_kcore_round(f"c{t - 1}", f"c{t}")
+              for t in range(1, KCORE_ITERS + 1))
+    + f"""
+SELECT CAST(c0.node AS BIGINT) AS node,
+       c0.val AS degree,
+       c{KCORE_ITERS}.val AS coreness
+FROM c0 JOIN c{KCORE_ITERS} ON c{KCORE_ITERS}.node = c0.node
+"""
+)
+
+
 QUERIES = {
     "events_harmonic_hyperball": q_events_harmonic_hyperball,
+    "events_kcore": q_events_kcore,
 }
 ORACLES = {
     "events_harmonic_hyperball": SQL_EVENTS_HARMONIC_HYPERBALL,
+    "events_kcore": SQL_EVENTS_KCORE,
 }
