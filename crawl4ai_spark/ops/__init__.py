@@ -54,6 +54,7 @@ _MODULES = [
     "redirectq",
     "indexq",
     "shardq",
+    "layoutq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
