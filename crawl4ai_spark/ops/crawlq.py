@@ -199,6 +199,46 @@ FROM range({SMAP_HOSTS}) a(h), range({SMAP_URLS}) b(i)
 """
 
 
+FEED_HOSTS = 3
+FEED_ITEMS = 9
+
+
+def q_seed_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 sibling, RSS/Atom: HTML-head feed autodiscovery → RSS 2.0 /
+    Atom / gzipped-RSS item extraction → page URLs.  Mirrors the sitemap
+    seeder's two-phase shape (reference seeder: async_url_seeder.py's
+    head-fetch + extract surface); the synthetic blob graph is
+    deterministic, so the EXPECTED output is plain SQL and the oracle
+    checks autodiscovery, both formats, gz transparency, and the
+    rel="self" exclusion at once."""
+    from crawl4ai_spark.sources.seeder import (
+        seed_from_feeds,
+        synthetic_feed_blobs,
+    )
+
+    blobs = synthetic_feed_blobs(spark, FEED_HOSTS, FEED_ITEMS)
+    return seed_from_feeds(spark, blobs).select(
+        "url", "host", "published", "feed_url", "feed_kind")
+
+
+_FT = FEED_ITEMS // 3
+SQL_SEED_FEEDS = f"""
+SELECT 'https://www.feed' || h || '.com/post/' || i AS url,
+       'www.feed' || h || '.com' AS host,
+       CASE WHEN i >= {_FT} AND i < {2 * _FT}
+            THEN '2025-01-0' || (1 + i % 9) || 'T00:00:00Z'
+            ELSE 'Mon, 0' || (1 + i % 9) || ' Jan 2025 00:00:00 GMT'
+       END AS published,
+       'https://www.feed' || h || '.com/' ||
+         (CASE WHEN i < {_FT} THEN 'feed.xml'
+               WHEN i < {2 * _FT} THEN 'atom.xml'
+               ELSE 'archive.xml.gz' END) AS feed_url,
+       CASE WHEN i >= {_FT} AND i < {2 * _FT} THEN 'atom'
+            ELSE 'rss' END AS feed_kind
+FROM range({FEED_HOSTS}) a(h), range({FEED_ITEMS}) b(i)
+"""
+
+
 def q_chunk_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTiling topic segments over the documents table (E16 tail) — one
     Arrow stage, rows (doc_id, seg_no, n_chars, md5). Not SQL-expressible
@@ -232,10 +272,12 @@ QUERIES = {
     "crawl_anchor_text": q_crawl_anchor_text,
     "crawl_text_identity": q_crawl_text_identity,
     "seed_sitemaps": q_seed_sitemaps,
+    "seed_feeds": q_seed_feeds,
     "sitemap_emit": q_sitemap_emit,
     "chunk_topics": q_chunk_topics,
 }
 # crawl_* are rows-only (oracle = pytest parity + golden suites);
-# seed_sitemaps / sitemap_emit have full result oracles
+# seed_sitemaps / seed_feeds / sitemap_emit have full result oracles
 ORACLES: dict = {"seed_sitemaps": SQL_SEED_SITEMAPS,
+                 "seed_feeds": SQL_SEED_FEEDS,
                  "sitemap_emit": SQL_SITEMAP_EMIT}

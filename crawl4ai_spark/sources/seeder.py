@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # asset-extension / api-path drop — an EXTENSION beyond the reference (its
@@ -485,6 +485,179 @@ def seed_from_sitemaps(spark: SparkSession, blobs: DataFrame, *,
     out = pages if pages is not None else spark.createDataFrame(
         [], "url string, host string, lastmod string, source_sitemap string")
     return out.dropDuplicates(["url"])
+
+
+# ---------------------------------------------------------------------------
+# RSS/Atom feed seeding — the sitemap sibling for the long tail of sites
+# that publish feeds but no sitemap (blogs, news, forums). Same two-phase
+# shape as the sitemap pipeline: an autodiscovery pass harvests feed URLs
+# from HTML `<link rel="alternate" type="application/rss+xml|atom+xml">`
+# head tags (the RSS-autodiscovery convention the reference's seeder's
+# head-fetch surface exposes), then ONE Arrow parse pass over the feed
+# blobs extracts item URLs — RSS 2.0 `<item><link>` text nodes, Atom
+# `<entry><link rel="alternate" href>` attributes (ignoring rel="self"
+# service links), gz transparently, namespace-agnostic like the sitemap
+# parser. Emits (url, host, published, feed_url, feed_kind).
+# ---------------------------------------------------------------------------
+
+FEED_PARSE_SCHEMA = ("host string, feed_url string, feed_kind string, "
+                     "loc string, published string")
+
+
+def synthetic_feed_blobs(spark: SparkSession, n_hosts: int = 3,
+                         items_per_host: int = 9) -> DataFrame:
+    """Deterministic fetched-blob table (host, url, body) per host: an HTML
+    landing page autodiscovering three feeds — a plain RSS 2.0 channel, an
+    Atom feed (entries carrying both rel=self and rel=alternate links), and
+    a GZIPPED RSS feed — which together cover items 0..items_per_host-1."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for h in pdf["id"]:
+                host = f"www.feed{h}.com"
+                base = f"https://{host}"
+                third = items_per_host // 3
+
+                def rss(lo, hi):
+                    items = "".join(
+                        f"<item><title>post {i}</title>"
+                        f"<link>{base}/post/{i}</link>"
+                        f"<pubDate>Mon, 0{1 + i % 9} Jan 2025 00:00:00 GMT"
+                        f"</pubDate><guid>{base}/post/{i}</guid></item>"
+                        for i in range(lo, hi))
+                    return ('<?xml version="1.0" encoding="UTF-8"?>'
+                            '<rss version="2.0"><channel>'
+                            f"<title>{host}</title><link>{base}</link>"
+                            f"{items}</channel></rss>").encode()
+
+                atom_entries = "".join(
+                    f"<entry><title>post {i}</title>"
+                    f'<link rel="self" href="{base}/atom.xml"/>'
+                    f'<link rel="alternate" href="{base}/post/{i}"/>'
+                    f"<updated>2025-01-0{1 + i % 9}T00:00:00Z</updated>"
+                    f"<id>{base}/post/{i}</id></entry>"
+                    for i in range(third, 2 * third))
+                atom = ('<?xml version="1.0" encoding="UTF-8"?>'
+                        '<feed xmlns="http://www.w3.org/2005/Atom">'
+                        f"<title>{host}</title>{atom_entries}</feed>"
+                        ).encode()
+                html = (
+                    "<html><head>"
+                    '<link rel="alternate" type="application/rss+xml" '
+                    f'href="{base}/feed.xml">'
+                    '<link rel="alternate" type="application/atom+xml" '
+                    f'href="{base}/atom.xml">'
+                    '<link rel="alternate" type="application/rss+xml" '
+                    f'href="{base}/archive.xml.gz">'
+                    '<link rel="stylesheet" href="/style.css">'
+                    "</head><body>home</body></html>").encode()
+                rows += [
+                    (host, f"{base}/", html),
+                    (host, f"{base}/feed.xml", rss(0, third)),
+                    (host, f"{base}/atom.xml", atom),
+                    (host, f"{base}/archive.xml.gz",
+                     _gzip.compress(rss(2 * third, items_per_host),
+                                    mtime=0)),
+                ]
+            yield pd.DataFrame(rows, columns=["host", "url", "body"])
+
+    return spark.range(n_hosts).mapInPandas(
+        build, "host string, url string, body binary")
+
+
+def discover_feeds(blobs: DataFrame) -> DataFrame:
+    """Autodiscovery: native regexp over HTML bodies for
+    `<link rel="alternate" type="application/(rss|atom)+xml" href=...>` —
+    zero python, pushd down to the scan. Returns (host, feed_url)."""
+    link_re = (r'<link\s+rel="alternate"\s+type="application/'
+               r'(?:rss|atom)\+xml"\s+href="([^"]+)"')
+    html = blobs.withColumn("txt", F.col("body").cast("string"))
+    return (html
+            .select("host",
+                    F.explode(F.regexp_extract_all(
+                        F.col("txt"), F.lit(link_re), F.lit(1)))
+                    .alias("feed_url"))
+            .distinct())
+
+
+def parse_feed_blobs(blobs: DataFrame, feeds: DataFrame) -> DataFrame:
+    """One Arrow pass over the discovered feed blobs: gunzip when
+    magic-tagged, parse RSS `<item><link>` text or Atom `<entry><link
+    rel=alternate href>` (local-name matching, any/no namespace), emit
+    (host, feed_url, feed_kind, loc, published)."""
+    import gzip as _gzip
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for host, src, body in zip(pdf["host"], pdf["url"], pdf["body"]):
+                raw = bytes(body or b"")
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = _gzip.decompress(raw)
+                    except OSError:
+                        continue
+                try:
+                    root = ET.fromstring(raw.decode("utf-8", "replace"))
+                except ET.ParseError:
+                    continue
+                kind = _local(root.tag)
+                if kind == "rss":
+                    for item in root.iter():
+                        if _local(item.tag) != "item":
+                            continue
+                        loc = pub = None
+                        for child in item:
+                            if _local(child.tag) == "link":
+                                loc = (child.text or "").strip()
+                            elif _local(child.tag) == "pubdate":
+                                pub = (child.text or "").strip()
+                        if loc:
+                            rows.append((host, src, "rss", loc, pub))
+                elif kind == "feed":
+                    for entry in root:
+                        if _local(entry.tag) != "entry":
+                            continue
+                        loc = pub = None
+                        for child in entry:
+                            if (_local(child.tag) == "link"
+                                    and child.get("rel", "alternate")
+                                    == "alternate"):
+                                loc = (child.get("href") or "").strip()
+                            elif _local(child.tag) == "updated":
+                                pub = (child.text or "").strip()
+                        if loc:
+                            rows.append((host, src, "atom", loc, pub))
+            yield pd.DataFrame(rows, columns=[
+                "host", "feed_url", "feed_kind", "loc", "published"])
+
+    keep = blobs.join(feeds.withColumnRenamed("feed_url", "url")
+                      .select("url"), "url")
+    return keep.mapInPandas(parse, FEED_PARSE_SCHEMA)
+
+
+def seed_from_feeds(spark: SparkSession, blobs: DataFrame) -> DataFrame:
+    """Autodiscover feeds from the HTML blobs, parse them, return page URLs:
+    (url, host, published, feed_url, feed_kind), deduped on url (an item
+    syndicated by several feeds keeps the lexicographically first feed —
+    deterministic)."""
+    feeds = discover_feeds(blobs)
+    parsed = parse_feed_blobs(blobs, feeds)
+    w = Window.partitionBy("loc").orderBy("feed_url")
+    return (parsed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("loc").alias("url"), "host", "published",
+                    "feed_url", "feed_kind"))
 
 
 def _url_relevance(seeds: DataFrame, query: str) -> DataFrame:

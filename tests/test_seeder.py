@@ -145,3 +145,68 @@ def test_cdx_to_seed_pipeline_with_url_relevance(spark):
     # spark-side scores equal the pure twin exactly
     for r in out:
         assert r.score == url_relevance_score("cdx1 a2", r.url)
+
+
+def test_feed_seeding_autodiscovers_rss_atom_gz(spark):
+    """RSS/Atom sibling of S6: HTML-head autodiscovery finds all three feed
+    links (and not the stylesheet), RSS <item><link> text and Atom
+    <entry><link rel=alternate href> both parse, gz bodies decompress, and
+    every item URL lands exactly once."""
+    from crawl4ai_spark.sources.seeder import (
+        discover_feeds,
+        seed_from_feeds,
+        synthetic_feed_blobs,
+    )
+
+    blobs = synthetic_feed_blobs(spark, n_hosts=2, items_per_host=9).cache()
+    feeds = {r["feed_url"] for r in discover_feeds(blobs).collect()}
+    assert feeds == {
+        f"https://www.feed{h}.com/{p}"
+        for h in range(2)
+        for p in ("feed.xml", "atom.xml", "archive.xml.gz")
+    }
+    out = seed_from_feeds(spark, blobs).cache()
+    rows = out.collect()
+    assert out.count() == 18
+    urls = {r["url"] for r in rows}
+    assert urls == {f"https://www.feed{h}.com/post/{i}"
+                    for h in range(2) for i in range(9)}
+    kinds = {r["url"]: r["feed_kind"] for r in rows}
+    for h in range(2):
+        assert kinds[f"https://www.feed{h}.com/post/4"] == "atom"
+        assert kinds[f"https://www.feed{h}.com/post/7"] == "rss"  # via gz
+    # Atom rel="self" service links never leak into the seed set
+    assert not any(u.endswith("atom.xml") for u in urls)
+
+
+def test_feed_seeding_dedups_syndicated_items(spark):
+    """An item syndicated by several feeds survives once, keyed to the
+    lexicographically first feed URL (deterministic winner)."""
+    from crawl4ai_spark.sources.seeder import seed_from_feeds
+
+    rss = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel>'
+        b"<item><link>https://x.com/a</link>"
+        b"<pubDate>d1</pubDate></item></channel></rss>"
+    )
+    atom = (
+        b'<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+        b'<entry><link rel="alternate" href="https://x.com/a"/>'
+        b"<updated>d2</updated></entry></feed>"
+    )
+    html = (
+        b'<html><head>'
+        b'<link rel="alternate" type="application/rss+xml" href="https://x.com/b.xml">'
+        b'<link rel="alternate" type="application/atom+xml" href="https://x.com/a.xml">'
+        b"</head></html>"
+    )
+    blobs = spark.createDataFrame(
+        [("x.com", "https://x.com/", html),
+         ("x.com", "https://x.com/b.xml", rss),
+         ("x.com", "https://x.com/a.xml", atom)],
+        "host string, url string, body binary")
+    rows = seed_from_feeds(spark, blobs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["url"], r["feed_url"], r["feed_kind"], r["published"]) == (
+        "https://x.com/a", "https://x.com/a.xml", "atom", "d2")
