@@ -163,6 +163,23 @@ class CrawlConfig:
     # ops/trapq.trap_patterns_from_results(results). None (default)
     # leaves the schedule path byte-identical — no column, no join.
     blocked_patterns: object | None = None
+    # HTTP revalidation (the conditional-GET fleet that
+    # ops/refreshq.q_revisit_economics prices): ``store_validators`` makes
+    # result rows carry ``content_md5`` — the strong validator (hex md5 of
+    # the raw fetched bytes), hashed inside the scrape Arrow pass at zero
+    # extra scan cost. ``revalidate`` turns a re-crawl into the conditional
+    # fleet: scheduled urls are NOT cache-skipped (the seeds/refresh policy
+    # decides what to re-check); instead each fetched body's JVM-native
+    # F.md5 is compared against the stored validators, and urls whose
+    # (url, md5) pair is already cached short-circuit to a 304 row that
+    # REUSES the cached processed columns — unchanged bodies never enter
+    # the python scrape stage, so a re-crawl where 95% of the web is
+    # unchanged pays python for only the 5% delta. Fresh/changed rows flow
+    # the normal path (and store their validator, so chains of re-crawls
+    # work). Both default False: the default path stays byte-identical —
+    # no extra column, no join.
+    store_validators: bool = False
+    revalidate: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -544,7 +561,9 @@ class SparkWebEngine:
         known_empty: bool | None = None
         cand = frontier.filter(F.col("status") == "QUEUED") \
                        .filter(F.col("retry_count") <= POL.MAX_RETRIES)
-        if cfg.cache_mode in ("enabled", "read_only"):
+        if cfg.cache_mode in ("enabled", "read_only") and not cfg.revalidate:
+            # revalidate mode: cached successes are NOT skipped — they are
+            # re-checked against their stored validator in the fetch stage
             prior = self.store.read(self.spark, "results")
             if prior is not None:
                 # cache read path: successfully-crawled urls never reschedule
@@ -713,6 +732,52 @@ class SparkWebEngine:
             fetched = pages.join(
                 F.broadcast(allowed.select("url", "host", "depth")),
                 on="url", how="inner")
+        # conditional-GET gate (CrawlConfig.revalidate): compare each
+        # fetched body's JVM-native md5 against the stored validator set
+        # {(url, content_md5) → processed columns}. Hits become 304 rows
+        # reusing the cached content — those bodies NEVER enter the python
+        # scrape stage below (the whole point at re-crawl scale); misses
+        # (changed or never-validated) flow the normal path. Both the
+        # validator set and the current batch are pruned to the scheduled
+        # urls via the broadcast probe before anything joins.
+        want_validator = cfg.store_validators or cfg.revalidate
+        unchanged = None
+        if cfg.revalidate:
+            prior = self.store.read(self.spark, "results")
+            if prior is not None and "content_md5" in prior.columns:
+                from pyspark.sql import Window as _W
+                content_cols = ["cleaned_html", "text", "markdown",
+                                "extracted_content", "links", "media",
+                                "tables", "metadata"]
+                probe = allowed.select(fetch_url.alias("url")).distinct()
+                vc = (prior.filter(F.col("success")
+                                   & F.col("content_md5").isNotNull())
+                      .join(F.broadcast(probe), "url", "inner")
+                      .select("url", "content_md5", "generation",
+                              "status_code", *content_cols))
+                # one cached copy per (url, validator): every row sharing
+                # the key holds the same FETCHED bytes by construction, but
+                # runs with different processing configs may have derived
+                # different content columns — pick deterministically
+                # (freshest generation, then 200s before 304s, then a
+                # content hash as total order)
+                wv = _W.partitionBy("url", "content_md5").orderBy(
+                    F.desc("generation"), "status_code",
+                    F.md5(F.to_json(F.struct(*content_cols))))
+                vc = (vc.withColumn("_rn", F.row_number().over(wv))
+                      .filter(F.col("_rn") == 1)
+                      .drop("_rn", "generation", "status_code"))
+                cur = fetched.withColumn("content_md5", F.md5("html"))
+                unchanged = (
+                    cur.select("url", "content_md5")
+                    .join(vc, ["url", "content_md5"], "inner")
+                    .withColumn("status_code", F.lit(304))
+                    .withColumn("success", F.lit(True))
+                    .withColumn("error_message",
+                                F.lit(None).cast("string")))
+                fetched = cur.join(vc.select("url", "content_md5"),
+                                   ["url", "content_md5"], "left_anti") \
+                             .drop("content_md5")
         processed = process_pages(
             fetched,
             extraction_schema=cfg.extraction_schema,
@@ -722,7 +787,11 @@ class SparkWebEngine:
             excluded_tags=cfg.excluded_tags,
             cosine_config=cfg.cosine_extraction,
             llm_extraction=cfg.llm_extraction,
+            with_validator=want_validator,
         )
+        if unchanged is not None:
+            processed = processed.unionByName(
+                unchanged, allowMissingColumns=True)
         # re-attach host/depth (processed keeps url) + 404s for scheduled
         # urls missing from pages
         if redirected:
@@ -1092,7 +1161,8 @@ class SparkWebEngine:
 
     def export_warc(self, out_dir: str, *, pages: DataFrame | None = None,
                     n_buckets: int = 8,
-                    date: str = "2026-01-01T00:00:00Z") -> DataFrame:
+                    date: str = "2026-01-01T00:00:00Z",
+                    results: DataFrame | None = None) -> DataFrame:
         """S12 write side: archive the crawl's visited set as WARC/1.0
         segments (html/warc.py writer), one segment per host bucket.
 
@@ -1111,7 +1181,16 @@ class SparkWebEngine:
         from the executor (local-FS semantics here; point ``out_dir`` at a
         shared filesystem on a cluster). The returned manifest (bucket,
         path, n_records, n_bytes, sha) is the only thing that crosses the
-        wire."""
+        wire.
+
+        Pass ``results`` to archive a specific result set (e.g. ONE
+        re-crawl's rows — the store accumulates every run, so a url can
+        carry several statuses across runs). Rows with ``status_code ==
+        304`` (the revalidation path's not-modified verdict) become ISO
+        28500 *revisit* records: the unchanged payload is never
+        re-written — only a WARC-Refers-To pointer at the base segment's
+        deterministic response id plus the payload digest, which is how
+        Common Crawl dedups unchanged content across monthly snapshots."""
         import hashlib as _hl
         import os as _os
 
@@ -1119,7 +1198,7 @@ class SparkWebEngine:
 
         from crawl4ai_spark.html.warc import build_warc
 
-        results = self.results()
+        results = results if results is not None else self.results()
         assert results is not None, "no results to export"
         pages = pages if pages is not None else self._pages
         rows = (
@@ -1136,12 +1215,17 @@ class SparkWebEngine:
 
         def write_segment(pdf: _pd.DataFrame) -> _pd.DataFrame:
             pdf = pdf.sort_values("url", kind="mergesort")
-            recs = [{"uri": u,
-                     "body": (h.encode("utf-8") if isinstance(h, str)
-                              else bytes(h)),
-                     "status": int(s), "content_type": "text/html"}
-                    for u, s, h in zip(pdf["url"], pdf["status_code"],
-                                       pdf["html"])]
+            recs = []
+            for u, s, h in zip(pdf["url"], pdf["status_code"],
+                               pdf["html"]):
+                body = h.encode("utf-8") if isinstance(h, str) else bytes(h)
+                if int(s) == 304:
+                    recs.append({
+                        "uri": u, "revisit": True,
+                        "payload_digest": _hl.md5(body).hexdigest()})
+                else:
+                    recs.append({"uri": u, "body": body, "status": int(s),
+                                 "content_type": "text/html"})
             bucket = int(pdf["bucket"].iloc[0])
             blob = build_warc(recs, date=date)
             path = _os.path.join(out_dir, f"segment-{bucket:04d}.warc")

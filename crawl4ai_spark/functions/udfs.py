@@ -156,14 +156,28 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
                   word_count_threshold: int = 1,
                   excluded_tags: list[str] | None = None,
                   cosine_config: dict | None = None,
-                  llm_extraction: dict | None = None) -> DataFrame:
-    """pages(url, html binary, ...) → results (RESULTS_SCHEMA), one Arrow stage."""
+                  llm_extraction: dict | None = None,
+                  with_validator: bool = False) -> DataFrame:
+    """pages(url, html binary, ...) → results (RESULTS_SCHEMA), one Arrow stage.
+
+    ``with_validator`` appends a ``content_md5`` column — the hex md5 of the
+    RAW fetched bytes (before encoding sanitation), the strong validator an
+    HTTP cache pairs with If-None-Match. Hashed here, inside the Arrow pass
+    where the bytes already sit in memory, so storing validators costs no
+    extra scan; it matches ``F.md5(html)`` exactly (utf-8 for str columns),
+    which is what the engine's revalidation gate computes JVM-side."""
     schema_json = (
         json.dumps(extraction_schema) if isinstance(extraction_schema, dict)
         else extraction_schema
     )
+    out_schema = RESULTS_SCHEMA
+    if with_validator:
+        out_schema = T.StructType(
+            list(RESULTS_SCHEMA.fields)
+            + [T.StructField("content_md5", T.StringType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -178,14 +192,20 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
                     h = bytes(html).decode("utf-8", errors="ignore")
                 else:
                     h = str(html).encode("utf-8", errors="ignore").decode("utf-8")
-                rows.append(process_page(
+                row = process_page(
                     url, h, extraction_schema_json=schema_json,
                     content_filter=content_filter, bm25_query=bm25_query,
                     word_count_threshold=word_count_threshold,
                     excluded_tags=excluded_tags,
                     cosine_config=cosine_config,
                     llm_extraction=llm_extraction,
-                ))
+                )
+                if with_validator:
+                    raw = (b"" if html is None
+                           else bytes(html) if isinstance(html, (bytes, bytearray))
+                           else str(html).encode("utf-8", "surrogatepass"))
+                    row["content_md5"] = _hl.md5(raw).hexdigest()
+                rows.append(row)
             yield pd.DataFrame(rows)
 
-    return pages.select("url", "html").mapInPandas(run, RESULTS_SCHEMA)
+    return pages.select("url", "html").mapInPandas(run, out_schema)

@@ -32,10 +32,23 @@ def _uuid_of(seed: str) -> str:
             f"{h[16:20]}-{h[20:32]}")
 
 
+REVISIT_PROFILE = ("http://netpreserve.org/warc/1.0/revisit/"
+                   "identical-payload-digest")
+
+
 def build_warc(records: list[dict], *, date: str) -> bytes:
     """``records``: dicts with uri, body (bytes), status (int),
     content_type (str). Emits one warcinfo record then one response
-    record per input, deterministic record ids."""
+    record per input, deterministic record ids.
+
+    A record carrying ``revisit: True`` emits an ISO 28500 *revisit*
+    record instead (the Common-Crawl dedup mechanism for unchanged
+    content on a re-crawl): identical-payload-digest profile,
+    ``WARC-Refers-To`` = the deterministic response record id this writer
+    emits for the same uri (so the referent resolves against the base
+    segment without reading it), ``WARC-Payload-Digest`` from the
+    record's ``payload_digest``, and a header-only 304 HTTP block — the
+    unchanged body bytes are never written again."""
     info_block = f"software: {SOFTWARE}\r\nformat: WARC File Format 1.0".encode()
     out = _record(
         [("WARC-Type", "warcinfo"),
@@ -44,6 +57,19 @@ def build_warc(records: list[dict], *, date: str) -> bytes:
          ("Content-Type", "application/warc-fields")],
         info_block)
     for r in records:
+        if r.get("revisit"):
+            http = b"HTTP/1.1 304 Not Modified\r\n\r\n"
+            out += _record(
+                [("WARC-Type", "revisit"),
+                 ("WARC-Target-URI", r["uri"]),
+                 ("WARC-Date", date),
+                 ("WARC-Record-ID", _uuid_of("revisit:" + r["uri"])),
+                 ("WARC-Refers-To", _uuid_of(r["uri"])),
+                 ("WARC-Profile", REVISIT_PROFILE),
+                 ("WARC-Payload-Digest", "md5:" + r["payload_digest"]),
+                 ("Content-Type", "application/http;msgtype=response")],
+                http)
+            continue
         body = r["body"]
         http = (f"HTTP/1.1 {r['status']} OK\r\n"
                 f"Content-Type: {r['content_type']}\r\n"
@@ -169,5 +195,13 @@ def parse_warc(data: bytes) -> list[dict]:
                 hh[k.strip().lower()] = v.strip()
             rec["content_type"] = hh.get("content-type", "")
             rec["payload"] = block[http_end + 4:]
+        if rec["warc_type"] == "revisit":
+            # header-only HTTP block; the payload lives in the record
+            # WARC-Refers-To points at (identical-payload-digest profile)
+            rec["status"] = int(block.decode().split("\r\n")[0].split(" ")[1])
+            rec["refers_to"] = headers.get("warc-refers-to", "")
+            rec["profile"] = headers.get("warc-profile", "")
+            rec["payload_digest"] = headers.get("warc-payload-digest", "")
+            rec["payload"] = b""
         records.append(rec)
     return records
