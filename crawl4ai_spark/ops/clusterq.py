@@ -537,10 +537,16 @@ def q_cluster_embeddings_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components_bigstar(nodes: DataFrame, pairs: DataFrame,
-                                 max_rounds: int = 30) -> DataFrame:
+                                 max_rounds: int = 30,
+                                 cast_long: bool = True) -> DataFrame:
     """Core large-star/small-star loop over an arbitrary (nodes, v1/v2
     pairs) graph — unit-testable on synthetic chains where min-label
-    propagation would need O(n) rounds."""
+    propagation would need O(n) rounds.
+
+    ``cast_long=False`` keeps the node/label types as given (the loop's
+    least/greatest/min work on any orderable type, e.g. URL strings —
+    the headq hreflang clustering path); labels are then the
+    lexicographically smallest member."""
     edges = pairs.filter(F.col("v1") != F.col("v2")) \
                  .select(F.least("v1", "v2").alias("a"),
                          F.greatest("v1", "v2").alias("b")) \
@@ -588,10 +594,11 @@ def connected_components_bigstar(nodes: DataFrame, pairs: DataFrame,
                 .groupBy("node") \
                 .agg(F.min(F.coalesce("root", "node")).alias("lbl"))
     sizes = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("cluster_size"))
+    node_c = F.col("node").cast("long") if cast_long else F.col("node")
+    lbl_c = F.col("lbl").cast("long") if cast_long else F.col("lbl")
     return (
         labels.join(sizes, "lbl")
-        .select(F.col("node").cast("long").alias("vec_id"),
-                F.col("lbl").cast("long").alias("cluster_id"),
+        .select(node_c.alias("vec_id"), lbl_c.alias("cluster_id"),
                 "cluster_size")
     )
 

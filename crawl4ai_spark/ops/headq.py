@@ -283,7 +283,229 @@ WHERE json_valid(payload)
 """
 
 
+# ---------------------------------------------------------------------------
+# rel="canonical" election — the head signal a dedup pipeline consults
+# BEFORE hashing content: publishers mark parameterized/mirrored URLs with a
+# canonical link, and the indexer collapses each page onto its elected
+# canonical target. Canonical links form CHAINS (a → b while b → c) and
+# occasionally LOOPS (a ↔ b); election = pointer-doubling over the (url →
+# canonical) edge set — O(log chain) self-join rounds, the redirectq engine
+# shape over string keys — with loops falling back to self-canonical (the
+# hint is discarded, which is what production indexers do with canonical
+# cycles). One native regexp parse, zero python anywhere.
+# ---------------------------------------------------------------------------
+
+_CANON_RX = r'<link\s+rel="canonical"\s+href="([^"]+)"'
+_CANON_ROUNDS = 6          # covers chains up to 2^6 hops
+
+
+def canonical_edges(pages: DataFrame, html_col: str = "html_str"
+                    ) -> DataFrame:
+    """(url, canonical_href) for pages whose head declares a canonical
+    target other than themselves. Native regexp — pushes to the scan."""
+    href = F.regexp_extract(F.col(html_col), _CANON_RX, 1)
+    return (pages.select("url", href.alias("dst"))
+            .filter((F.col("dst") != "") & (F.col("dst") != F.col("url")))
+            .select(F.col("url").alias("src"), "dst"))
+
+
+def elect_canonical(urls: DataFrame, edges: DataFrame,
+                    rounds: int = _CANON_ROUNDS) -> DataFrame:
+    """urls(url) + edges(src, dst) → (url, canonical_url, hops, is_cycle).
+
+    Pointer doubling: after J rounds every chain ≤ 2^J hops is collapsed.
+    A url whose walk never leaves the edge set (dst still has an outgoing
+    edge after the rounds) sits on a canonical LOOP: flagged and elected
+    as itself, hops 0 — the hint is contradictory, so it is ignored."""
+    m = edges.select("src", "dst", F.lit(1).cast("long").alias("hops"))
+    for _ in range(rounds):
+        n = m.select(F.col("src").alias("n_src"),
+                     F.col("dst").alias("n_dst"),
+                     F.col("hops").alias("n_hops"))
+        m = (m.join(n, m["dst"] == n["n_src"], "left")
+             .select("src", F.coalesce("n_dst", "dst").alias("dst"),
+                     (F.col("hops") + F.coalesce("n_hops", F.lit(0)))
+                     .alias("hops")))
+    outgoing = edges.select(F.col("src").alias("o_src")).distinct()
+    resolved = (
+        m.join(outgoing, m["dst"] == outgoing["o_src"], "left")
+        .select(F.col("src").alias("url"),
+                F.col("o_src").isNotNull().alias("is_cycle"),
+                F.col("dst").alias("_fin"), F.col("hops").alias("_fh")))
+    return (
+        urls.join(resolved, "url", "left")
+        .select(
+            "url",
+            F.when(F.col("is_cycle").isNull() | F.col("is_cycle"),
+                   F.col("url")).otherwise(F.col("_fin"))
+            .alias("canonical_url"),
+            F.when(F.col("is_cycle").isNull() | F.col("is_cycle"),
+                   F.lit(0)).otherwise(F.col("_fh"))
+            .cast("long").alias("hops"),
+            F.coalesce("is_cycle", F.lit(False)).alias("is_cycle")))
+
+
+def _canon_url(col):
+    return F.concat(F.lit("https://www.site"), col % 10,
+                    F.lit(".com/p"), col)
+
+
+def q_head_canonical_elect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic head corpus over ``documents``: doc_id % 4 = 0 →
+    self-canonical, 1 → canonicalizes to the group head (1 hop), 2 → to
+    the %4=1 sibling (a 2-hop CHAIN through it), 3 → no link — except the
+    %12 ∈ {3, 7} pairs, which canonicalize to EACH OTHER (a 2-loop).
+    Output: (url, canonical_url, hops, is_cycle, group_size)."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = _canon_url(i)
+    target = (
+        F.when(i % 4 == 0, url)
+        .when(i % 4 == 1, _canon_url(i - 1))
+        .when(i % 4 == 2, _canon_url(i - 1))
+        .when(i % 12 == 3, _canon_url(i + 4))
+        .when(i % 12 == 7, _canon_url(i - 4)))
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"),
+        F.when(target.isNotNull(),
+               F.concat(F.lit('<link rel="canonical" href="'), target,
+                        F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"))
+    pages = d.select(url.alias("url"), html.alias("html_str"))
+    elected = elect_canonical(pages.select("url"), canonical_edges(pages))
+    sizes = elected.groupBy(F.col("canonical_url").alias("cu")) \
+                   .agg(F.count(F.lit(1)).alias("group_size"))
+    return (elected.join(sizes, elected.canonical_url == sizes.cu, "left")
+            .select("url", "canonical_url", "hops", "is_cycle",
+                    "group_size"))
+
+
+SQL_HEAD_CANONICAL_ELECT = """
+WITH d AS (SELECT doc_id FROM documents),
+u AS (
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 10) || '.com/p' || doc_id AS url,
+         CASE WHEN doc_id % 4 IN (1, 2)
+              THEN doc_id - (doc_id % 4) ELSE doc_id END AS fin_id,
+         CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS hops,
+         -- the %12 in (3,7) pair is a loop only when BOTH partners exist
+         (doc_id % 12 = 3 AND EXISTS (
+            SELECT 1 FROM d p WHERE p.doc_id = u0.doc_id + 4))
+         OR (doc_id % 12 = 7 AND EXISTS (
+            SELECT 1 FROM d p WHERE p.doc_id = u0.doc_id - 4)) AS both_in
+  FROM d u0
+),
+e AS (
+  SELECT doc_id, url,
+         CASE WHEN doc_id % 12 = 3 AND NOT both_in THEN
+              'https://www.site' || ((doc_id + 4) % 10) || '.com/p'
+                || (doc_id + 4)
+         ELSE
+              'https://www.site' || (fin_id % 10) || '.com/p' || fin_id
+         END AS canonical_url,
+         CASE WHEN doc_id % 12 = 3 AND NOT both_in THEN 1 ELSE hops END
+           AS hops,
+         (doc_id % 12 IN (3, 7) AND both_in) AS is_cycle
+  FROM u
+)
+SELECT url, canonical_url, CAST(hops AS BIGINT) AS hops, is_cycle,
+       (SELECT count(*) FROM e x
+        WHERE x.canonical_url = e.canonical_url) AS group_size
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate-language clusters — `<link rel="alternate"
+# hreflang=... href=...>` declarations link the language versions of a
+# page; publishers rarely list the full clique (each version typically
+# points at a subset), so recovering the version GROUP is a connected-
+# components problem over the alternate graph. Reuses the large-star/
+# small-star engine directly on URL-string node ids (O(log n) rounds at
+# web scale); the cluster id is the lexicographically smallest member —
+# exactly SQL's min(url) per group, which keeps the oracle exact.
+# ---------------------------------------------------------------------------
+
+_HREFLANG_RX = r'<link\s+rel="alternate"\s+hreflang="([a-z-]+)"\s+href="([^"]+)"'
+
+
+def hreflang_links(pages: DataFrame, html_col: str = "html_str"
+                   ) -> DataFrame:
+    """(url, hreflang, href) per alternate declaration — two native
+    regexp_extract_all passes zipped positionally (same match set, so the
+    arrays align by construction)."""
+    langs = F.regexp_extract_all(F.col(html_col), F.lit(_HREFLANG_RX), 1)
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_HREFLANG_RX), 2)
+    return (pages.select("url",
+                         F.explode(F.arrays_zip(langs.alias("hreflang"),
+                                                hrefs.alias("href")))
+                         .alias("z"))
+            .select("url", F.col("z.hreflang").alias("hreflang"),
+                    F.col("z.href").alias("href")))
+
+
+def q_head_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus: consecutive doc_id triplets are en/de/fr
+    versions of one page; each head declares itself plus ONLY the next
+    member (a path, not a clique — min-label propagation alone would need
+    O(cluster) rounds on long paths; CC closes it). Output: (url,
+    hreflang, cluster_id = min url in the component, n_members)."""
+    from crawl4ai_spark.ops.clusterq import connected_components_bigstar
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    i = F.col("doc_id")
+    url = _canon_url(i)
+    lang = F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                        (i % 3 + 1).cast("int"))
+    nxt_lang = F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                            ((i + 1) % 3 + 1).cast("int"))
+    has_next = (i % 3 < 2) & (i < F.col("mx"))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.concat(F.lit('<link rel="alternate" hreflang="'), lang,
+                 F.lit('" href="'), url, F.lit('">')),
+        F.when(has_next,
+               F.concat(F.lit('<link rel="alternate" hreflang="'),
+                        nxt_lang, F.lit('" href="'), _canon_url(i + 1),
+                        F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"))
+    pages = d.join(F.broadcast(mx)).select(url.alias("url"),
+                                           lang.alias("hreflang"),
+                                           html.alias("html_str"))
+    links = hreflang_links(pages)
+    edges = (links.filter(F.col("href") != F.col("url"))
+             .select(F.col("url").alias("v1"), F.col("href").alias("v2")))
+    cc = connected_components_bigstar(
+        pages.select(F.col("url").alias("node")), edges, cast_long=False)
+    return (pages.select("url", "hreflang")
+            .join(cc.withColumnRenamed("vec_id", "url"), "url")
+            .select("url", "hreflang", "cluster_id",
+                    F.col("cluster_size").alias("n_members")))
+
+
+SQL_HEAD_HREFLANG_CLUSTERS = """
+WITH d AS (SELECT doc_id FROM documents),
+u AS (
+  SELECT doc_id,
+         'https://www.site' || (doc_id % 10) || '.com/p' || doc_id AS url,
+         CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+              ELSE 'fr' END AS hreflang,
+         doc_id - (doc_id % 3) AS grp
+  FROM d
+)
+SELECT url, hreflang,
+       (SELECT min(x.url) FROM u x WHERE x.grp = u.grp) AS cluster_id,
+       (SELECT count(*) FROM u x WHERE x.grp = u.grp) AS n_members
+FROM u
+"""
+
+
 QUERIES = {"url_filters_head": q_url_filters_head,
-           "head_jsonld": q_head_jsonld}
+           "head_jsonld": q_head_jsonld,
+           "head_canonical_elect": q_head_canonical_elect,
+           "head_hreflang_clusters": q_head_hreflang_clusters}
 ORACLES = {"url_filters_head": SQL_URL_FILTERS_HEAD,
-           "head_jsonld": SQL_HEAD_JSONLD}
+           "head_jsonld": SQL_HEAD_JSONLD,
+           "head_canonical_elect": SQL_HEAD_CANONICAL_ELECT,
+           "head_hreflang_clusters": SQL_HEAD_HREFLANG_CLUSTERS}
