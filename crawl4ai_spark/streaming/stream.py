@@ -598,3 +598,56 @@ def stream_ppl_gate(spark: SparkSession, docs_dir: str,
             "CAST(sum_neglog_e6 div n_bigrams AS BIGINT)"))
         .withColumn("accept", F.col("ppl_e6") <= F.lit(int(thr_ppl_e6)))
     )
+
+
+def run_revalidate_stream(spark: SparkSession, pages_dir: str,
+                          validators_dir: str, out_dir: str):
+    """Streaming revalidation admission: re-fetched pages ARRIVE as a
+    stream and each micro-batch is verdicted against the PERSISTED
+    validator index (url, content_md5 — what a ``store_validators=True``
+    crawl leaves behind): ``not_modified`` (validator matches — the
+    engine's 304 path would reuse the cached result, so downstream
+    processing skips the row), ``modified`` (known url, new bytes), or
+    ``new`` (never validated). The md5 is JVM-native per row and the
+    index join is static-vs-stream, so per-row verdicts depend only on
+    the row + the index — micro-batching is exact (streamed union ==
+    batch verdict set, asserted in tests). foreachBatch + checkpoint:
+    restartable, O(batch) per trigger, index never reloads."""
+    validators = (spark.read.parquet(validators_dir)
+                  .select("url", F.col("content_md5").alias("v_md5"))
+                  .dropDuplicates(["url", "v_md5"]))
+    pages = (
+        spark.readStream
+        .schema("url string, html binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = batch_df.withColumn("content_md5", F.md5("html"))
+        hit = (cur.join(validators,
+                        (cur["url"] == validators["url"])
+                        & (cur["content_md5"] == validators["v_md5"]),
+                        "left_semi")
+               .select("url", "content_md5")
+               .withColumn("verdict", F.lit("not_modified")))
+        known = validators.select("url").distinct()
+        miss = cur.join(hit.select("url"), "url", "left_anti") \
+                  .select("url", "content_md5")
+        modified = miss.join(known, "url", "left_semi") \
+                       .withColumn("verdict", F.lit("modified"))
+        new = miss.join(known, "url", "left_anti") \
+                  .withColumn("verdict", F.lit("new"))
+        (hit.unionByName(modified).unionByName(new)
+         .write.mode("append").parquet(out_dir))
+
+    q = (
+        pages.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -181,3 +181,56 @@ def test_warc_revisit_records(spark, pages, tmp_store, tmp_path):
     resp2 = [r for r in rec2 if r["warc_type"] == "response"]
     assert [r["uri"] for r in resp2] == [victim]
     assert resp2[0]["payload"] == new_blob
+
+
+def test_stream_revalidate_matches_batch(spark, pages, tmp_store,
+                                         tmp_path_factory):
+    """Streaming admission: re-fetched pages arriving over >= 2
+    micro-batches, verdicted against the validator index a
+    store_validators crawl persisted, must equal the batch verdict set
+    (not_modified / modified / new) computed directly."""
+    import time
+
+    from crawl4ai_spark.streaming.stream import run_revalidate_stream
+
+    root = str(tmp_path_factory.mktemp("reval_stream"))
+    _, res1 = _crawl(spark, tmp_store, pages, store_validators=True)
+    res1.filter("success").select("url", "content_md5") \
+        .write.parquet(f"{root}/validators")
+
+    victim = res1.filter("success").orderBy("url").limit(1) \
+                 .collect()[0]["url"]
+    pages2, new_md5, _ = _mutate(pages, victim)
+    # add one never-seen url so the 'new' verdict is exercised
+    extra = spark.createDataFrame(
+        [("https://www.host9.com/brand-new", b"<html><body>n</body></html>")],
+        "url string, html binary")
+    feed = pages2.select("url", "html").unionByName(extra).cache()
+
+    feed.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).coalesce(1) \
+        .write.parquet(f"{root}/feed/a")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    feed.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1).coalesce(1) \
+        .write.parquet(f"{root}/feed/b")
+
+    q = run_revalidate_stream(
+        spark, f"{root}/feed/*", f"{root}/validators", f"{root}/verdicts")
+    assert q.lastProgress["batchId"] >= 1  # really ran >= 2 micro-batches
+
+    got = {r.url: (r.verdict, r.content_md5)
+           for r in spark.read.parquet(f"{root}/verdicts").collect()}
+    vset = {r.url: r.content_md5
+            for r in spark.read.parquet(f"{root}/validators").collect()}
+    want = {}
+    for r in feed.withColumn("m", F.md5("html")) \
+                 .select("url", "m").collect():
+        if r.url in vset and vset[r.url] == r.m:
+            want[r.url] = ("not_modified", r.m)
+        elif r.url in vset:
+            want[r.url] = ("modified", r.m)
+        else:
+            want[r.url] = ("new", r.m)
+    assert got == want
+    assert want[victim][0] == "modified"
+    assert want["https://www.host9.com/brand-new"][0] == "new"
+    assert sum(1 for v, _ in got.values() if v == "not_modified") > 0
