@@ -180,6 +180,16 @@ class CrawlConfig:
     # no extra column, no join.
     store_validators: bool = False
     revalidate: bool = False
+    # Robots Exclusion Protocol meta-tag gate (<meta name="robots">):
+    # when True, result rows carry noindex/nofollow booleans parsed inside
+    # the scrape Arrow pass (order-agnostic, multiple tags OR'd, "none" =
+    # both), and the engine ENFORCES them the way a polite indexer does —
+    # links discovered on a nofollow page never enter the frontier, and
+    # noindex pages are excluded from the WET text-corpus export while
+    # STAYING in results and WARC (archive-complete, index-clean: the
+    # Common-Crawl position). Default False: no columns, byte-identical
+    # default path.
+    respect_meta_robots: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -749,6 +759,10 @@ class SparkWebEngine:
                 content_cols = ["cleaned_html", "text", "markdown",
                                 "extracted_content", "links", "media",
                                 "tables", "metadata"]
+                # content-derived flags ride the cache too (a 304 page's
+                # meta robots are by definition unchanged)
+                content_cols += [c for c in ("noindex", "nofollow")
+                                 if c in prior.columns]
                 probe = allowed.select(fetch_url.alias("url")).distinct()
                 vc = (prior.filter(F.col("success")
                                    & F.col("content_md5").isNotNull())
@@ -788,6 +802,7 @@ class SparkWebEngine:
             cosine_config=cfg.cosine_extraction,
             llm_extraction=cfg.llm_extraction,
             with_validator=want_validator,
+            with_meta_robots=cfg.respect_meta_robots,
         )
         if unchanged is not None:
             processed = processed.unionByName(
@@ -874,6 +889,9 @@ class SparkWebEngine:
 
         # 2. discover + enqueue new links from successful pages
         ok = results.filter(F.col("success"))
+        if cfg.respect_meta_robots and "nofollow" in results.columns:
+            # REP meta gate: a nofollow page contributes NO outlinks
+            ok = ok.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
         links = FR.explode_links(ok, include_external=cfg.include_external)
         cand = FR.normalize_candidates(links)
         if cfg.link_preview_query:
@@ -1263,9 +1281,14 @@ class SparkWebEngine:
 
         results = self.results()
         assert results is not None, "no results to export"
+        rows = results.filter(F.col("success") & F.col("text").isNotNull())
+        if "noindex" in rows.columns:
+            # REP meta gate (CrawlConfig.respect_meta_robots): noindex
+            # pages stay in results and WARC (archive-complete) but are
+            # excluded from the text-corpus export (index-clean)
+            rows = rows.filter(~F.coalesce(F.col("noindex"), F.lit(False)))
         rows = (
-            results.filter(F.col("success") & F.col("text").isNotNull())
-            .select("url", "text", "host")
+            rows.select("url", "text", "host")
             .dropDuplicates(["url"])
             .withColumn("bucket",
                         F.pmod(F.xxhash64("host"), F.lit(n_buckets))

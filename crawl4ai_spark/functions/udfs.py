@@ -73,6 +73,37 @@ RESULTS_SCHEMA = T.StructType([
 ])
 
 
+_META_TAG_RE = None
+
+
+def _meta_robots(html: str) -> tuple[bool, bool]:
+    """(noindex, nofollow) from every ``<meta name="robots">`` directive —
+    attribute-order agnostic, multiple tags OR'd, directives matched on
+    comma/space-separated tokens (REP meta-tag semantics)."""
+    import re
+    global _META_TAG_RE
+    if _META_TAG_RE is None:
+        _META_TAG_RE = (
+            re.compile(r"<meta\b[^>]*>", re.I),
+            re.compile(r"""\bname\s*=\s*["']?([^"'\s>]+)""", re.I),
+            re.compile(r"""\bcontent\s*=\s*["']([^"']*)["']""", re.I),
+        )
+    tag_re, name_re, content_re = _META_TAG_RE
+    directives: set[str] = set()
+    for m in tag_re.finditer(html or ""):
+        tag = m.group(0)
+        name = name_re.search(tag)
+        if not name or name.group(1).lower() != "robots":
+            continue
+        content = content_re.search(tag)
+        if content:
+            directives |= {
+                t.strip() for t in content.group(1).lower().replace(",", " ").split()}
+    if "none" in directives:          # REP: none == noindex,nofollow
+        return True, True
+    return "noindex" in directives, "nofollow" in directives
+
+
 def process_page(url: str, html: str, *, extraction_schema_json: str | None = None,
                  content_filter: str = "pruning", bm25_query: str | None = None,
                  word_count_threshold: int = 1,
@@ -157,7 +188,8 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
                   excluded_tags: list[str] | None = None,
                   cosine_config: dict | None = None,
                   llm_extraction: dict | None = None,
-                  with_validator: bool = False) -> DataFrame:
+                  with_validator: bool = False,
+                  with_meta_robots: bool = False) -> DataFrame:
     """pages(url, html binary, ...) → results (RESULTS_SCHEMA), one Arrow stage.
 
     ``with_validator`` appends a ``content_md5`` column — the hex md5 of the
@@ -165,16 +197,26 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
     HTTP cache pairs with If-None-Match. Hashed here, inside the Arrow pass
     where the bytes already sit in memory, so storing validators costs no
     extra scan; it matches ``F.md5(html)`` exactly (utf-8 for str columns),
-    which is what the engine's revalidation gate computes JVM-side."""
+    which is what the engine's revalidation gate computes JVM-side.
+
+    ``with_meta_robots`` appends ``noindex``/``nofollow`` booleans parsed
+    from the page's ``<meta name="robots">`` directives (attribute order
+    agnostic, multiple tags OR'd) — the REP content gates the engine's
+    ``respect_meta_robots`` config consumes. Kept OUT of the metadata map
+    so the E2 extraction stays byte-identical to its reference goldens."""
     schema_json = (
         json.dumps(extraction_schema) if isinstance(extraction_schema, dict)
         else extraction_schema
     )
     out_schema = RESULTS_SCHEMA
+    extra_fields = []
     if with_validator:
-        out_schema = T.StructType(
-            list(RESULTS_SCHEMA.fields)
-            + [T.StructField("content_md5", T.StringType())])
+        extra_fields.append(T.StructField("content_md5", T.StringType()))
+    if with_meta_robots:
+        extra_fields += [T.StructField("noindex", T.BooleanType()),
+                         T.StructField("nofollow", T.BooleanType())]
+    if extra_fields:
+        out_schema = T.StructType(list(RESULTS_SCHEMA.fields) + extra_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -205,6 +247,8 @@ def process_pages(pages: DataFrame, *, extraction_schema: dict | str | None = No
                            else bytes(html) if isinstance(html, (bytes, bytearray))
                            else str(html).encode("utf-8", "surrogatepass"))
                     row["content_md5"] = _hl.md5(raw).hexdigest()
+                if with_meta_robots:
+                    row["noindex"], row["nofollow"] = _meta_robots(h)
                 rows.append(row)
             yield pd.DataFrame(rows)
 
