@@ -1180,7 +1180,8 @@ class SparkWebEngine:
     def export_warc(self, out_dir: str, *, pages: DataFrame | None = None,
                     n_buckets: int = 8,
                     date: str = "2026-01-01T00:00:00Z",
-                    results: DataFrame | None = None) -> DataFrame:
+                    results: DataFrame | None = None,
+                    cdx: bool = False) -> DataFrame:
         """S12 write side: archive the crawl's visited set as WARC/1.0
         segments (html/warc.py writer), one segment per host bucket.
 
@@ -1208,7 +1209,13 @@ class SparkWebEngine:
         28500 *revisit* records: the unchanged payload is never
         re-written — only a WARC-Refers-To pointer at the base segment's
         deterministic response id plus the payload digest, which is how
-        Common Crawl dedups unchanged content across monthly snapshots."""
+        Common Crawl dedups unchanged content across monthly snapshots.
+
+        ``cdx=True`` additionally publishes a ``.cdx.jsonl`` index sidecar
+        per segment (urlkey/timestamp/digest + MEASURED byte offset and
+        record length from the framing walk) — the file the CC-index
+        seeder's ``parse_cc_index_blobs`` consumes, closing the publish →
+        re-seed loop against our own read path (tested)."""
         import hashlib as _hl
         import os as _os
 
@@ -1251,6 +1258,13 @@ class SparkWebEngine:
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             _os.replace(tmp, path)   # atomic publish, crash-safe
+            if cdx:
+                from crawl4ai_spark.html.warc import build_cdx, cdx_jsonl
+                idx = cdx_jsonl(build_cdx(blob, _os.path.basename(path)))
+                ipath = path + ".cdx.jsonl"
+                with open(ipath + ".tmp", "w", encoding="utf-8") as fh:
+                    fh.write(idx)
+                _os.replace(ipath + ".tmp", ipath)
             return _pd.DataFrame([{
                 "bucket": bucket, "path": path, "n_records": len(recs),
                 "n_bytes": len(blob),

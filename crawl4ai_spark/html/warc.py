@@ -151,7 +151,9 @@ def build_wat(records: list[dict], *, date: str) -> bytes:
 def parse_warc(data: bytes) -> list[dict]:
     """Walk the Content-Length framing; return one dict per record with
     warc_type, uri, date, and (for responses) status, content_type,
-    payload bytes."""
+    payload bytes. Every record also carries its byte ``offset`` and
+    framed ``length`` (head through trailing CRLFCRLF) — the two fields
+    a CDX index needs so a reader can range-fetch single records."""
     records = []
     pos = 0
     n = len(data)
@@ -159,6 +161,7 @@ def parse_warc(data: bytes) -> list[dict]:
         if data.startswith(CRLF, pos):  # tolerate stray blank lines
             pos += 2
             continue
+        rec_start = pos
         head_end = data.index(b"\r\n\r\n", pos)
         head_lines = data[pos:head_end].decode().split("\r\n")
         if head_lines[0] != WARC_VERSION:
@@ -203,5 +206,66 @@ def parse_warc(data: bytes) -> list[dict]:
             rec["profile"] = headers.get("warc-profile", "")
             rec["payload_digest"] = headers.get("warc-payload-digest", "")
             rec["payload"] = b""
+        rec["offset"] = rec_start
+        rec["length"] = pos - rec_start
         records.append(rec)
     return records
+
+
+# ---------------------------------------------------------------------------
+# CDX index emission — the third leg of the Common-Crawl publishing
+# contract (WARC segments + CDX index over them; the seeder's
+# parse_cc_index_blobs is the matching read side). Reference parity
+# target: async_url_seeder.py consumes exactly these JSONL records.
+# ---------------------------------------------------------------------------
+
+def _urlkey(uri: str) -> str:
+    """SURT url key (``com,example,www)/path?query``) — the CDX sort key
+    that clusters one host's records together."""
+    from urllib.parse import urlparse
+
+    p = urlparse(uri)
+    host = p.netloc.lower().split(":")[0].lstrip(".")
+    key = ",".join(reversed(host.split("."))) + ")" + (p.path or "/")
+    if p.query:
+        key += "?" + p.query
+    return key
+
+
+def build_cdx(blob: bytes, filename: str) -> list[dict]:
+    """Walk a WARC segment's REAL bytes and emit its CDX-JSONL index
+    entries (response records only), sorted by (urlkey, timestamp, url)
+    like a published .cdx.gz shard. ``offset``/``length`` are measured
+    from the framing walk — not recomputed from inputs — so a defect in
+    the writer's Content-Length bookkeeping shows up as a bad offset.
+    Divergence from CC noted: ``digest`` is md5-hex (repo-wide hash
+    discipline) rather than CC's sha1-base32; ``length`` is the
+    uncompressed framed record length (CC stores the gz member length)."""
+    entries = []
+    for r in parse_warc(blob):
+        if r["warc_type"] != "response":
+            continue
+        entries.append({
+            "urlkey": _urlkey(r["uri"]),
+            "timestamp": "".join(c for c in r["date"] if c.isdigit())[:14],
+            "url": r["uri"],
+            "mime": r["content_type"].split(";")[0].strip(),
+            "status": str(r["status"]),
+            "digest": hashlib.md5(r["payload"]).hexdigest(),
+            "length": str(r["length"]),
+            "offset": str(r["offset"]),
+            "filename": filename,
+        })
+    entries.sort(key=lambda e: (e["urlkey"], e["timestamp"], e["url"]))
+    return entries
+
+
+def cdx_jsonl(entries: list[dict]) -> str:
+    """Canonical CDX-JSONL encoding (sorted keys, compact separators) —
+    a pure function of the entries, so an oracle can rebuild each line
+    by string concatenation."""
+    import json
+
+    return "".join(
+        json.dumps(e, sort_keys=True, separators=(",", ":")) + "\n"
+        for e in entries)

@@ -267,9 +267,161 @@ FROM j JOIN n USING (bucket)
 """
 
 
+# ---------------------------------------------------------------------------
+# CDX index emission (the publishing side of the seeder's S5 read path):
+# build REAL WARC segments, walk their bytes for offsets, emit the
+# CDX-JSONL index. The oracle re-derives every byte offset from the
+# writer's framing arithmetic alone — record length is an affine function
+# of len(uri) and len(body) plus the decimal-digit widths of the two
+# Content-Length values — so a single framing defect anywhere in the
+# writer or the offset walk breaks the value-hash match.
+# ---------------------------------------------------------------------------
+
+CDX_HOSTS = 7
+CDX_CT = "text/html; charset=utf-8"
+
+# Framing constants, derived from the writer's templates and
+# self-checked against a real probe archive at import time:
+#   block_len(B)  = HTTP_FIXED + digits(B) + B
+#   rec_len(U, B) = REC_FIXED + U + digits(block_len) + block_len
+from crawl4ai_spark.html.warc import WARC_VERSION as _WV  # noqa: E402
+
+WARCINFO_LEN = len(build_warc([], date=WARC_DATE))
+HTTP_FIXED = len(f"HTTP/1.1 200 OK\r\nContent-Type: {CDX_CT}\r\n"
+                 "Content-Length: \r\n\r\n".encode())
+REC_FIXED = len(
+    (f"{_WV}\r\nWARC-Type: response\r\nWARC-Target-URI: \r\n"
+     f"WARC-Date: {WARC_DATE}\r\n"
+     "WARC-Record-ID: urn:uuid:00000000-0000-0000-0000-000000000000\r\n"
+     "Content-Type: application/http;msgtype=response\r\n"
+     "Content-Length: \r\n\r\n").encode()) + 4  # + record trailer CRLFCRLF
+
+
+def _cdx_rec_len(uri_len: int, body_len: int) -> int:
+    block = HTTP_FIXED + len(str(body_len)) + body_len
+    return REC_FIXED + uri_len + len(str(block)) + block
+
+
+def _cdx_selfcheck() -> None:
+    from crawl4ai_spark.html.warc import parse_warc as _pw
+
+    uri, body = "https://h0.corpus.example/docs/0", b"x" * 123
+    blob = build_warc(
+        [{"uri": uri, "body": body, "status": 200, "content_type": CDX_CT}],
+        date=WARC_DATE)
+    rec = [r for r in _pw(blob) if r["warc_type"] == "response"][0]
+    assert rec["offset"] == WARCINFO_LEN, (rec["offset"], WARCINFO_LEN)
+    assert rec["length"] == _cdx_rec_len(len(uri), len(body)), \
+        (rec["length"], _cdx_rec_len(len(uri), len(body)))
+
+
+_cdx_selfcheck()
+
+
+def q_cdx_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish a CDX-JSONL index over real WARC segments: group docs into
+    WARC_BATCH-record archives under per-doc hosts, write WARC bytes,
+    walk the framing back out with ``build_cdx`` (offsets MEASURED from
+    the byte walk), and explode the index entries — urlkey (SURT),
+    timestamp, mime, digest, measured offset/length, filename, plus the
+    md5 of the canonical JSONL line itself. One shuffle on the bucket id;
+    per-segment work row-local — exactly how CC publishes cdx shards
+    next to its segment files."""
+    import pandas as pd
+
+    from crawl4ai_spark.html.warc import build_cdx, cdx_jsonl
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("bucket", F.expr(f"doc_id div {WARC_BATCH}"))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [{
+            "uri": (f"https://h{doc_id % CDX_HOSTS}.corpus.example"
+                    f"/docs/{doc_id}"),
+            "body": text.encode(),
+            "status": 200,
+            "content_type": CDX_CT,
+        } for doc_id, text in zip(pdf["doc_id"], pdf["text"])]
+        blob = build_warc(recs, date=WARC_DATE)
+        bucket = int(key[0])
+        filename = f"segment-{bucket:05d}.warc"
+        entries = build_cdx(blob, filename)
+        lines = cdx_jsonl(entries).splitlines()
+        out = []
+        for pos, (e, line) in enumerate(zip(entries, lines)):
+            out.append((
+                bucket, pos, e["urlkey"], e["timestamp"], e["url"],
+                e["mime"], int(e["status"]), e["digest"],
+                int(e["length"]), int(e["offset"]), e["filename"],
+                hashlib.md5(line.encode()).hexdigest()))
+        return pd.DataFrame(out, columns=[
+            "bucket", "cdx_pos", "urlkey", "cdx_ts", "url", "mime",
+            "status", "digest", "rec_length", "rec_offset", "filename",
+            "line_md5"])
+
+    return d.groupBy("bucket").applyInPandas(
+        assemble,
+        "bucket long, cdx_pos long, urlkey string, cdx_ts string,"
+        " url string, mime string, status long, digest string,"
+        " rec_length long, rec_offset long, filename string,"
+        " line_md5 string")
+
+
+SQL_CDX_EMIT = f"""
+WITH b AS (
+  SELECT doc_id, doc_id // {WARC_BATCH} AS bucket,
+         'https://h' || (doc_id % {CDX_HOSTS}) || '.corpus.example/docs/'
+           || doc_id AS url,
+         'example,corpus,h' || (doc_id % {CDX_HOSTS}) || ')/docs/'
+           || doc_id AS urlkey,
+         CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+         md5(text) AS digest
+  FROM documents
+),
+r AS (
+  SELECT *, {HTTP_FIXED} + length(CAST(body_len AS VARCHAR)) + body_len
+              AS block_len
+  FROM b
+),
+r2 AS (
+  SELECT *, {REC_FIXED} + length(url)
+              + length(CAST(block_len AS VARCHAR)) + block_len AS rec_length
+  FROM r
+),
+o AS (
+  SELECT *,
+         {WARCINFO_LEN} + COALESCE(SUM(rec_length) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS rec_offset,
+         'segment-' || lpad(CAST(bucket AS VARCHAR), 5, '0') || '.warc'
+           AS filename
+  FROM r2
+),
+p AS (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY bucket ORDER BY urlkey, url) - 1 AS BIGINT)
+            AS cdx_pos
+  FROM o
+)
+SELECT bucket, cdx_pos, urlkey, '20250101000000' AS cdx_ts, url,
+       'text/html' AS mime, CAST(200 AS BIGINT) AS status, digest,
+       rec_length, rec_offset, filename,
+       md5('{{"digest":"' || digest || '","filename":"' || filename
+           || '","length":"' || rec_length || '","mime":"text/html"'
+           || ',"offset":"' || rec_offset || '","status":"200"'
+           || ',"timestamp":"20250101000000","url":"' || url
+           || '","urlkey":"' || urlkey || '"}}') AS line_md5
+FROM p
+"""
+
+
 QUERIES = {"warc_roundtrip": q_warc_roundtrip,
            "wet_roundtrip": q_wet_roundtrip,
-           "wat_roundtrip": q_wat_roundtrip}
+           "wat_roundtrip": q_wat_roundtrip,
+           "cdx_emit": q_cdx_emit}
 ORACLES = {"warc_roundtrip": SQL_WARC_ROUNDTRIP,
            "wet_roundtrip": SQL_WET_ROUNDTRIP,
-           "wat_roundtrip": SQL_WAT_ROUNDTRIP}
+           "wat_roundtrip": SQL_WAT_ROUNDTRIP,
+           "cdx_emit": SQL_CDX_EMIT}
