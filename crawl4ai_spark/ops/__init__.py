@@ -55,6 +55,7 @@ _MODULES = [
     "indexq",
     "shardq",
     "layoutq",
+    "dustq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
