@@ -56,6 +56,7 @@ _MODULES = [
     "shardq",
     "layoutq",
     "dustq",
+    "mixq",
 ]
 
 # Ordered driver surface — exactly the rows the correctness gate attests.
