@@ -305,13 +305,93 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Sitemap reconciliation — the refresh loop between what a host ADVERTISES
+# (sitemap <loc> + <lastmod>, the S6 seeder's output shape) and what the
+# crawl store HOLDS. Four verdicts from one full-outer equi-join on url:
+#   missing  — advertised, never crawled          → schedule
+#   stale    — advertised newer than our fetch    → schedule
+#   fresh    — advertised, our copy is current    → skip
+#   orphaned — crawled, no longer advertised      → candidate for removal
+# This is what turns a one-shot crawler into a continuously-synced one;
+# the reference's binary CacheMode cannot express it. Day-integer
+# timestamps keep both engines bit-exact (no timestamp-parity pain).
+# Scale shape: both sides reduce to (url, day) BEFORE the one equi-join
+# (the snapshot_diff discipline); verdicts are pure expressions.
+# ---------------------------------------------------------------------------
+
+def reconcile_sitemap(advertised: DataFrame, crawled: DataFrame) -> DataFrame:
+    """``advertised``: (url, lastmod_day); ``crawled``: (url, fetch_day).
+    Returns per-url verdicts + ``recrawl`` (the scheduler feed)."""
+    j = advertised.join(crawled, "url", "full_outer")
+    return (j.withColumn("verdict", F.expr(
+                "CASE WHEN fetch_day IS NULL THEN 'missing'"
+                " WHEN lastmod_day IS NULL THEN 'orphaned'"
+                " WHEN lastmod_day > fetch_day THEN 'stale'"
+                " ELSE 'fresh' END"))
+            .withColumn("recrawl",
+                        F.expr("verdict IN ('missing', 'stale')")))
+
+
+def q_sitemap_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engineered advertised/crawled sides from the documents table:
+    doc_id % 7 == 0 withheld from the sitemap (orphans), doc_id % 5 == 0
+    withheld from the crawl (missing), lastmod/fetch days derived by
+    coprime strides so both stale and fresh occur densely."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    url = F.expr("concat('https://s', doc_id % 6, '.example/sm/', doc_id)")
+    advertised = (d.filter(F.expr("doc_id % 7 != 0"))
+                  .select(url.alias("url"),
+                          F.expr("1 + (doc_id * 3) % 28")
+                          .alias("lastmod_day")))
+    crawled = (d.filter(F.expr("doc_id % 5 != 0"))
+               .select(url.alias("url"),
+                       F.expr("1 + (doc_id * 11) % 28").alias("fetch_day")))
+    out = reconcile_sitemap(advertised, crawled)
+    return out.select(
+        "url",
+        F.expr("CAST(lastmod_day AS BIGINT)").alias("lastmod_day"),
+        F.expr("CAST(fetch_day AS BIGINT)").alias("fetch_day"),
+        "verdict", "recrawl")
+
+
+SQL_SITEMAP_RECONCILE = """
+WITH adv AS (
+  SELECT 'https://s' || (doc_id % 6) || '.example/sm/' || doc_id AS url,
+         CAST(1 + (doc_id * 3) % 28 AS BIGINT) AS lastmod_day
+  FROM documents WHERE doc_id % 7 <> 0
+),
+cr AS (
+  SELECT 'https://s' || (doc_id % 6) || '.example/sm/' || doc_id AS url,
+         CAST(1 + (doc_id * 11) % 28 AS BIGINT) AS fetch_day
+  FROM documents WHERE doc_id % 5 <> 0
+),
+j AS (
+  SELECT COALESCE(adv.url, cr.url) AS url, adv.lastmod_day, cr.fetch_day
+  FROM adv FULL OUTER JOIN cr ON adv.url = cr.url
+)
+SELECT url, lastmod_day, fetch_day,
+       CASE WHEN fetch_day IS NULL THEN 'missing'
+            WHEN lastmod_day IS NULL THEN 'orphaned'
+            WHEN lastmod_day > fetch_day THEN 'stale'
+            ELSE 'fresh' END AS verdict,
+       (CASE WHEN fetch_day IS NULL THEN 'missing'
+             WHEN lastmod_day IS NULL THEN 'orphaned'
+             WHEN lastmod_day > fetch_day THEN 'stale'
+             ELSE 'fresh' END) IN ('missing', 'stale') AS recrawl
+FROM j
+"""
+
+
 QUERIES = {
     "refresh_schedule": q_refresh_schedule,
     "snapshot_diff": q_snapshot_diff,
     "revisit_economics": q_revisit_economics,
+    "sitemap_reconcile": q_sitemap_reconcile,
 }
 ORACLES = {
     "refresh_schedule": SQL_REFRESH_SCHEDULE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "revisit_economics": SQL_REVISIT_ECONOMICS,
+    "sitemap_reconcile": SQL_SITEMAP_RECONCILE,
 }
