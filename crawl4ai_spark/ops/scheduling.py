@@ -523,6 +523,112 @@ FROM r WHERE rk <= 5
 """
 
 
+# ------------------------------------------------------- AIMD rate control
+# Adaptive per-host crawl-delay from observed fetch outcomes — the TCP
+# congestion-control discipline (additive-increase / multiplicative-
+# decrease) applied to politeness: a success raises the host's request
+# rate by AIMD_A, a failure (429/503/timeout) halves it. The reference's
+# dispatcher has a FIXED delay + backoff quota (async_dispatcher.py:28-85,
+# covered by politeness_backoff); AIMD is the feedback controller a
+# 10^10-URL fleet runs so each host converges to its real capacity.
+#
+# Exactness scheme (what makes this a WINDOW instead of a sequential
+# fold): flooring is DEFERRED to evaluation. With F_t = #failures among
+# the host's first t observations and S_t = sum over successful i<=t of
+# 2^{F_i}, the controller state is exactly
+#     rate_t = clamp((AIMD_R0 + AIMD_A * S_t) div 2^{F_t})
+# — the halvings distribute over the increments, so both cumulants are
+# plain prefix sums. F is bounded by AIMD_MAXV (first 16 observations per
+# host), so 2^F and S fit comfortably in BIGINT and both engines agree
+# bit-for-bit. Scale shape: ONE host-keyed shuffle feeding three windows
+# on the same partitioning (rank gate, F cumsum, S cumsum); no join, no
+# python — at 10^10 observations this is the identical plan.
+
+# 2-nibble md5 draw shared VERBATIM by both engines (the _HEX10 pattern)
+_HEX2 = ("(CAST(instr('0123456789abcdef', substring({h}, 1, 1)) - 1"
+         " AS BIGINT) * 16"
+         " + CAST(instr('0123456789abcdef', substring({h}, 2, 1)) - 1"
+         " AS BIGINT))")
+
+AIMD_R0 = 8_000       # initial rate (milli-requests/s)
+AIMD_A = 1_000        # additive increase per success
+AIMD_MIN = 500        # clamp floor (never fully starve a host)
+AIMD_MAX = 64_000     # clamp ceiling (politeness upper bound)
+AIMD_MAXV = 16        # observations folded per host (bounds 2^F)
+
+
+def q_politeness_aimd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    host = F.expr("user_id % 40")
+    # deterministic 25%-failure outcome draw from the event id
+    fail = F.expr(
+        _HEX2.format(h="md5(CAST(event_id AS STRING))") + " < 64")
+    d = ev.select(F.col("event_id"), host.alias("host_id"),
+                  fail.cast("int").alias("fail"))
+    w = Window.partitionBy("host_id").orderBy("event_id")
+    d = (d.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= AIMD_MAXV)
+          .withColumn("f_cum", F.sum("fail").over(w))
+          .withColumn("s_term", F.expr(
+              "CASE WHEN fail = 1 THEN CAST(0 AS BIGINT)"
+              " ELSE shiftleft(CAST(1 AS BIGINT), f_cum) END"))
+          .withColumn("s_cum", F.sum("s_term").over(w))
+          .withColumn("rate", F.expr(
+              f"greatest(CAST({AIMD_MIN} AS BIGINT),"
+              f" least(CAST({AIMD_MAX} AS BIGINT),"
+              f" ({AIMD_R0} + {AIMD_A} * s_cum)"
+              " div shiftleft(CAST(1 AS BIGINT), f_cum)))")))
+    return d.select(
+        F.expr("CAST(host_id AS BIGINT)").alias("host_id"),
+        F.expr("CAST(event_id AS BIGINT)").alias("event_id"),
+        F.expr("CAST(rn AS BIGINT)").alias("visit"),
+        F.expr("CAST(fail AS BIGINT)").alias("fail"),
+        F.expr("CAST(f_cum AS BIGINT)").alias("n_failures"),
+        "rate",
+        F.expr("CAST(1000000 div greatest(rate, 1) AS BIGINT)")
+        .alias("delay_ms"))
+
+
+SQL_POLITENESS_AIMD = f"""
+WITH d AS (
+  SELECT event_id, user_id % 40 AS host_id,
+         CASE WHEN {_HEX2.format(h="md5(CAST(event_id AS VARCHAR))")} < 64
+              THEN 1 ELSE 0 END AS fail
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY host_id ORDER BY event_id)
+            AS rn
+  FROM d
+),
+c AS (
+  SELECT *,
+         sum(fail) OVER (PARTITION BY host_id ORDER BY event_id) AS f_cum
+  FROM r WHERE rn <= {AIMD_MAXV}
+),
+s AS (
+  SELECT *,
+         sum(CASE WHEN fail = 1 THEN CAST(0 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT) << f_cum) END)
+           OVER (PARTITION BY host_id ORDER BY event_id) AS s_cum
+  FROM c
+),
+f AS (
+  SELECT *, greatest(CAST({AIMD_MIN} AS BIGINT),
+                     least(CAST({AIMD_MAX} AS BIGINT),
+                           ({AIMD_R0} + {AIMD_A} * s_cum)
+                             // (CAST(1 AS BIGINT) << f_cum))) AS rate
+  FROM s
+)
+SELECT CAST(host_id AS BIGINT) AS host_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(rn AS BIGINT) AS visit, CAST(fail AS BIGINT) AS fail,
+       CAST(f_cum AS BIGINT) AS n_failures, rate,
+       CAST(1000000 // greatest(rate, 1) AS BIGINT) AS delay_ms
+FROM f
+"""
+
+
 QUERIES = {
     "url_normalize": q_url_normalize,
     "url_canonical_groups": q_url_canonical_groups,
@@ -535,6 +641,7 @@ QUERIES = {
     "url_seen_antijoin": q_url_seen_antijoin,
     "bfs_reachability": q_bfs_reachability,
     "dispatch_priority": q_dispatch_priority,
+    "politeness_aimd": q_politeness_aimd,
 }
 ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
@@ -548,4 +655,5 @@ ORACLES = {
     "url_seen_antijoin": SQL_URL_SEEN_ANTIJOIN,
     "bfs_reachability": SQL_BFS_REACHABILITY,
     "dispatch_priority": SQL_DISPATCH_PRIORITY,
+    "politeness_aimd": SQL_POLITENESS_AIMD,
 }
