@@ -140,11 +140,102 @@ FROM gaps GROUP BY tok, df
 """
 
 
+# ------------------------------------------------------- block-max metadata
+# Block-Max WAND index structure (Ding & Suel, SIGIR 2011): per-term
+# postings are cut into fixed-size blocks and each block stores the MAX
+# score any of its postings can contribute — the skip structure that lets
+# a top-k query jump whole blocks whose ceiling cannot beat the current
+# threshold. We store the max of BM25's TF-NORMALIZATION component
+#     tfn = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# because the term's idf is a per-term CONSTANT — applying it at query
+# time keeps the stored ceilings exact without any ln in either engine.
+# With k1 = 6/5, b = 3/4 the fraction clears to a single exact integer
+# division (multiply through by 20 * total_tokens):
+#     tfn_e6 = 44*tf*T*1e6 div (20*tf*T + 6*T + 18*dl*N)
+# where T = total corpus tokens, N = corpus docs (avgdl = T/N never
+# materializes as a float).
+# Scale shape: one (tok,doc) partial-agg for tf, one doc-keyed dl agg,
+# scalars on a 1-row broadcast, ONE term-partitioned window for block
+# numbering, one (tok,block) aggregate — the standard index-build plan.
+
+BLOCK = 64
+
+
+def q_index_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _postoks(spark, sf_dir)
+    tf = toks.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    scal = toks.agg(F.count("*").cast("long").alias("t_tot"),
+                    F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    post = (tf.join(dl, "doc_id").join(F.broadcast(scal))
+            .withColumn("tfn_e6", F.expr(
+                "44 * tf * t_tot * 1000000 div"
+                " (20 * tf * t_tot + 6 * t_tot + 18 * dl * n_docs)")))
+    blocks = (post
+              .withColumn("blk", F.expr(
+                  f"(row_number() OVER (PARTITION BY tok ORDER BY doc_id)"
+                  f" - 1) div {BLOCK}"))
+              .groupBy("tok", "blk")
+              .agg(F.max("tfn_e6").alias("block_max_tfn_e6"),
+                   F.count("*").cast("long").alias("n_postings"),
+                   F.min("doc_id").alias("doc_lo"),
+                   F.max("doc_id").alias("doc_hi")))
+    wt = Window.partitionBy("tok")
+    return (blocks
+            .withColumn("term_max_tfn_e6",
+                        F.max("block_max_tfn_e6").over(wt))
+            .select("tok", F.col("blk").cast("long").alias("blk"),
+                    "block_max_tfn_e6", "n_postings", "doc_lo", "doc_hi",
+                    "term_max_tfn_e6"))
+
+
+SQL_INDEX_BLOCKMAX = f"""
+WITH toks AS ({_SQL_POSTOKS}),
+tf AS (
+  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY tok, doc_id
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_tot,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM toks
+),
+post AS (
+  SELECT tf.tok, tf.doc_id,
+         44 * tf.tf * s.t_tot * 1000000
+           // (20 * tf.tf * s.t_tot + 6 * s.t_tot + 18 * dl.dl * s.n_docs)
+           AS tfn_e6
+  FROM tf JOIN dl USING (doc_id), scal s
+),
+nb AS (
+  SELECT *, (row_number() OVER (PARTITION BY tok ORDER BY doc_id) - 1)
+              // {BLOCK} AS blk
+  FROM post
+),
+b AS (
+  SELECT tok, CAST(blk AS BIGINT) AS blk,
+         max(tfn_e6) AS block_max_tfn_e6,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+  FROM nb GROUP BY tok, blk
+)
+SELECT tok, blk, block_max_tfn_e6, n_postings, doc_lo, doc_hi,
+       max(block_max_tfn_e6) OVER (PARTITION BY tok) AS term_max_tfn_e6
+FROM b
+"""
+
+
 QUERIES = {
     "index_phrase_match": q_index_phrase_match,
     "index_postings_size": q_index_postings_size,
+    "index_blockmax": q_index_blockmax,
 }
 ORACLES = {
     "index_phrase_match": SQL_INDEX_PHRASE_MATCH,
     "index_postings_size": SQL_INDEX_POSTINGS_SIZE,
+    "index_blockmax": SQL_INDEX_BLOCKMAX,
 }
