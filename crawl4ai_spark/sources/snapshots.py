@@ -166,6 +166,46 @@ class SnapshotStore:
             return 0
         return len(self._read_manifest(table, sid)["dirs"])
 
+    def expire_snapshots(self, table: str, *, keep_last: int = 2,
+                         protect: set[int] | None = None) -> list[int]:
+        """Retention: drop the manifests of all but the most recent
+        ``keep_last`` snapshots (the Iceberg ``expire_snapshots`` analog —
+        completes the maintenance trilogy with :meth:`compact` and
+        :meth:`vacuum`). Data files are NOT touched here: a file referenced
+        by any retained snapshot must survive, and unreferenced files are
+        reclaimed separately by :meth:`vacuum` — the same split Iceberg
+        makes, so a crash between the two steps only leaves harmless
+        orphans, never a broken reader. ``protect`` pins extra snapshot ids
+        (e.g. a tagged release). Returns the expired ids."""
+        ids = self.snapshot_ids(table)
+        keep = set(ids[-max(keep_last, 1):]) | (protect or set())
+        expired = [sid for sid in ids if sid not in keep]
+        for sid in expired:
+            os.remove(self._manifest_path(table, sid))
+        return expired
+
+    def vacuum(self, table: str) -> list[str]:
+        """Garbage-collect data dirs referenced by NO remaining manifest —
+        reclaims expired snapshots' exclusive files plus orphans from
+        ``drop_latest`` rollbacks and crashed commits. Safe by
+        construction: a dir with no manifest reference is invisible to
+        every reader. Returns the removed dirs."""
+        import shutil
+
+        data_root = os.path.join(self._tdir(table), "data")
+        if not os.path.isdir(data_root):
+            return []
+        live: set[str] = set()
+        for sid in self.snapshot_ids(table):
+            live.update(os.path.basename(d)
+                        for d in self._read_manifest(table, sid)["dirs"])
+        removed = []
+        for name in sorted(os.listdir(data_root)):
+            if name not in live:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(os.path.join(data_root, name))
+        return removed
+
     def amend_meta(self, table: str, snapshot_id: int, extra: dict) -> None:
         """Merge extra keys into an existing snapshot's meta (driver-side
         bookkeeping discovered during/after the write, e.g. observed row

@@ -85,3 +85,86 @@ def test_drop_latest_rolls_back_one_snapshot(spark, store):
     assert int(store.meta("t")["generation"]) == 0
     assert store.read(spark, "t").count() == 2
     assert store.drop_latest("missing") is None
+
+
+def test_expire_snapshots_retention(spark, store):
+    for k in range(5):
+        store.commit("t", spark.range(k, k + 3).select("id"),
+                     mode="append")
+    assert store.snapshot_ids("t") == [0, 1, 2, 3, 4]
+    rows_latest = {r.id for r in store.read(spark, "t").collect()}
+
+    expired = store.expire_snapshots("t", keep_last=2, protect={0})
+    assert expired == [1, 2]
+    assert store.snapshot_ids("t") == [0, 3, 4]
+    # latest snapshot unchanged; time travel to retained ids still works
+    assert {r.id for r in store.read(spark, "t").collect()} == rows_latest
+    assert store.read(spark, "t", snapshot_id=0).count() == 3
+    # expired ids are gone cleanly
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, "t", snapshot_id=2)
+
+
+def test_vacuum_reclaims_only_unreferenced_dirs(spark, store):
+    for k in range(4):
+        store.commit("t", spark.range(k, k + 2).select("id"),
+                     mode="append")
+    data_root = os.path.join(store._tdir("t"), "data")
+    assert len(os.listdir(data_root)) == 4
+
+    # nothing unreferenced yet — vacuum is a no-op
+    assert store.vacuum("t") == []
+
+    # append history: snapshot 3 references ALL four dirs, so expiring
+    # 0..2 frees nothing until compaction rewrites the live snapshot
+    store.expire_snapshots("t", keep_last=1)
+    assert store.vacuum("t") == []
+    rows = {r.id for r in store.read(spark, "t").collect()}
+
+    store.compact(spark, "t")            # rewrite live rows into one dir
+    store.expire_snapshots("t", keep_last=1)
+    removed = store.vacuum("t")
+    assert len(removed) == 4             # the four pre-compaction dirs
+    assert len(os.listdir(data_root)) == 1
+    assert {r.id for r in store.read(spark, "t").collect()} == rows
+
+
+def test_vacuum_reclaims_drop_latest_orphans(spark, store):
+    store.commit("t", spark.range(3).select("id"))
+    store.commit("t", spark.range(9).select("id"), mode="overwrite")
+    store.drop_latest("t")               # rollback leaves dir 1 orphaned
+    removed = store.vacuum("t")
+    assert len(removed) == 1
+    assert store.read(spark, "t").count() == 3
+
+
+def test_maintenance_trilogy_preserves_engine_resume(spark, tmp_path):
+    """compact -> expire -> vacuum on a real crawl store must leave the
+    latest checkpoint resumable with an identical result set."""
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+    from crawl4ai_spark.sources.pagesgen import (
+        generate_pages,
+        generate_seeds,
+    )
+
+    pages = generate_pages(spark, 2, 8)
+    seeds = generate_seeds(spark, 2)
+    eng = SparkWebEngine(spark, str(tmp_path / "s1"))
+    eng.run(pages, seeds, config=CrawlConfig(max_depth=2, max_pages=30))
+    before = {(r.url, r.status_code) for r in
+              eng.results().select("url", "status_code").collect()}
+
+    st = eng.store
+    for table in ("results", "frontier"):
+        if st.latest_id(table) is None:
+            continue
+        st.compact(spark, table)
+        st.expire_snapshots(table, keep_last=1)
+        st.vacuum(table)
+
+    eng2 = SparkWebEngine(spark, str(tmp_path / "s1"))
+    eng2.run(pages, seeds, config=CrawlConfig(max_depth=2, max_pages=30),
+             resume=True)
+    after = {(r.url, r.status_code) for r in
+             eng2.results().select("url", "status_code").collect()}
+    assert after == before and before
