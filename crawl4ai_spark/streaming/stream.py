@@ -651,3 +651,31 @@ def run_revalidate_stream(spark: SparkSession, pages_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+def stream_sitemap_reconcile(spark: SparkSession, sitemap_dir: str,
+                             crawled: DataFrame) -> DataFrame:
+    """Streaming half of sitemap reconciliation (ops/refreshq.py
+    reconcile_sitemap): advertised (url, lastmod_day) entries ARRIVE as
+    a stream — a fleet tailing thousands of hosts' sitemaps — and each
+    is verdicted against the STATIC crawl store: missing / stale /
+    fresh, plus the ``recrawl`` scheduler bit. Stream-static left join,
+    stateless, so per-row verdicts depend only on the row + the store
+    and the streamed verdict set is row-identical to the batch
+    reconcile restricted to advertised rows (tested). ``orphaned`` is a
+    property of the static side alone (crawled urls ABSENT from the
+    advertised set) — it cannot be decided row-locally on a stream and
+    stays a batch verdict by design."""
+    adv = (
+        spark.readStream
+        .schema("url string, lastmod_day int")
+        .parquet(sitemap_dir)
+    )
+    cr = crawled.select("url", "fetch_day").dropDuplicates(["url"])
+    return (adv.join(cr, "url", "left")
+            .withColumn("verdict", F.expr(
+                "CASE WHEN fetch_day IS NULL THEN 'missing'"
+                " WHEN lastmod_day > fetch_day THEN 'stale'"
+                " ELSE 'fresh' END"))
+            .withColumn("recrawl",
+                        F.expr("verdict IN ('missing', 'stale')")))

@@ -85,3 +85,41 @@ def test_stale_detection_drives_revisit(spark):
         "u3": ("missing", True),    # never crawled
         "u4": ("orphaned", False),  # gone from the sitemap
     }
+
+
+def test_stream_reconcile_matches_batch(spark, tmp_path):
+    """Streamed advertised entries across >=2 micro-batch files produce
+    verdicts row-identical to the batch reconcile's advertised rows."""
+    from crawl4ai_spark.ops.refreshq import q_sitemap_reconcile
+    from crawl4ai_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_sitemap_reconcile,
+    )
+
+    # reuse the oracled synthesis: advertised/crawled sides of the query
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    url = F.expr("concat('https://s', doc_id % 6, '.example/sm/', doc_id)")
+    advertised = (d.filter("doc_id % 7 != 0")
+                  .select(url.alias("url"),
+                          F.expr("CAST(1 + (doc_id * 3) % 28 AS INT)")
+                          .alias("lastmod_day")))
+    crawled = (d.filter("doc_id % 5 != 0")
+               .select(url.alias("url"),
+                       F.expr("1 + (doc_id * 11) % 28").alias("fetch_day")))
+
+    adv_dir = tmp_path / "adv"
+    a, b = advertised.filter("lastmod_day % 2 = 0"), \
+        advertised.filter("lastmod_day % 2 = 1")
+    a.write.parquet(str(adv_dir / "b0"))
+    b.write.parquet(str(adv_dir / "b1"))
+
+    out = stream_sitemap_reconcile(
+        spark, str(adv_dir / "*" / "*.parquet"), crawled)
+    run_stream_to_memory(out, "stream_reconcile_t")
+    got = {(r.url, r.verdict, r.recrawl) for r in
+           spark.sql("SELECT url, verdict, recrawl"
+                     " FROM stream_reconcile_t").collect()}
+    want = {(r.url, r.verdict, r.recrawl) for r in
+            q_sitemap_reconcile(spark, SF).collect()
+            if r.verdict != "orphaned"}
+    assert got == want and got
