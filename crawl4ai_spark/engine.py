@@ -56,6 +56,13 @@ class CrawlConfig:
     # fail-open, exactly like the reference's expired-cache refetch path
     # degraded to a table-only world. None disables the cutoff.
     robots_ttl_s: int | None = None
+    # REP Crawl-delay (operators/politeness.py crawl_delay_table): when
+    # true, a host's advertised delay becomes a per-generation quota —
+    # clamp(crawl_delay_window_s div delay, 1, per_host_quota) — merged
+    # (min) with the 429/503 backoff quota. Off by default: the default
+    # path stays byte-identical.
+    respect_crawl_delay: bool = False
+    crawl_delay_window_s: int = 20
     user_agent: str = "*"
     use_bloom: bool = False            # F5 fast path (exact anti-join is default)
     seen_backend: str = "bloom"        # "bloom" | "cuckoo" (cuckoo: deletable)
@@ -640,6 +647,31 @@ class SparkWebEngine:
                 F.expr(f"greatest(1, shiftright({cfg.per_host_quota}, "
                        "cast(least(fail_count, 3) as int)))").alias("quota"),
             )
+        if cfg.respect_crawl_delay and robots is not None:
+            # Crawl-delay quota: parsed ONCE per run (the robots dim is
+            # constant across generations) and collected — a bounded
+            # #hosts-row dim-table read, then broadcast each generation
+            cd = getattr(self, "_cd_quota", None)
+            if cd is None:
+                rows = (POL.crawl_delay_table(
+                            robots, user_agent=cfg.user_agent,
+                            window_s=cfg.crawl_delay_window_s,
+                            default_quota=cfg.per_host_quota)
+                        .filter(F.col("quota") < cfg.per_host_quota)
+                        .select("host", "quota").collect())
+                cd = (self.spark.createDataFrame(
+                          rows, "host string, quota long")
+                      if rows else False)
+                self._cd_quota = cd
+            if cd is not False:
+                if host_quota is None:
+                    host_quota = cd
+                else:
+                    # a host under BOTH backoff and Crawl-delay gets the
+                    # stricter budget
+                    host_quota = (host_quota.unionByName(cd)
+                                  .groupBy("host")
+                                  .agg(F.min("quota").alias("quota")))
         # F13 fairness/aging (async_dispatcher.py:217-226) as a column in
         # the scheduling rank — starved URLs jump the queue, retried URLs
         # are demoted — instead of the reference's drain-and-reheap of the

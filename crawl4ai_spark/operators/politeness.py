@@ -217,6 +217,51 @@ def compile_robots_rules(robots: DataFrame, *, user_agent: str = "*",
                  .mapInPandas(compile_batch, RULES_SCHEMA)
 
 
+def crawl_delay_table(robots: DataFrame, *,
+                      user_agent: str = "crawl4ai-spark",
+                      window_s: int = 20, default_quota: int = 10,
+                      host_col: str = "host") -> DataFrame:
+    """REP ``Crawl-delay`` directive → per-generation host quota. One
+    Arrow pass over the robots dim (runs ONCE per crawl, like
+    compile_robots_rules): stdlib robotparser resolves each host's delay
+    for ``user_agent`` with exact UA-group semantics (a specific
+    ``User-agent: <token>`` group overrides ``*``; malformed values are
+    ignored), then the delay becomes a scheduling budget —
+    ``quota = clamp(window_s div delay, 1, default_quota)`` — so a
+    host asking for 10 s between requests gets at most window_s/10
+    fetches per generation window. Hosts without the directive emit
+    delay NULL / the default quota (the scheduler's left-join keeps them
+    unconstrained). Returns (host, crawl_delay, quota)."""
+
+    def one(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        agent_token = user_agent.split("/")[0].lower()
+        for pdf in batches:
+            rows = []
+            for host, rules in zip(pdf[host_col], pdf["rules"]):
+                if rules is None or (isinstance(rules, float)
+                                     and pd.isna(rules)):
+                    continue
+                rp = urllib.robotparser.RobotFileParser()
+                try:
+                    rp.parse(str(rules).splitlines())
+                    delay = rp.crawl_delay(agent_token)
+                except Exception:
+                    delay = None
+                if delay is None:
+                    rows.append((host, None, default_quota))
+                else:
+                    delay = int(delay)
+                    quota = max(1, min(default_quota,
+                                       window_s // max(delay, 1)))
+                    rows.append((host, delay, quota))
+            yield pd.DataFrame(
+                rows, columns=["host", "crawl_delay", "quota"])
+
+    return robots.select(F.col(host_col).alias("host"), "rules") \
+                 .mapInPandas(one,
+                              "host string, crawl_delay long, quota long")
+
+
 # printable-ASCII chars urllib.parse.quote(safe='/') percent-encodes,
 # except '%' itself (%-bearing URLs are outside the native parity domain
 # and route to the robotparser fill). Replacements only introduce

@@ -629,6 +629,70 @@ FROM f
 """
 
 
+# ------------------------------------------------------ Crawl-delay parse
+# REP Crawl-delay → scheduling quota (operators/politeness.py
+# crawl_delay_table): construction-derived oracle — the synthesis
+# controls which robots UA group applies, so the oracle recomputes the
+# expected delay from the construction while the Spark side parses the
+# REAL robots bodies through stdlib robotparser. Four classes per host:
+# plain * delay; * delay behind a non-matching specific group; no
+# directive (NULL → default quota); OUR specific group overriding *.
+
+CD_HOSTS = 60
+CD_WINDOW_S = 20
+CD_DEFAULT_QUOTA = 10
+CD_AGENT = "crawl4ai-spark"
+
+
+def _cd_robots_body(h: int) -> str:
+    if h % 4 == 0:
+        return (f"User-agent: *\nCrawl-delay: {1 + h % 7}\n"
+                "Disallow: /private\n")
+    if h % 4 == 1:
+        return ("User-agent: otherbot\nCrawl-delay: 99\n\n"
+                f"User-agent: *\nCrawl-delay: {2 + h % 5}\n")
+    if h % 4 == 2:
+        return "User-agent: *\nDisallow: /x\n"
+    return (f"User-agent: {CD_AGENT}\nCrawl-delay: {1 + h % 3}\n\n"
+            "User-agent: *\nCrawl-delay: 77\n")
+
+
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.operators.politeness import crawl_delay_table
+
+    hosts = (tbl(spark, sf_dir, "documents")
+             .select(F.expr(f"doc_id % {CD_HOSTS}").alias("h")).distinct())
+    body = F.udf(_cd_robots_body, "string")  # synthesis only, #hosts rows
+    robots = hosts.select(
+        F.expr("concat('cd', h, '.example')").alias("host"),
+        body(F.col("h")).alias("rules"))
+    out = crawl_delay_table(robots, user_agent=CD_AGENT,
+                            window_s=CD_WINDOW_S,
+                            default_quota=CD_DEFAULT_QUOTA)
+    return out.select("host", "crawl_delay", "quota")
+
+
+SQL_ROBOTS_CRAWL_DELAY = f"""
+WITH h AS (
+  SELECT DISTINCT doc_id % {CD_HOSTS} AS h FROM documents
+),
+d AS (
+  SELECT 'cd' || h || '.example' AS host,
+         CASE WHEN h % 4 = 0 THEN 1 + h % 7
+              WHEN h % 4 = 1 THEN 2 + h % 5
+              WHEN h % 4 = 3 THEN 1 + h % 3
+              ELSE NULL END AS crawl_delay
+  FROM h
+)
+SELECT host, CAST(crawl_delay AS BIGINT) AS crawl_delay,
+       CAST(CASE WHEN crawl_delay IS NULL THEN {CD_DEFAULT_QUOTA}
+            ELSE greatest(1, least({CD_DEFAULT_QUOTA},
+                                   {CD_WINDOW_S} // crawl_delay)) END
+            AS BIGINT) AS quota
+FROM d
+"""
+
+
 QUERIES = {
     "url_normalize": q_url_normalize,
     "url_canonical_groups": q_url_canonical_groups,
@@ -642,6 +706,7 @@ QUERIES = {
     "bfs_reachability": q_bfs_reachability,
     "dispatch_priority": q_dispatch_priority,
     "politeness_aimd": q_politeness_aimd,
+    "robots_crawl_delay": q_robots_crawl_delay,
 }
 ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
@@ -656,4 +721,5 @@ ORACLES = {
     "bfs_reachability": SQL_BFS_REACHABILITY,
     "dispatch_priority": SQL_DISPATCH_PRIORITY,
     "politeness_aimd": SQL_POLITENESS_AIMD,
+    "robots_crawl_delay": SQL_ROBOTS_CRAWL_DELAY,
 }
