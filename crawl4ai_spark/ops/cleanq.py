@@ -289,15 +289,147 @@ GROUP BY g.keep, q.keep
 """
 
 
+# ---------------------------------------------------------------- C4 rules
+# C4 heuristic cleaning (Raffel et al. 2020, §2.2 — the canonical webtext
+# baseline next to the Gopher gate in ops/pipelineq.py): line-level, keep
+# only lines that end in terminal punctuation, have enough words, and do
+# not carry the "javascript" boilerplate token; document-level, drop any
+# page containing "lorem ipsum" or "{" and any page with fewer than
+# C4_MIN_SENTS surviving sentences. The synthetic corpus is a bare token
+# stream, so sentence structure and hazards are INJECTED deterministically
+# per (doc, line) from md5 draws (the pii_redact inject-then-filter
+# convention) — the machinery under test is the filter, and every rule
+# fires on a known construction-derived subset. Thresholds adapted to the
+# 6-word synthetic lines (C4 uses >=5 words on natural text).
+# Scale shape: one bounded explode + per-row expressions + one doc-keyed
+# aggregate — no join, no window, no python.
+
+C4_LINE_W = 6
+C4_MIN_WORDS = 4
+C4_MIN_SENTS = 3
+
+_C4H2 = ("(CAST(instr('0123456789abcdef', substring({h}, {a}, 1)) - 1"
+         " AS BIGINT) * 16"
+         " + CAST(instr('0123456789abcdef', substring({h}, {b}, 1)) - 1"
+         " AS BIGINT))")
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    md = "md5(concat(CAST(doc_id AS STRING), ':', CAST(ln AS STRING)))"
+    t2 = _C4H2.format(h=md, a=1, b=2)
+    j2 = _C4H2.format(h=md, a=3, b=4)
+    lines = (
+        d.select("doc_id", F.expr("split(text, ' ')").alias("tk"))
+        .select("doc_id", "tk", F.explode(F.expr(
+            f"sequence(CAST(0 AS BIGINT),"
+            f" (size(tk) - 1) div {C4_LINE_W})")).alias("ln"))
+        .withColumn("line0", F.expr(
+            f"array_join(slice(tk, CAST(ln * {C4_LINE_W} + 1 AS INT),"
+            f" {C4_LINE_W}), ' ')"))
+        .withColumn("line1", F.expr(
+            "CASE WHEN doc_id % 97 = 0 AND ln = 0"
+            " THEN concat(line0, ' lorem ipsum')"
+            " WHEN doc_id % 89 = 0 AND ln = 1"
+            " THEN concat(line0, ' {') ELSE line0 END"))
+        .withColumn("line2", F.expr(
+            f"CASE WHEN {j2} < 8 THEN concat(line1, ' javascript')"
+            " ELSE line1 END"))
+        .withColumn("line", F.expr(
+            f"concat(line2, CASE WHEN {t2} < 154 THEN '.'"
+            f" WHEN {t2} < 180 THEN '?' ELSE '' END)"))
+        .withColumn("kept", F.expr(
+            f"line rlike '[.?]$' AND size(split(line, ' '))"
+            f" >= {C4_MIN_WORDS} AND NOT line LIKE '%javascript%'"))
+    )
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_lines"),
+             F.sum(F.expr("CAST(kept AS INT)")).cast("long")
+             .alias("n_kept"),
+             F.expr("bool_or(line LIKE '%lorem ipsum%')").alias("has_lorem"),
+             F.expr("bool_or(line LIKE '%{%')").alias("has_brace"),
+             F.expr("array_join(transform(array_sort(collect_list("
+                    "CASE WHEN kept THEN struct(ln, line) END)),"
+                    " x -> x.line), ' ')").alias("clean_text"))
+        .withColumn("keep", F.expr(
+            f"NOT has_lorem AND NOT has_brace AND n_kept >= {C4_MIN_SENTS}"))
+        .select("doc_id", "n_lines", "n_kept", "has_lorem", "has_brace",
+                "keep", F.expr("md5(clean_text)").alias("clean_md5"))
+    )
+
+
+def _c4_sql() -> str:
+    md = "md5(doc_id || ':' || ln)"
+    t2 = _C4H2.format(h=md, a=1, b=2)
+    j2 = _C4H2.format(h=md, a=3, b=4)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+l0 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ln,
+         array_to_string(
+           list_slice(tk, CAST(i * {C4_LINE_W} + 1 AS BIGINT),
+                      CAST((i + 1) * {C4_LINE_W} AS BIGINT)), ' ') AS line0
+  FROM toks, unnest(range((len(tk) - 1) // {C4_LINE_W} + 1)) p(i)
+),
+l1 AS (
+  SELECT doc_id, ln,
+         CASE WHEN doc_id % 97 = 0 AND ln = 0
+              THEN line0 || ' lorem ipsum'
+              WHEN doc_id % 89 = 0 AND ln = 1
+              THEN line0 || ' {{' ELSE line0 END AS line1
+  FROM l0
+),
+l2 AS (
+  SELECT doc_id, ln,
+         CASE WHEN {j2} < 8 THEN line1 || ' javascript'
+              ELSE line1 END AS line2
+  FROM l1
+),
+l3 AS (
+  SELECT doc_id, ln,
+         line2 || CASE WHEN {t2} < 154 THEN '.'
+                       WHEN {t2} < 180 THEN '?' ELSE '' END AS line
+  FROM l2
+),
+k AS (
+  SELECT *, regexp_matches(line, '[.?]$')
+            AND len(string_split(line, ' ')) >= {C4_MIN_WORDS}
+            AND line NOT LIKE '%javascript%' AS kept
+  FROM l3
+),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         bool_or(line LIKE '%lorem ipsum%') AS has_lorem,
+         bool_or(line LIKE '%{{%') AS has_brace,
+         array_to_string(
+           apply(list_sort(list({{'ln': ln, 'line': line}})
+                             FILTER (WHERE kept)),
+                 x -> x.line), ' ') AS clean_text
+  FROM k GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND n_kept >= {C4_MIN_SENTS})
+         AS keep,
+       md5(coalesce(clean_text, '')) AS clean_md5
+FROM a
+"""
+
+
 QUERIES = {
     "dedup_lines": q_dedup_lines,
     "clean_dup_lines": q_clean_dup_lines,
     "pii_redact": q_pii_redact,
     "corpus_clean_card": q_corpus_clean_card,
+    "c4_clean": q_c4_clean,
 }
 ORACLES = {
     "dedup_lines": SQL_DEDUP_LINES,
     "clean_dup_lines": SQL_CLEAN_DUP_LINES,
     "pii_redact": SQL_PII_REDACT,
     "corpus_clean_card": _sql_clean_card(),
+    "c4_clean": _c4_sql(),
 }
