@@ -1213,7 +1213,8 @@ class SparkWebEngine:
                     n_buckets: int = 8,
                     date: str = "2026-01-01T00:00:00Z",
                     results: DataFrame | None = None,
-                    cdx: bool = False) -> DataFrame:
+                    cdx: bool = False,
+                    gzip_segments: bool = False) -> DataFrame:
         """S12 write side: archive the crawl's visited set as WARC/1.0
         segments (html/warc.py writer), one segment per host bucket.
 
@@ -1247,7 +1248,13 @@ class SparkWebEngine:
         per segment (urlkey/timestamp/digest + MEASURED byte offset and
         record length from the framing walk) — the file the CC-index
         seeder's ``parse_cc_index_blobs`` consumes, closing the publish →
-        re-seed loop against our own read path (tested)."""
+        re-seed loop against our own read path (tested).
+
+        ``gzip_segments=True`` publishes ``.warc.gz`` segments in the
+        member-per-record layout Common Crawl actually ships — the CDX
+        sidecar then carries COMPRESSED member offsets/lengths, so a
+        reader range-fetches one gz member per record (tested); the
+        ``pages_from_warc`` reader gunzips transparently."""
         import hashlib as _hl
         import os as _os
 
@@ -1284,8 +1291,9 @@ class SparkWebEngine:
                     recs.append({"uri": u, "body": body, "status": int(s),
                                  "content_type": "text/html"})
             bucket = int(pdf["bucket"].iloc[0])
-            blob = build_warc(recs, date=date)
-            path = _os.path.join(out_dir, f"segment-{bucket:04d}.warc")
+            blob = build_warc(recs, date=date, gzip_members=gzip_segments)
+            ext = "warc.gz" if gzip_segments else "warc"
+            path = _os.path.join(out_dir, f"segment-{bucket:04d}.{ext}")
             tmp = path + ".tmp"
             with open(tmp, "wb") as fh:
                 fh.write(blob)

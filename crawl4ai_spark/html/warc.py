@@ -36,7 +36,21 @@ REVISIT_PROFILE = ("http://netpreserve.org/warc/1.0/revisit/"
                    "identical-payload-digest")
 
 
-def build_warc(records: list[dict], *, date: str) -> bytes:
+def _finish(chunks: list[bytes], gzip_members: bool) -> bytes:
+    """Concatenate record chunks; with ``gzip_members`` each record
+    becomes its OWN gz member (mtime pinned for determinism) — the real
+    Common-Crawl .warc.gz layout, which is what makes record-level
+    random access possible in the compressed file: a reader seeks to a
+    CDX offset and gunzips exactly one member."""
+    if not gzip_members:
+        return b"".join(chunks)
+    import gzip as _gzip
+
+    return b"".join(_gzip.compress(c, mtime=0) for c in chunks)
+
+
+def build_warc(records: list[dict], *, date: str,
+               gzip_members: bool = False) -> bytes:
     """``records``: dicts with uri, body (bytes), status (int),
     content_type (str). Emits one warcinfo record then one response
     record per input, deterministic record ids.
@@ -50,16 +64,16 @@ def build_warc(records: list[dict], *, date: str) -> bytes:
     record's ``payload_digest``, and a header-only 304 HTTP block — the
     unchanged body bytes are never written again."""
     info_block = f"software: {SOFTWARE}\r\nformat: WARC File Format 1.0".encode()
-    out = _record(
+    chunks = [_record(
         [("WARC-Type", "warcinfo"),
          ("WARC-Date", date),
          ("WARC-Record-ID", _uuid_of("warcinfo")),
          ("Content-Type", "application/warc-fields")],
-        info_block)
+        info_block)]
     for r in records:
         if r.get("revisit"):
             http = b"HTTP/1.1 304 Not Modified\r\n\r\n"
-            out += _record(
+            chunks.append(_record(
                 [("WARC-Type", "revisit"),
                  ("WARC-Target-URI", r["uri"]),
                  ("WARC-Date", date),
@@ -68,20 +82,20 @@ def build_warc(records: list[dict], *, date: str) -> bytes:
                  ("WARC-Profile", REVISIT_PROFILE),
                  ("WARC-Payload-Digest", "md5:" + r["payload_digest"]),
                  ("Content-Type", "application/http;msgtype=response")],
-                http)
+                http))
             continue
         body = r["body"]
         http = (f"HTTP/1.1 {r['status']} OK\r\n"
                 f"Content-Type: {r['content_type']}\r\n"
                 f"Content-Length: {len(body)}\r\n\r\n").encode() + body
-        out += _record(
+        chunks.append(_record(
             [("WARC-Type", "response"),
              ("WARC-Target-URI", r["uri"]),
              ("WARC-Date", date),
              ("WARC-Record-ID", _uuid_of(r["uri"])),
              ("Content-Type", "application/http;msgtype=response")],
-            http)
-    return out
+            http))
+    return _finish(chunks, gzip_members)
 
 
 def build_wet(records: list[dict], *, date: str) -> bytes:
@@ -153,7 +167,14 @@ def parse_warc(data: bytes) -> list[dict]:
     warc_type, uri, date, and (for responses) status, content_type,
     payload bytes. Every record also carries its byte ``offset`` and
     framed ``length`` (head through trailing CRLFCRLF) — the two fields
-    a CDX index needs so a reader can range-fetch single records."""
+    a CDX index needs so a reader can range-fetch single records.
+
+    A ``.warc.gz`` blob (member-per-record, the published CC layout) is
+    walked transparently; its records carry COMPRESSED member offsets
+    and lengths — the true CC CDX semantics, since a reader range-
+    fetches the gz member and gunzips exactly one record."""
+    if data[:2] == b"\x1f\x8b":
+        return _parse_warc_gz(data)
     records = []
     pos = 0
     n = len(data)
@@ -209,6 +230,32 @@ def parse_warc(data: bytes) -> list[dict]:
         rec["offset"] = rec_start
         rec["length"] = pos - rec_start
         records.append(rec)
+    return records
+
+
+def _parse_warc_gz(data: bytes) -> list[dict]:
+    """Member-per-record gz walk: decompress each gz member in sequence
+    (``unused_data`` marks the member boundary), parse the single record
+    inside, and stamp it with the COMPRESSED member offset/length."""
+    import zlib
+
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        raw = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("truncated gz member")
+        consumed = (n - pos) - len(d.unused_data)
+        recs = parse_warc(raw)
+        if len(recs) != 1:
+            raise ValueError(
+                f"gz member holds {len(recs)} records, expected 1")
+        recs[0]["offset"] = pos
+        recs[0]["length"] = consumed
+        records.append(recs[0])
+        pos += consumed
     return records
 
 

@@ -126,3 +126,81 @@ def test_engine_cdx_sidecar_reseeds_the_crawl(spark, tmp_path):
             rec = parse_warc(
                 seg[int(e["offset"]):int(e["offset"]) + int(e["length"])])
             assert len(rec) == 1 and rec[0]["uri"] == e["url"]
+
+
+def test_gz_member_roundtrip_and_compressed_offsets():
+    """.warc.gz member-per-record layout: payloads roundtrip
+    byte-identically and CDX offsets are COMPRESSED member bounds — a
+    reader range-fetches one gz member per record (the CC contract)."""
+    import gzip
+
+    blob = build_warc(_recs(), date=DATE, gzip_members=True)
+    assert blob[:2] == b"\x1f\x8b"
+    parsed = parse_warc(blob)
+    plain = parse_warc(build_warc(_recs(), date=DATE))
+    pr = [r for r in parsed if r["warc_type"] == "response"]
+    pl = [r for r in plain if r["warc_type"] == "response"]
+    assert [r["payload"] for r in pr] == [r["payload"] for r in pl]
+    assert [r["uri"] for r in pr] == [r["uri"] for r in pl]
+
+    entries = build_cdx(blob, "seg.warc.gz")
+    assert len(entries) == 3
+    for e in entries:
+        off, ln = int(e["offset"]), int(e["length"])
+        member = blob[off:off + ln]
+        rec = parse_warc(gzip.decompress(member))
+        assert len(rec) == 1 and rec[0]["uri"] == e["url"]
+        assert hashlib.md5(rec[0]["payload"]).hexdigest() == e["digest"]
+    # compressed members tile the file exactly
+    by_off = sorted(parsed, key=lambda r: r["offset"])
+    end = 0
+    for r in by_off:
+        assert r["offset"] == end
+        end += r["length"]
+    assert end == len(blob)
+    # determinism: same inputs -> identical compressed bytes
+    assert blob == build_warc(_recs(), date=DATE, gzip_members=True)
+
+
+def test_gz_truncation_rejected():
+    import pytest as _pytest
+
+    blob = build_warc(_recs(), date=DATE, gzip_members=True)
+    with _pytest.raises(ValueError):
+        parse_warc(blob[:-5])
+
+
+def test_engine_gz_segments_feed_reader_and_cdx(spark, tmp_path):
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+    from crawl4ai_spark.sources.pagesgen import generate_pages, generate_seeds
+    from crawl4ai_spark.sources.rawpages import pages_from_warc
+
+    pages = generate_pages(spark, 2, 8)
+    seeds = generate_seeds(spark, 2)
+    eng = SparkWebEngine(spark, str(tmp_path / "s1"))
+    eng.run(pages, seeds, config=CrawlConfig(max_depth=2, max_pages=30))
+    seg_dir = tmp_path / "gzsegs"
+    eng.export_warc(str(seg_dir), pages=pages, n_buckets=2,
+                    cdx=True, gzip_segments=True)
+
+    segs = sorted(seg_dir.glob("*.warc.gz"))
+    idxs = sorted(seg_dir.glob("*.warc.gz.cdx.jsonl"))
+    assert segs and len(idxs) == len(segs)
+
+    # transparent reader: gz segments load byte-identical bodies
+    warc_pages = pages_from_warc(spark, str(seg_dir / "*.warc.gz"))
+    a = {r.url: bytes(r.html) for r in pages.select("url", "html").collect()}
+    got = {r.url: bytes(r.html)
+           for r in warc_pages.select("url", "html").collect()}
+    assert got and all(a[u] == h for u, h in got.items())
+
+    # sidecar offsets are compressed member bounds
+    import gzip
+
+    for p in idxs:
+        seg = (seg_dir / p.name[:-len(".cdx.jsonl")]).read_bytes()
+        for line in p.read_text().splitlines()[:2]:
+            e = json.loads(line)
+            member = seg[int(e["offset"]):int(e["offset"]) + int(e["length"])]
+            rec = parse_warc(gzip.decompress(member))
+            assert len(rec) == 1 and rec[0]["uri"] == e["url"]
