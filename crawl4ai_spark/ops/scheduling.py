@@ -693,6 +693,99 @@ FROM d
 """
 
 
+# --------------------------------------------------- PLD politeness groups
+# Registrable-domain (pay-level-domain) budget sharing: per-HOST politeness
+# lets a subdomain farm (blog1..blogN.farm.com) multiply its crawl budget
+# N-fold — production crawlers therefore bucket politeness by the
+# REGISTRABLE domain and split the budget across its live hosts. PLD
+# extraction mirrors urls.base_domain (strip www., keep 3 labels for
+# co.uk-style second-level TLDs) as native expressions; python parity with
+# the goldened base_domain() is pytest-asserted.
+# Scale shape: one host aggregate, one pld aggregate, one broadcast join
+# back — no window, no python; at 10^10 URLs the host list is the dim.
+
+PLD_BUDGET = 12
+_PLD_SL = ("'co','com','org','gov','edu','net','mil','int','ac','ad',"
+           "'ae','af','ag'")
+
+
+def _pld_expr(host_col: str) -> str:
+    return f"""
+    CASE WHEN size(split(h_, '[.]')) > 2
+              AND element_at(split(h_, '[.]'), -2) IN ({_PLD_SL})
+         THEN array_join(slice(split(h_, '[.]'), -3, 3), '.')
+         ELSE array_join(slice(split(h_, '[.]'),
+                               greatest(-2, -size(split(h_, '[.]'))),
+                               2), '.') END
+    """.replace("h_", f"(CASE WHEN {host_col} LIKE 'www.%'"
+                f" THEN substring({host_col}, 5) ELSE {host_col} END)")
+
+
+def q_politeness_pld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    host = F.expr(
+        "CASE WHEN user_id % 3 = 0"
+        " THEN concat('www.site', user_id % 8, '.com')"
+        " WHEN user_id % 3 = 1"
+        " THEN concat('blog', user_id, '.bigfarm.com')"
+        " ELSE concat('shop', user_id % 10, '.stores', user_id % 2,"
+        " '.co.uk') END")
+    per_host = (ev.select(host.alias("host"))
+                .groupBy("host")
+                .agg(F.count("*").cast("long").alias("n_queued"))
+                .withColumn("pld", F.expr(_pld_expr("host"))))
+    per_pld = (per_host.groupBy("pld")
+               .agg(F.count("*").cast("long").alias("n_hosts"),
+                    F.sum("n_queued").cast("long").alias("pld_queued")))
+    return (per_host.join(F.broadcast(per_pld), "pld")
+            .withColumn("host_quota", F.expr(
+                f"greatest(CAST(1 AS BIGINT),"
+                f" CAST({PLD_BUDGET} AS BIGINT) div n_hosts)"))
+            .select("host", "pld", "n_queued", "n_hosts", "pld_queued",
+                    "host_quota"))
+
+
+def _pld_sql_expr(host_col: str) -> str:
+    h = (f"(CASE WHEN {host_col} LIKE 'www.%'"
+         f" THEN substr({host_col}, 5) ELSE {host_col} END)")
+    return f"""
+    CASE WHEN len(string_split({h}, '.')) > 2
+              AND string_split({h}, '.')[-2] IN ({_PLD_SL})
+         THEN array_to_string(list_slice(string_split({h}, '.'), -3, -1), '.')
+         ELSE array_to_string(
+                list_slice(string_split({h}, '.'),
+                           CASE WHEN len(string_split({h}, '.')) < 2
+                                THEN -len(string_split({h}, '.'))
+                                ELSE -2 END, -1), '.') END
+    """
+
+
+SQL_POLITENESS_PLD = f"""
+WITH hosts AS (
+  SELECT CASE WHEN user_id % 3 = 0
+              THEN 'www.site' || (user_id % 8) || '.com'
+              WHEN user_id % 3 = 1
+              THEN 'blog' || user_id || '.bigfarm.com'
+              ELSE 'shop' || (user_id % 10) || '.stores' || (user_id % 2)
+                   || '.co.uk' END AS host
+  FROM events
+),
+per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_queued,
+         {_pld_sql_expr('host')} AS pld
+  FROM hosts GROUP BY host
+),
+per_pld AS (
+  SELECT pld, CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(n_queued) AS BIGINT) AS pld_queued
+  FROM per_host GROUP BY pld
+)
+SELECT h.host, h.pld, h.n_queued, p.n_hosts, p.pld_queued,
+       greatest(CAST(1 AS BIGINT), {PLD_BUDGET} // p.n_hosts) AS host_quota
+FROM per_host h JOIN per_pld p USING (pld)
+"""
+
+
 QUERIES = {
     "url_normalize": q_url_normalize,
     "url_canonical_groups": q_url_canonical_groups,
@@ -707,6 +800,7 @@ QUERIES = {
     "dispatch_priority": q_dispatch_priority,
     "politeness_aimd": q_politeness_aimd,
     "robots_crawl_delay": q_robots_crawl_delay,
+    "politeness_pld": q_politeness_pld,
 }
 ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
@@ -722,4 +816,5 @@ ORACLES = {
     "dispatch_priority": SQL_DISPATCH_PRIORITY,
     "politeness_aimd": SQL_POLITENESS_AIMD,
     "robots_crawl_delay": SQL_ROBOTS_CRAWL_DELAY,
+    "politeness_pld": SQL_POLITENESS_PLD,
 }
