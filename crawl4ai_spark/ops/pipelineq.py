@@ -1166,7 +1166,153 @@ GROUP BY lang, reason, split
 """
 
 
+# ------------------------------------------------ canonical selection
+# Quality-aware duplicate-cluster canonicalization: production corpus
+# builds do not keep the MIN-ID copy of a duplicate cluster — they keep
+# the BEST copy (longest/cleanest extraction of the same page wins; CCNet
+# and FineWeb both rank within dup clusters). Clusters = connected
+# components over (exact-dup ∪ verified near-dup) pairs via the
+# large-star/small-star loop (the 10^10-edge path); the canonical member
+# is argmax(quality_e6, tie → min doc_id) inside each cluster — a window
+# over CLUSTER-sized partitions (bounded by dup-group size), never a
+# global window.
+
+def q_dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawl4ai_spark.ops.clusterq import connected_components_bigstar
+
+    docs_hash = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")))
+        .alias("content_hash"))
+    exact = docs_hash.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"))
+    exact_pairs = (docs_hash.join(exact, "content_hash")
+                   .filter(F.col("doc_id") != F.col("keep_doc_id"))
+                   .select(F.col("keep_doc_id").alias("v1"),
+                           F.col("doc_id").alias("v2")))
+
+    cand = DD.q_dedup_minhash_bands(spark, sf_dir).select("d1", "d2")
+    sh = DD._shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "h")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "h")
+    inter = (cand.join(s1, "d1").join(s2, ["d2", "h"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("ni")))
+    near_pairs = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("sz").alias("s1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("sz").alias("s2")), "d2")
+        .withColumn("j_e6", F.round(
+            F.col("ni") / (F.col("s1") + F.col("s2") - F.col("ni")) * 1e6
+        ).cast("long"))
+        .filter(F.col("j_e6") >= JACCARD_T)
+        .select(F.col("d1").alias("v1"), F.col("d2").alias("v2")))
+
+    nodes = tbl(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("node"))
+    cc = connected_components_bigstar(
+        nodes, exact_pairs.unionByName(near_pairs))
+    q = TS.q_text_quality(spark, sf_dir).select("doc_id", "quality_e6")
+    j = (cc.select(F.col("vec_id").alias("doc_id"), "cluster_id",
+                   "cluster_size")
+         .join(q, "doc_id"))
+    w = Window.partitionBy("cluster_id") \
+              .orderBy(F.desc("quality_e6"), F.asc("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("canonical_doc_id",
+                        F.first("doc_id").over(w))
+            .select(F.col("doc_id").cast("long"), "cluster_id",
+                    "cluster_size", "quality_e6",
+                    (F.col("rn") == 1).alias("canonical"),
+                    F.col("canonical_doc_id").cast("long")
+                    .alias("canonical_doc_id")))
+
+
+SQL_DEDUP_CANONICAL_SELECT = f"""
+WITH RECURSIVE
+sh AS ({DD._SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+dh AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS content_hash
+  FROM documents
+),
+exact AS (
+  SELECT content_hash, min(doc_id) AS keep_doc_id FROM dh
+  GROUP BY content_hash
+),
+exact_pairs AS (
+  SELECT exact.keep_doc_id AS v1, dh.doc_id AS v2
+  FROM dh JOIN exact USING (content_hash)
+  WHERE dh.doc_id <> exact.keep_doc_id
+),
+perms AS (SELECT i AS pi, substr('0123456789abcdef', CAST(i + 1 AS INT), 1)
+                 AS p
+          FROM range({DD.N_PERMS}) t(i)),
+mh AS (
+  SELECT doc_id, pi, p, min(md5(p || ':' || h)) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, pi, p
+),
+bands AS (
+  SELECT doc_id, CAST(pi % {DD.N_BANDS} AS BIGINT) AS band,
+         md5(array_to_string(list_sort(list(p || '=' || mh)), '|'))
+           AS band_key
+  FROM mh GROUP BY doc_id, pi % {DD.N_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS ni
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+              JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+  GROUP BY c.d1, c.d2
+),
+near_pairs AS (
+  SELECT i.d1 AS v1, i.d2 AS v2
+  FROM inter i JOIN sizes z1 ON z1.doc_id = i.d1
+               JOIN sizes z2 ON z2.doc_id = i.d2
+  WHERE CAST(ROUND(CAST(i.ni AS DOUBLE) / (z1.sz + z2.sz - i.ni) * 1e6)
+             AS BIGINT) >= {JACCARD_T}
+),
+pairs AS (SELECT * FROM exact_pairs UNION SELECT * FROM near_pairs),
+edges AS (
+  SELECT v1 AS src, v2 AS dst FROM pairs
+  UNION ALL SELECT v2, v1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM lab GROUP BY cluster_id),
+q AS (SELECT doc_id, quality_e6 FROM ({TS.SQL_TEXT_QUALITY})),
+j AS (
+  SELECT l.node AS doc_id, l.cluster_id, csz.cluster_size, q.quality_e6
+  FROM lab l JOIN csz USING (cluster_id) JOIN q ON q.doc_id = l.node
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id, cluster_size, quality_e6,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality_e6 DESC, doc_id ASC) = 1
+         AS canonical,
+       CAST(first_value(doc_id) OVER (
+              PARTITION BY cluster_id
+              ORDER BY quality_e6 DESC, doc_id ASC) AS BIGINT)
+         AS canonical_doc_id
+FROM j
+"""
+
+
 QUERIES = {
+    "dedup_canonical_select": q_dedup_canonical_select,
     "dsir_resample": q_dsir_resample,
     "corpus_ledger_full": q_corpus_ledger_full,
     "corpus_datacard_full": q_corpus_datacard_full,
@@ -1185,6 +1331,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
 }
 ORACLES = {
+    "dedup_canonical_select": SQL_DEDUP_CANONICAL_SELECT,
     "dsir_resample": _sql_dsir(),
     "corpus_ledger_full": _sql_ledger(with_dsir=True),
     "corpus_datacard_full": _sql_datacard_full(),
