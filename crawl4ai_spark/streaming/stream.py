@@ -679,3 +679,72 @@ def stream_sitemap_reconcile(spark: SparkSession, sitemap_dir: str,
                 " ELSE 'fresh' END"))
             .withColumn("recrawl",
                         F.expr("verdict IN ('missing', 'stale')")))
+
+
+def stream_c4_gate(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming C4 admission: arriving documents pass the full C4 rule
+    set (ops/cleanq.py q_c4_clean — injected sentence structure, line
+    rules, lorem/brace/min-sentence doc rules) as a STATELESS per-row
+    verdict — every derived line lives inside the document's own row, so
+    the whole gate is higher-order array expressions (transform/filter/
+    exists), no streaming aggregate, no state, no shuffle. The streamed
+    keep set is row-identical to the batch query's (tested across >=2
+    micro-batches)."""
+    from crawl4ai_spark.ops.cleanq import (
+        C4_LINE_W,
+        C4_MIN_SENTS,
+        C4_MIN_WORDS,
+        _C4H2,
+    )
+
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .parquet(docs_dir)
+    )
+    md = "md5(concat(CAST(doc_id AS STRING), ':', CAST(ln AS STRING)))"
+    t2 = _C4H2.format(h=md, a=1, b=2)
+    j2 = _C4H2.format(h=md, a=3, b=4)
+    line_expr = f"""
+      transform(
+        sequence(CAST(0 AS BIGINT), (size(split(text, ' ')) - 1)
+                   div {C4_LINE_W}),
+        ln -> concat(
+          CASE WHEN {j2} < 8 THEN concat(
+                 CASE WHEN doc_id % 97 = 0 AND ln = 0
+                      THEN concat(array_join(slice(split(text, ' '),
+                             CAST(ln * {C4_LINE_W} + 1 AS INT),
+                             {C4_LINE_W}), ' '), ' lorem ipsum')
+                      WHEN doc_id % 89 = 0 AND ln = 1
+                      THEN concat(array_join(slice(split(text, ' '),
+                             CAST(ln * {C4_LINE_W} + 1 AS INT),
+                             {C4_LINE_W}), ' '), ' {{')
+                      ELSE array_join(slice(split(text, ' '),
+                             CAST(ln * {C4_LINE_W} + 1 AS INT),
+                             {C4_LINE_W}), ' ') END, ' javascript')
+               ELSE CASE WHEN doc_id % 97 = 0 AND ln = 0
+                      THEN concat(array_join(slice(split(text, ' '),
+                             CAST(ln * {C4_LINE_W} + 1 AS INT),
+                             {C4_LINE_W}), ' '), ' lorem ipsum')
+                      WHEN doc_id % 89 = 0 AND ln = 1
+                      THEN concat(array_join(slice(split(text, ' '),
+                             CAST(ln * {C4_LINE_W} + 1 AS INT),
+                             {C4_LINE_W}), ' '), ' {{')
+                      ELSE array_join(slice(split(text, ' '),
+                             CAST(ln * {C4_LINE_W} + 1 AS INT),
+                             {C4_LINE_W}), ' ') END END,
+          CASE WHEN {t2} < 154 THEN '.'
+               WHEN {t2} < 180 THEN '?' ELSE '' END))
+    """
+    return (
+        docs.withColumn("__lines", F.expr(line_expr))
+        .withColumn("keep", F.expr(f"""
+            NOT exists(__lines, l -> l LIKE '%lorem ipsum%')
+            AND NOT exists(__lines, l -> l LIKE '%{{%')
+            AND size(filter(__lines, l ->
+                  l rlike '[.?]$' AND size(split(l, ' '))
+                    >= {C4_MIN_WORDS}
+                  AND NOT l LIKE '%javascript%')) >= {C4_MIN_SENTS}"""))
+        .select("doc_id", "keep")
+    )

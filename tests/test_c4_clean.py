@@ -84,3 +84,24 @@ def test_every_rule_fires(spark):
     # hazard docs are rare by construction (1/97, 1/89) — the gate keeps
     # the bulk of the corpus
     assert stats["kept"] > len(rows) * 0.5
+
+
+def test_stream_c4_gate_matches_batch(spark, tmp_path):
+    """Streamed C4 verdicts across >=2 micro-batch files equal the batch
+    query's per-doc keep set (stateless row-local gate)."""
+    from crawl4ai_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_c4_gate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d_dir = tmp_path / "docs"
+    docs.filter("doc_id % 2 = 0").write.parquet(str(d_dir / "b0"))
+    docs.filter("doc_id % 2 = 1").write.parquet(str(d_dir / "b1"))
+
+    out = stream_c4_gate(spark, str(d_dir / "*" / "*.parquet"))
+    run_stream_to_memory(out, "stream_c4_t")
+    got = {r.doc_id: r.keep for r in
+           spark.sql("SELECT * FROM stream_c4_t").collect()}
+    want = {r.doc_id: r.keep for r in q_c4_clean(spark, SF).collect()}
+    assert got == want and got
