@@ -44,6 +44,9 @@ HEADLINE_QUERIES = [
     "events_pagerank", "text_hll_estimate", "pack_sequences",
     "resample_temperature", "decontaminate", "dedup_spans",
     "corpus_ledger", "tokenize_ids",
+    # r5-continuation additions
+    "c4_clean", "cdx_emit", "dedup_canonical_select",
+    "politeness_aimd", "index_blockmax",
 ]
 
 
