@@ -693,6 +693,131 @@ FROM d
 """
 
 
+# ------------------------------------------------ RFC 9309 wildcard robots
+# The modern Robots Exclusion Protocol (RFC 9309 §2.2.2-2.2.3, the
+# Google-documented dialect): path patterns may contain '*' (any
+# substring) and a trailing '$' (end anchor); the applicable rule is the
+# LONGEST matching pattern, ties broken in favor of Allow; no match →
+# allow. stdlib robotparser — and therefore the reference's gate
+# (utils.py:313-365) — ignores wildcards entirely, so this is the
+# conformance layer a modern crawler adds on top.
+#
+# Decision shape: rules are a tiny per-host dim (broadcast); each URL
+# joins its host's rules, keeps the matching ones via a NATIVE regex
+# translated from the pattern (escape '.', expand '*' → '.*', honor a
+# trailing '$'; '^' anchors the prefix), and the verdict is ONE
+# max-struct fold over (pattern_len, allow, pattern) — longest-match +
+# allow-wins falls out of lexicographic struct ordering, no window.
+
+RFC_HOSTS = 12
+
+
+def _rfc9309_regex(pat_col: str) -> str:
+    """Pattern → regex, identical text in both engines: escape dots,
+    expand stars, honor a trailing '$' anchor."""
+    esc = f"replace(replace({pat_col}, '.', '[.]'), '*', '.*')"
+    return (f"CASE WHEN {pat_col} LIKE '%$'"
+            f" THEN concat('^', substring({esc}, 1, length({esc}) - 1), '$')"
+            f" ELSE concat('^', {esc}) END")
+
+
+def rfc9309_decision(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """``urls``: (url, host, path); ``rules``: (host, pattern, allow).
+    Adds ``allow`` + ``matched_pattern`` per url (RFC 9309 precedence)."""
+    r = rules.withColumn("__rx", F.expr(_rfc9309_regex("pattern")))
+    m = (urls.join(F.broadcast(r), "host")
+         .filter(F.expr("path rlike __rx"))
+         .groupBy("url")
+         .agg(F.max(F.struct(
+             F.length("pattern").alias("plen"),
+             F.col("allow").cast("int").alias("al"),
+             F.col("pattern"))).alias("best")))
+    return (urls.join(m, "url", "left")
+            .withColumn("allow", F.expr(
+                "coalesce(best.al = 1, true)"))
+            .withColumn("matched_pattern",
+                        F.expr("coalesce(best.pattern, '')"))
+            .drop("best"))
+
+
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        F.expr(f"concat('h', doc_id % {RFC_HOSTS}, '.rep.example')")
+        .alias("host"),
+        F.expr("concat('/a', doc_id % 5, '/p', doc_id,"
+               " CASE doc_id % 4 WHEN 0 THEN '.html' WHEN 1 THEN '.pdf'"
+               " WHEN 2 THEN '' ELSE '/index.php' END)").alias("path"))
+    urls = urls.withColumn("url", F.expr("concat('https://', host, path)"))
+    hosts = urls.select("host").distinct()
+    rules = hosts.select("host", F.explode(F.expr("""
+        CASE CAST(regexp_extract(host, '^h([0-9]+)', 1) AS INT) % 3
+        WHEN 0 THEN array(
+            named_struct('pattern', '/a1*', 'allow', false),
+            named_struct('pattern', '/a1/p*', 'allow', true),
+            named_struct('pattern', '*.pdf$', 'allow', false))
+        WHEN 1 THEN array(
+            named_struct('pattern', '*', 'allow', false),
+            named_struct('pattern', '/a2*', 'allow', true))
+        ELSE array()
+        END""")).alias("r")) \
+        .select("host", F.col("r.pattern").alias("pattern"),
+                F.col("r.allow").alias("allow"))
+    out = rfc9309_decision(urls, rules)
+    return out.select("url", "host", "matched_pattern", "allow")
+
+
+SQL_ROBOTS_WILDCARDS = f"""
+WITH u AS (
+  SELECT 'h' || (doc_id % {RFC_HOSTS}) || '.rep.example' AS host,
+         '/a' || (doc_id % 5) || '/p' || doc_id ||
+           (CASE doc_id % 4 WHEN 0 THEN '.html' WHEN 1 THEN '.pdf'
+                 WHEN 2 THEN '' ELSE '/index.php' END) AS path
+  FROM documents
+),
+urls AS (SELECT *, 'https://' || host || path AS url FROM u),
+hosts AS (SELECT DISTINCT host FROM urls),
+rules AS (
+  SELECT host, r.pattern, r.allow
+  FROM hosts, unnest(
+    CASE CAST(regexp_extract(host, '^h([0-9]+)', 1) AS INT) % 3
+    WHEN 0 THEN [
+        {{'pattern': '/a1*', 'allow': false}},
+        {{'pattern': '/a1/p*', 'allow': true}},
+        {{'pattern': '*.pdf$', 'allow': false}}]
+    WHEN 1 THEN [
+        {{'pattern': '*', 'allow': false}},
+        {{'pattern': '/a2*', 'allow': true}}]
+    ELSE CAST([] AS STRUCT(pattern VARCHAR, allow BOOLEAN)[])
+    END) AS t(r)
+),
+rx AS (
+  SELECT host, pattern, allow,
+         CASE WHEN pattern LIKE '%$'
+              THEN '^' || substr(replace(replace(pattern, '.', '[.]'),
+                                         '*', '.*'), 1,
+                     length(replace(replace(pattern, '.', '[.]'),
+                                    '*', '.*')) - 1) || '$'
+              ELSE '^' || replace(replace(pattern, '.', '[.]'), '*', '.*')
+              END AS rxp
+  FROM rules
+),
+m AS (
+  SELECT u.url,
+         max(struct_pack(plen := length(r.pattern),
+                         al := CAST(r.allow AS INT),
+                         pattern := r.pattern)) AS best
+  FROM urls u JOIN rx r ON r.host = u.host
+  WHERE regexp_matches(u.path, r.rxp)
+  GROUP BY u.url
+)
+SELECT u.url, u.host,
+       COALESCE(m.best.pattern, '') AS matched_pattern,
+       COALESCE(m.best.al = 1, TRUE) AS allow
+FROM urls u LEFT JOIN m ON m.url = u.url
+"""
+
+
 # --------------------------------------------------- PLD politeness groups
 # Registrable-domain (pay-level-domain) budget sharing: per-HOST politeness
 # lets a subdomain farm (blog1..blogN.farm.com) multiply its crawl budget
@@ -801,6 +926,7 @@ QUERIES = {
     "politeness_aimd": q_politeness_aimd,
     "robots_crawl_delay": q_robots_crawl_delay,
     "politeness_pld": q_politeness_pld,
+    "robots_wildcards": q_robots_wildcards,
 }
 ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
@@ -817,4 +943,5 @@ ORACLES = {
     "politeness_aimd": SQL_POLITENESS_AIMD,
     "robots_crawl_delay": SQL_ROBOTS_CRAWL_DELAY,
     "politeness_pld": SQL_POLITENESS_PLD,
+    "robots_wildcards": SQL_ROBOTS_WILDCARDS,
 }
