@@ -823,6 +823,52 @@ GROUP BY e.src, r.nr
 """
 
 
+# ----------------------------------------------------------- spam mass
+# Link-spam detection by mass estimation (Gyöngyi, Garcia-Molina,
+# Pedersen — VLDB 2006): a page's SPAM MASS is the fraction of its
+# PageRank that does NOT survive when teleportation is restricted to a
+# trusted core — relative mass M~(p) = (PR(p) - PR+(p)) / PR(p), where
+# PR+ is the trust-seeded rank. The repo's q_events_pagerank and
+# q_events_trustrank already share the identical integer-e6 operator,
+# iteration count (3) and PER-NODE teleport base (seeds keep the same
+# 0.15 share PageRank gives every node — exactly the paper's v+ = good
+# indicator / N, no renormalization), so trust_e6 <= rank_e6 holds
+# EXACTLY per node by monotonicity of the shared integer rounds and the
+# subtraction is well-defined in pure integer arithmetic.
+# Scale shape: the two rank queries' plans (per-round edge equi-join +
+# dst aggregate) plus ONE node-keyed join — nothing new shuffles.
+
+SPAM_MASS_T_E6 = 700_000
+
+
+def q_events_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = q_events_pagerank(spark, sf_dir)
+    tr = q_events_trustrank(spark, sf_dir)
+    return (pr.join(tr, "node")
+            .withColumn("mass_e6", F.expr("rank_e6 - trust_e6"))
+            .withColumn("rel_mass_e6", F.expr(
+                "(rank_e6 - trust_e6) * 1000000 div rank_e6"))
+            .withColumn("is_spammy", F.expr(
+                f"NOT is_seed AND"
+                f" (rank_e6 - trust_e6) * 1000000 div rank_e6"
+                f" >= {SPAM_MASS_T_E6}"))
+            .select("node", "rank_e6", "trust_e6", "is_seed",
+                    "mass_e6", "rel_mass_e6", "is_spammy"))
+
+
+SQL_EVENTS_SPAM_MASS = f"""
+WITH pr AS (SELECT * FROM ({SQL_EVENTS_PAGERANK})),
+tr AS (SELECT * FROM ({SQL_EVENTS_TRUSTRANK}))
+SELECT pr.node, pr.rank_e6, tr.trust_e6, tr.is_seed,
+       pr.rank_e6 - tr.trust_e6 AS mass_e6,
+       (pr.rank_e6 - tr.trust_e6) * 1000000 // pr.rank_e6 AS rel_mass_e6,
+       (NOT tr.is_seed AND
+        (pr.rank_e6 - tr.trust_e6) * 1000000 // pr.rank_e6
+          >= {SPAM_MASS_T_E6}) AS is_spammy
+FROM pr JOIN tr ON tr.node = pr.node
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_customers": q_join_top_customers,
@@ -835,6 +881,7 @@ QUERIES = {
     "events_trustrank": q_events_trustrank,
     "events_labelprop": q_events_labelprop,
     "link_reciprocity": q_link_reciprocity,
+    "events_spam_mass": q_events_spam_mass,
 }
 ORACLES = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
@@ -848,4 +895,5 @@ ORACLES = {
     "events_trustrank": SQL_EVENTS_TRUSTRANK,
     "events_labelprop": SQL_EVENTS_LABELPROP,
     "link_reciprocity": SQL_LINK_RECIPROCITY,
+    "events_spam_mass": SQL_EVENTS_SPAM_MASS,
 }
