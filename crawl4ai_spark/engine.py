@@ -63,6 +63,12 @@ class CrawlConfig:
     # path stays byte-identical.
     respect_crawl_delay: bool = False
     crawl_delay_window_s: int = 20
+    # DUST rewrite rules (ops/dustq.py mine_dust_rules output): learned
+    # content-irrelevant params are stripped from DISCOVERED links right
+    # after normalization, so variant URLs collapse to one frontier row
+    # before URL-seen/scheduling ever see them. None = off (default path
+    # byte-identical).
+    dust_rules: DataFrame | None = None
     user_agent: str = "*"
     use_bloom: bool = False            # F5 fast path (exact anti-join is default)
     seen_backend: str = "bloom"        # "bloom" | "cuckoo" (cuckoo: deletable)
@@ -926,6 +932,19 @@ class SparkWebEngine:
             ok = ok.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
         links = FR.explode_links(ok, include_external=cfg.include_external)
         cand = FR.normalize_candidates(links)
+        if cfg.dust_rules is not None:
+            # learned host-local param strips (Bar-Yossef DUST): variants
+            # collapse deterministically — best score survives, smallest
+            # parent kept — BEFORE the seen-filter, so the frontier never
+            # stores session-id aliases at all
+            from crawl4ai_spark.ops.dustq import apply_dust_rules
+            cand = (
+                apply_dust_rules(cand, cfg.dust_rules)
+                .withColumn("url", F.col("url_dust")).drop("url_dust")
+                .groupBy("url", "host", "surt_host")
+                .agg(F.max("score").alias("score"),
+                     F.min("parent_url").alias("parent_url"))
+                .select("url", "host", "surt_host", "parent_url", "score"))
         if cfg.link_preview_query:
             from crawl4ai_spark.operators.linkpreview import enrich_candidates, extract_heads
             cand = enrich_candidates(

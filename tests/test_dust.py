@@ -123,3 +123,60 @@ def test_plan_has_no_python_and_no_cartesian(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def _dust_site(spark):
+    """Hand-built site: the root links to /p1 and /p2 only through
+    sess-variant URLs; the base pages exist, the variants do not."""
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    host = "www.d.example"
+    root = f"https://{host}/"
+    mk = lambda body: f"<html><body>{body}</body></html>".encode()
+    rows = [
+        (root, ts, mk('<a href="/p1?sess=a">a</a>'
+                      '<a href="/p1?sess=b">b</a>'
+                      '<a href="/p2?sess=c">c</a>'
+                      '<a href="/p2">d</a>'), "root", "en"),
+        (f"https://{host}/p1", ts, mk("page one"), "one", "en"),
+        (f"https://{host}/p2", ts, mk("page two"), "two", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary,"
+        " text string, lang string")
+    seeds = spark.createDataFrame([(root, 0.0)], ["url", "priority"])
+    return host, pages, seeds
+
+
+def test_engine_dust_rules_collapse_frontier(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+
+    host, pages, seeds = _dust_site(spark)
+
+    # without rules: sess variants are distinct frontier rows that 404
+    eng0 = SparkWebEngine(spark, str(tmp_path / "s0"))
+    eng0.run(pages, seeds, config=CrawlConfig(max_depth=2, max_pages=30))
+    r0 = {(r.url, r.status_code) for r in
+          eng0.results().select("url", "status_code").collect()}
+    assert (f"https://{host}/p1?sess=a", 404) in r0
+    assert (f"https://{host}/p1?sess=b", 404) in r0
+
+    # with a learned (host, sess) rule: variants collapse to the base
+    # page BEFORE the frontier — no 404s, full coverage, fewer rows
+    rules = spark.createDataFrame(
+        [(host, "sess", 10, 0, 10, True)],
+        "host string, param string, support long, violations long,"
+        " n_urls long, valid boolean")
+    eng1 = SparkWebEngine(spark, str(tmp_path / "s1"))
+    eng1.run(pages, seeds,
+             config=CrawlConfig(max_depth=2, max_pages=30,
+                                dust_rules=rules))
+    r1 = {(r.url, r.status_code) for r in
+          eng1.results().select("url", "status_code").collect()}
+    assert r1 == {(f"https://{host}/", 200),
+                  (f"https://{host}/p1", 200),
+                  (f"https://{host}/p2", 200)}
+    assert len(r1) < len(r0)
