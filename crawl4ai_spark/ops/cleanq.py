@@ -419,12 +419,114 @@ FROM a
 """
 
 
+# ------------------------------------------------------ host templates
+# Host-conditioned boilerplate detection: a line appearing on most of
+# ONE HOST's pages is chrome (nav/footer/banner) even when it is globally
+# rare — the complement of CCNet's corpus-global line dedup above, and
+# the DOM-free template removal big crawl pipelines run per site.
+# Rule: template iff the line occurs on >= TEMPLATE_FRAC of the host's
+# pages (integer cross-multiplied, no float) and the host has >=
+# TEMPLATE_MIN_PAGES pages. Boilerplate is INJECTED deterministically
+# (the pii convention): every page of a host carries its nav line; a
+# third of pages carry a promo line that must stay BELOW the threshold.
+# Scale shape: one (host, line) partial aggregate + a broadcast host-size
+# dim — never a window; the removal transform is one left-anti join.
+
+TEMPLATE_HOSTS = 15
+TEMPLATE_FRAC_E6 = 600_000
+TEMPLATE_MIN_PAGES = 5
+
+
+def _host_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    d = d.withColumn("host", F.expr(f"doc_id % {TEMPLATE_HOSTS}"))
+    body = (
+        d.select("doc_id", "host", F.expr("split(text, ' ')").alias("tk"))
+        .select("doc_id", "host", "tk", F.explode(F.expr(
+            f"sequence(CAST(0 AS BIGINT),"
+            f" (size(tk) - 1) div {LINE_W})")).alias("i"))
+        .select("doc_id", "host", (F.col("i") + 2).alias("ln"),
+                F.expr(
+                    f"array_join(slice(tk, CAST(i * {LINE_W} + 1 AS INT),"
+                    f" {LINE_W}), ' ')").alias("line")))
+    nav = d.select("doc_id", "host", F.lit(0).cast("long").alias("ln"),
+                   F.expr("concat('nav home about h', host)").alias("line"))
+    promo = (d.filter(F.expr(f"(doc_id div {TEMPLATE_HOSTS}) % 3 = 0"))
+             .select("doc_id", "host", F.lit(1).cast("long").alias("ln"),
+                     F.expr("concat('promo banner h', host)").alias("line")))
+    return nav.unionByName(promo).unionByName(body)
+
+
+_SQL_HOST_LINES = f"""
+  SELECT doc_id, doc_id % {TEMPLATE_HOSTS} AS host,
+         CAST(0 AS BIGINT) AS ln,
+         'nav home about h' || (doc_id % {TEMPLATE_HOSTS}) AS line
+  FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % {TEMPLATE_HOSTS}, CAST(1 AS BIGINT),
+         'promo banner h' || (doc_id % {TEMPLATE_HOSTS})
+  FROM documents WHERE (doc_id // {TEMPLATE_HOSTS}) % 3 = 0
+  UNION ALL
+  SELECT doc_id, doc_id % {TEMPLATE_HOSTS}, CAST(i + 2 AS BIGINT),
+         array_to_string(
+           list_slice(string_split(text, ' '),
+                      CAST(i * {LINE_W} + 1 AS BIGINT),
+                      CAST((i + 1) * {LINE_W} AS BIGINT)), ' ')
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents),
+       unnest(range((len(tk) - 1) // {LINE_W} + 1)) p(i)
+"""
+
+
+def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection half: per (host, line) page counts + the template
+    verdict, restricted to lines on >= 2 pages (bounds the output)."""
+    lines = _host_lines(spark, sf_dir)
+    host_pages = lines.groupBy("host").agg(
+        F.countDistinct("doc_id").alias("host_pages"))
+    per = (lines.groupBy("host", "line")
+           .agg(F.countDistinct("doc_id").cast("long").alias("n_pages"))
+           .filter(F.col("n_pages") >= 2))
+    return (per.join(F.broadcast(host_pages), "host")
+            .withColumn("is_template", F.expr(
+                f"n_pages * 1000000 >= {TEMPLATE_FRAC_E6} * host_pages"
+                f" AND host_pages >= {TEMPLATE_MIN_PAGES}"))
+            .select(F.col("host").cast("long"), "line", "n_pages",
+                    F.col("host_pages").cast("long").alias("host_pages"),
+                    "is_template"))
+
+
+SQL_HOST_TEMPLATE_LINES = f"""
+WITH l AS ({_SQL_HOST_LINES}),
+hp AS (SELECT host, count(DISTINCT doc_id) AS host_pages FROM l
+       GROUP BY host),
+per AS (
+  SELECT host, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+  FROM l GROUP BY host, line HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT CAST(per.host AS BIGINT) AS host, per.line, per.n_pages,
+       CAST(hp.host_pages AS BIGINT) AS host_pages,
+       (per.n_pages * 1000000 >= {TEMPLATE_FRAC_E6} * hp.host_pages
+        AND hp.host_pages >= {TEMPLATE_MIN_PAGES}) AS is_template
+FROM per JOIN hp USING (host)
+"""
+
+
+def strip_host_templates(lines: DataFrame, templates: DataFrame) -> DataFrame:
+    """Removal half: drop every (host, line) flagged template — one
+    left-anti join; reassembly stays with the caller (line order is the
+    ln column)."""
+    t = templates.filter("is_template").select("host", "line")
+    return lines.join(t, ["host", "line"], "left_anti")
+
+
 QUERIES = {
     "dedup_lines": q_dedup_lines,
     "clean_dup_lines": q_clean_dup_lines,
     "pii_redact": q_pii_redact,
     "corpus_clean_card": q_corpus_clean_card,
     "c4_clean": q_c4_clean,
+    "host_template_lines": q_host_template_lines,
 }
 ORACLES = {
     "dedup_lines": SQL_DEDUP_LINES,
@@ -432,4 +534,5 @@ ORACLES = {
     "pii_redact": SQL_PII_REDACT,
     "corpus_clean_card": _sql_clean_card(),
     "c4_clean": _c4_sql(),
+    "host_template_lines": SQL_HOST_TEMPLATE_LINES,
 }
