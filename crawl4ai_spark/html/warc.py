@@ -98,7 +98,8 @@ def build_warc(records: list[dict], *, date: str,
     return _finish(chunks, gzip_members)
 
 
-def build_wet(records: list[dict], *, date: str) -> bytes:
+def build_wet(records: list[dict], *, date: str,
+              gzip_members: bool = False) -> bytes:
     """WET (the Common-Crawl extracted-text sibling of WARC): one
     warcinfo record then one ``conversion`` record per input —
     ``records``: dicts with uri, text (str). Conversion blocks are the
@@ -108,26 +109,27 @@ def build_wet(records: list[dict], *, date: str) -> bytes:
     info_block = (f"software: {SOFTWARE}\r\n"
                   "format: WARC File Format 1.0\r\n"
                   "conformsTo: WET").encode()
-    out = _record(
+    chunks = [_record(
         [("WARC-Type", "warcinfo"),
          ("WARC-Date", date),
          ("WARC-Record-ID", _uuid_of("warcinfo-wet")),
          ("Content-Type", "application/warc-fields")],
-        info_block)
+        info_block)]
     for r in records:
         block = r["text"].encode("utf-8")
-        out += _record(
+        chunks.append(_record(
             [("WARC-Type", "conversion"),
              ("WARC-Target-URI", r["uri"]),
              ("WARC-Date", date),
              ("WARC-Record-ID", _uuid_of("wet:" + r["uri"])),
              ("WARC-Refers-To", _uuid_of(r["uri"])),
              ("Content-Type", "text/plain")],
-            block)
-    return out
+            block))
+    return _finish(chunks, gzip_members)
 
 
-def build_wat(records: list[dict], *, date: str) -> bytes:
+def build_wat(records: list[dict], *, date: str,
+              gzip_members: bool = False) -> bytes:
     """WAT (the Common-Crawl metadata sibling of WARC/WET): one warcinfo
     record then one ``metadata`` record per input — ``records``: dicts
     with uri, meta (a JSON-serializable dict, conventionally the CC
@@ -142,24 +144,24 @@ def build_wat(records: list[dict], *, date: str) -> bytes:
     info_block = (f"software: {SOFTWARE}\r\n"
                   "format: WARC File Format 1.0\r\n"
                   "conformsTo: WAT").encode()
-    out = _record(
+    chunks = [_record(
         [("WARC-Type", "warcinfo"),
          ("WARC-Date", date),
          ("WARC-Record-ID", _uuid_of("warcinfo-wat")),
          ("Content-Type", "application/warc-fields")],
-        info_block)
+        info_block)]
     for r in records:
         block = json.dumps(r["meta"], sort_keys=True,
                            separators=(",", ":")).encode()
-        out += _record(
+        chunks.append(_record(
             [("WARC-Type", "metadata"),
              ("WARC-Target-URI", r["uri"]),
              ("WARC-Date", date),
              ("WARC-Record-ID", _uuid_of("wat:" + r["uri"])),
              ("WARC-Refers-To", _uuid_of(r["uri"])),
              ("Content-Type", "application/json")],
-            block)
-    return out
+            block))
+    return _finish(chunks, gzip_members)
 
 
 def parse_warc(data: bytes) -> list[dict]:

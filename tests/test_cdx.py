@@ -204,3 +204,21 @@ def test_engine_gz_segments_feed_reader_and_cdx(spark, tmp_path):
             member = seg[int(e["offset"]):int(e["offset"]) + int(e["length"])]
             rec = parse_warc(gzip.decompress(member))
             assert len(rec) == 1 and rec[0]["uri"] == e["url"]
+
+
+def test_wet_wat_gz_members_roundtrip():
+    """The gz member layout applies to the whole CC format trio."""
+    from crawl4ai_spark.html.warc import build_wat, build_wet
+
+    wet = build_wet([{"uri": "https://a.example/x", "text": "hello"}],
+                    date=DATE, gzip_members=True)
+    wat = build_wat([{"uri": "https://a.example/x",
+                      "meta": {"Envelope": {"Format": "WARC"}}}],
+                    date=DATE, gzip_members=True)
+    for blob, kind in ((wet, "conversion"), (wat, "metadata")):
+        assert blob[:2] == b"\x1f\x8b"
+        recs = parse_warc(blob)
+        assert [r["warc_type"] for r in recs] == ["warcinfo", kind]
+        assert recs[1]["offset"] > 0
+        assert recs[1]["offset"] + recs[1]["length"] == len(blob)
+    assert parse_warc(wet)[1]["payload"] == b"hello"
