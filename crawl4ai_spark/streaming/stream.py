@@ -748,3 +748,76 @@ def stream_c4_gate(spark: SparkSession, docs_dir: str) -> DataFrame:
                   AND NOT l LIKE '%javascript%')) >= {C4_MIN_SENTS}"""))
         .select("doc_id", "keep")
     )
+
+
+def stream_politeness_aimd(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Stateful streaming AIMD rate control: per-host controller state
+    (observation count, failure count F, 2^F-weighted success mass S)
+    survives across micro-batches via ``applyInPandasWithState``, and
+    each arriving fetch outcome emits the host's updated rate — the
+    deferred-floor closed form of the batch ``politeness_aimd`` query
+    (ops/scheduling.py), so with in-order per-host arrival (the
+    ingestion contract for fetch outcomes) the streamed rows are
+    row-identical to the batch query's (tested across >=2
+    micro-batches). State is 3 integers per host, bounded forever."""
+    import hashlib as _hl
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from crawl4ai_spark.ops.scheduling import (
+        AIMD_A,
+        AIMD_MAX,
+        AIMD_MAXV,
+        AIMD_MIN,
+        AIMD_R0,
+    )
+
+    out_schema = StructType([
+        StructField("host_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("visit", LongType()),
+        StructField("fail", LongType()),
+        StructField("n_failures", LongType()),
+        StructField("rate", LongType()),
+        StructField("delay_ms", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("n_seen", LongType()),
+        StructField("f_cum", LongType()),
+        StructField("s_cum", LongType()),
+    ])
+
+    def fold(key, batches, state: GroupState):
+        (host_id,) = key
+        n, f, s = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in batches:
+            for eid in sorted(int(e) for e in pdf["event_id"]):
+                if n >= AIMD_MAXV:
+                    continue
+                n += 1
+                fail = int(_hl.md5(str(eid).encode())
+                           .hexdigest()[:2], 16) < 64
+                if fail:
+                    f += 1
+                else:
+                    s += 1 << f
+                rate = max(AIMD_MIN, min(AIMD_MAX,
+                                         (AIMD_R0 + AIMD_A * s) >> f))
+                rows.append([host_id, eid, n, int(fail), f, rate,
+                             1_000_000 // max(rate, 1)])
+        state.update((n, f, s))
+        yield pd.DataFrame(rows, columns=[
+            "host_id", "event_id", "visit", "fail", "n_failures",
+            "rate", "delay_ms"])
+
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .select(F.expr("user_id % 40").alias("host_id"), "event_id")
+    )
+    return ev.groupBy("host_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

@@ -94,3 +94,33 @@ def test_all_failure_host_floors():
         f += 1
         rate = max(AIMD_MIN, min(AIMD_MAX, (AIMD_R0 + AIMD_A * s) >> f))
     assert rate == AIMD_MIN
+
+
+def test_stream_aimd_matches_batch(spark, tmp_path):
+    """Per-host controller state survives micro-batch boundaries: events
+    split into two in-order files produce rows identical to the batch
+    query."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_politeness_aimd,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    d = tmp_path / "events"
+    # split by event_id halves: per-host arrival order == event order,
+    # and most hosts straddle the boundary (state must carry over)
+    ev.filter(F.col("event_id") <= mid).write.parquet(str(d / "b0"))
+    ev.filter(F.col("event_id") > mid).write.parquet(str(d / "b1"))
+
+    out = stream_politeness_aimd(spark, str(d / "*" / "*.parquet"))
+    run_stream_to_memory(out, "stream_aimd_t")
+    got = {(r.host_id, r.event_id): (r.visit, r.fail, r.n_failures,
+                                     r.rate, r.delay_ms)
+           for r in spark.sql("SELECT * FROM stream_aimd_t").collect()}
+    want = {(r.host_id, r.event_id): (r.visit, r.fail, r.n_failures,
+                                      r.rate, r.delay_ms)
+            for r in q_politeness_aimd(spark, SF).collect()}
+    assert got == want and got
