@@ -63,6 +63,12 @@ class CrawlConfig:
     # path stays byte-identical.
     respect_crawl_delay: bool = False
     crawl_delay_window_s: int = 20
+    # Registrable-domain budget sharing (ops/scheduling.py politeness_pld
+    # shape): when set, each generation splits this budget across the
+    # queued hosts of every registrable domain — a 5-subdomain farm gets
+    # pld_budget div 5 per host instead of 5 full budgets. Merged
+    # min-wise with backoff + Crawl-delay quotas. None = off.
+    pld_budget: int | None = None
     # DUST rewrite rules (ops/dustq.py mine_dust_rules output): learned
     # content-irrelevant params are stripped from DISCOVERED links right
     # after normalization, so variant URLs collapse to one frontier row
@@ -678,6 +684,27 @@ class SparkWebEngine:
                     host_quota = (host_quota.unionByName(cd)
                                   .groupBy("host")
                                   .agg(F.min("quota").alias("quota")))
+        if cfg.pld_budget is not None:
+            # registrable-domain budget split over THIS generation's
+            # queued hosts (the farm membership is frontier state, so it
+            # is recomputed per generation): one host aggregate + one pld
+            # aggregate over the candidate host dim — tiny both ways
+            from crawl4ai_spark.urls import base_domain
+            bd = F.udf(base_domain, "string")
+            hosts = (cand.select("host").distinct()
+                     .withColumn("__pld",
+                                 bd(F.concat(F.lit("https://"),
+                                             F.col("host"), F.lit("/")))))
+            npld = hosts.groupBy("__pld").agg(
+                F.count("*").alias("__n"))
+            pq = (hosts.join(F.broadcast(npld), "__pld")
+                  .select("host", F.expr(
+                      f"greatest(CAST(1 AS BIGINT),"
+                      f" CAST({cfg.pld_budget} AS BIGINT) div __n)")
+                      .alias("quota")))
+            host_quota = pq if host_quota is None else (
+                host_quota.unionByName(pq).groupBy("host")
+                .agg(F.min("quota").alias("quota")))
         # F13 fairness/aging (async_dispatcher.py:217-226) as a column in
         # the scheduling rank — starved URLs jump the queue, retried URLs
         # are demoted — instead of the reference's drain-and-reheap of the

@@ -46,3 +46,49 @@ def test_farm_budget_is_shared(spark):
     # co.uk-style second-level TLD keeps three labels
     for pld in couk:
         assert pld.count(".") == 2
+
+
+def test_engine_pld_budget_splits_farm(spark, tmp_path):
+    """A 3-subdomain farm under pld_budget=3 gets 1 fetch/host/generation
+    while a single-host domain keeps the full per-host budget."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.engine import CrawlConfig, SparkWebEngine
+
+    ts = datetime.datetime(2025, 1, 1)
+    mk = lambda body: f"<html><body>{body}</body></html>".encode()
+    farm_hosts = [f"b{i}.farm.example" for i in range(3)]
+    solo = "www.solo.example"
+    rows = []
+    links = "".join(
+        f'<a href="https://{h}/p{k}">x</a>'
+        for h in farm_hosts + [solo] for k in range(4))
+    rows.append((f"https://{solo}/", ts, mk(links), "root", "en"))
+    for h in farm_hosts + [solo]:
+        for k in range(4):
+            rows.append((f"https://{h}/p{k}", ts, mk(f"page {h} {k}"),
+                         f"{h} {k}", "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary,"
+        " text string, lang string")
+    seeds = spark.createDataFrame([(f"https://{solo}/", 0.0)],
+                                  ["url", "priority"])
+
+    eng = SparkWebEngine(spark, str(tmp_path / "s1"))
+    eng.run(pages, seeds,
+            config=CrawlConfig(max_depth=2, max_pages=60, pld_budget=3,
+                               include_external=True))
+    per_gen = (eng.results().filter("success")
+               .groupBy("host", "generation").count().collect())
+    farm_counts = [r["count"] for r in per_gen if r.host in farm_hosts]
+    solo_counts = [r["count"] for r in per_gen
+                   if r.host == solo and r.generation > 0]
+    assert farm_counts and max(farm_counts) <= 1   # 3-host farm → 1 each
+    assert solo_counts and max(solo_counts) >= 3   # solo pld → full quota
+    # the farm still completes — just over more generations
+    got = {r.url for r in eng.results().filter("success")
+           .select("url").collect()}
+    for h in farm_hosts:
+        assert {f"https://{h}/p{k}" for k in range(4)} <= got
