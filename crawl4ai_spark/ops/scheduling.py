@@ -911,6 +911,73 @@ FROM per_host h JOIN per_pld p USING (pld)
 """
 
 
+
+
+# --------------------------------------------------- capacity planning
+# Frontier capacity model: how many politeness-bound generations does
+# each host need to drain its queue, and which host is the crawl's
+# BOTTLENECK? Composes two oracled operators — per-host queue depth and
+# the AIMD controller's final converged rate (politeness_aimd) — into
+# the planning query an operator runs before a drain: quota_h =
+# clamp(final_rate div 1000), gens_h = ceil(queue/quota), bottleneck =
+# argmax gens. Scale shape: one host aggregate + the AIMD windows +
+# a max-struct fold for the final rate + a 1-row global-max broadcast.
+
+CAP_QUOTA_MAX = 16
+
+
+def q_crawl_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    queue = (ev.select(F.expr("user_id % 40").alias("host_id"))
+             .groupBy("host_id")
+             .agg(F.count("*").cast("long").alias("n_queued")))
+    aimd = q_politeness_aimd(spark, sf_dir)
+    final = (aimd.groupBy("host_id")
+             .agg(F.max(F.struct("visit", "rate")).alias("__last"))
+             .select("host_id", F.col("__last.rate").alias("final_rate")))
+    j = (queue.join(final, "host_id")
+         .withColumn("quota", F.expr(
+             f"greatest(CAST(1 AS BIGINT),"
+             f" least(CAST({CAP_QUOTA_MAX} AS BIGINT),"
+             f" final_rate div 1000))"))
+         .withColumn("gens_to_drain",
+                     F.expr("(n_queued + quota - 1) div quota")))
+    worst = j.agg(F.max("gens_to_drain").alias("__worst"))
+    return (j.join(F.broadcast(worst))
+            .withColumn("is_bottleneck",
+                        F.expr("gens_to_drain = __worst"))
+            .select("host_id", "n_queued", "final_rate", "quota",
+                    "gens_to_drain", "is_bottleneck"))
+
+
+SQL_CRAWL_CAPACITY_PLAN = f"""
+WITH aimd AS ({SQL_POLITENESS_AIMD}),
+queue AS (
+  SELECT user_id % 40 AS host_id, CAST(count(*) AS BIGINT) AS n_queued
+  FROM events GROUP BY user_id % 40
+),
+fin AS (
+  SELECT host_id,
+         max(struct_pack(visit := visit, rate := rate)).rate AS final_rate
+  FROM aimd GROUP BY host_id
+),
+j AS (
+  SELECT q.host_id, q.n_queued, f.final_rate,
+         greatest(CAST(1 AS BIGINT),
+                  least(CAST({CAP_QUOTA_MAX} AS BIGINT),
+                        f.final_rate // 1000)) AS quota
+  FROM queue q JOIN fin f USING (host_id)
+),
+g AS (
+  SELECT *, (n_queued + quota - 1) // quota AS gens_to_drain FROM j
+),
+w AS (SELECT max(gens_to_drain) AS worst FROM g)
+SELECT g.host_id, g.n_queued, g.final_rate, g.quota, g.gens_to_drain,
+       g.gens_to_drain = w.worst AS is_bottleneck
+FROM g, w
+"""
+
+
 QUERIES = {
     "url_normalize": q_url_normalize,
     "url_canonical_groups": q_url_canonical_groups,
@@ -927,6 +994,7 @@ QUERIES = {
     "robots_crawl_delay": q_robots_crawl_delay,
     "politeness_pld": q_politeness_pld,
     "robots_wildcards": q_robots_wildcards,
+    "crawl_capacity_plan": q_crawl_capacity_plan,
 }
 ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
@@ -944,4 +1012,5 @@ ORACLES = {
     "robots_crawl_delay": SQL_ROBOTS_CRAWL_DELAY,
     "politeness_pld": SQL_POLITENESS_PLD,
     "robots_wildcards": SQL_ROBOTS_WILDCARDS,
+    "crawl_capacity_plan": SQL_CRAWL_CAPACITY_PLAN,
 }

@@ -124,3 +124,29 @@ def test_stream_aimd_matches_batch(spark, tmp_path):
                                       r.rate, r.delay_ms)
             for r in q_politeness_aimd(spark, SF).collect()}
     assert got == want and got
+
+
+def test_capacity_plan_invariants(spark):
+    """Capacity model: quotas derive from the AIMD final rates, drain
+    estimates are exact ceilings, exactly the argmax rows flag as the
+    bottleneck."""
+    from crawl4ai_spark.ops.scheduling import (
+        CAP_QUOTA_MAX,
+        q_crawl_capacity_plan,
+    )
+
+    rows = q_crawl_capacity_plan(spark, SF).collect()
+    assert rows
+    finals = {}
+    for r in q_politeness_aimd(spark, SF).collect():
+        cur = finals.get(r.host_id)
+        if cur is None or r.visit > cur[0]:
+            finals[r.host_id] = (r.visit, r.rate)
+    worst = max(r.gens_to_drain for r in rows)
+    for r in rows:
+        assert r.final_rate == finals[r.host_id][1]
+        assert r.quota == max(1, min(CAP_QUOTA_MAX, r.final_rate // 1000))
+        assert r.gens_to_drain == -(-r.n_queued // r.quota)
+        assert r.is_bottleneck == (r.gens_to_drain == worst)
+    assert any(r.is_bottleneck for r in rows)
+    assert not all(r.is_bottleneck for r in rows)
