@@ -63,6 +63,13 @@ class CrawlConfig:
     # path stays byte-identical.
     respect_crawl_delay: bool = False
     crawl_delay_window_s: int = 20
+    # Robots matching dialect: "robotparser" (stdlib prefix semantics —
+    # reference parity, the default) or "rfc9309" (modern REP: '*'/'$'
+    # wildcards, longest-match precedence, Allow wins ties — rules
+    # compiled once per run, gate is the native max-struct fold in
+    # ops/scheduling.rfc9309_decision). Identical on wildcard-free
+    # robots files (tested).
+    robots_dialect: str = "robotparser"
     # Registrable-domain budget sharing (ops/scheduling.py politeness_pld
     # shape): when set, each generation splits this budget across the
     # queued hosts of every registrable domain — a 5-subdomain farm gets
@@ -747,9 +754,30 @@ class SparkWebEngine:
             if cfg.robots_ttl_s is not None and "fetch_time" in robots.columns:
                 cutoff = time.time() - cfg.robots_ttl_s
                 rb = robots.filter(F.col("fetch_time") >= F.lit(cutoff))
-            batch = POL.robots_allowed_col(
-                batch, rb, user_agent=cfg.user_agent
-            )
+            if cfg.robots_dialect == "rfc9309":
+                # modern REP gate: wildcard rules compiled ONCE per run
+                # (bounded per-host dim), decision = native broadcast
+                # join + max-struct precedence fold — no per-row python
+                from crawl4ai_spark.ops.scheduling import rfc9309_decision
+                rules = getattr(self, "_rfc_rules", None)
+                if rules is None:
+                    rows = POL.compile_rfc9309_rules(
+                        rb, user_agent=cfg.user_agent).collect()
+                    rules = self.spark.createDataFrame(
+                        rows, "host string, pattern string, allow boolean"
+                    ) if rows else self.spark.createDataFrame(
+                        [], "host string, pattern string, allow boolean")
+                    self._rfc_rules = rules
+                batch = (rfc9309_decision(
+                    batch.withColumn("path", F.expr(
+                        "coalesce(nullif(regexp_replace(url,"
+                        " '^[A-Za-z]+://[^/]*', ''), ''), '/')")), rules)
+                    .withColumnRenamed("allow", "robots_allowed")
+                    .drop("matched_pattern", "path"))
+            else:
+                batch = POL.robots_allowed_col(
+                    batch, rb, user_agent=cfg.user_agent
+                )
         else:
             batch = batch.withColumn("robots_allowed", F.lit(True))
         return batch, known_empty

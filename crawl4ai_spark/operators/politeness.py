@@ -262,6 +262,69 @@ def crawl_delay_table(robots: DataFrame, *,
                               "host string, crawl_delay long, quota long")
 
 
+def compile_rfc9309_rules(robots: DataFrame, *,
+                          user_agent: str = "crawl4ai-spark",
+                          host_col: str = "host") -> DataFrame:
+    """Parse robots.txt bodies into RFC 9309 rule rows (host, pattern,
+    allow) for ``rfc9309_decision`` (ops/scheduling.py): groups are
+    consecutive User-agent lines followed by their rules; the applicable
+    group is a specific matching UA group when one exists, else ``*``;
+    comments and empty Disallow lines drop. Patterns keep their '*'/'$'
+    wildcards — the whole point of the dialect; one Arrow pass over the
+    per-host robots dim, like compile_robots_rules."""
+
+    def parse_groups(text: str):
+        groups = []
+        agents: list[str] = []
+        rules: list[tuple[str, bool]] = []
+        seen_rule = False
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            k, _, v = line.partition(":")
+            k, v = k.strip().lower(), v.strip()
+            if k == "user-agent":
+                if seen_rule:
+                    groups.append((agents, rules))
+                    agents, rules, seen_rule = [], [], False
+                agents.append(v.lower())
+            elif k in ("allow", "disallow"):
+                if v:
+                    rules.append((v, k == "allow"))
+                seen_rule = True
+        if agents or rules:
+            groups.append((agents, rules))
+        return groups
+
+    def one(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        token = user_agent.split("/")[0].lower()
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf["rules"]):
+                if body is None or (isinstance(body, float)
+                                    and pd.isna(body)):
+                    continue
+                groups = parse_groups(str(body))
+                chosen = None
+                for agents, rules in groups:
+                    if any(a != "*" and a in token for a in agents):
+                        chosen = rules
+                        break
+                if chosen is None:
+                    for agents, rules in groups:
+                        if "*" in agents:
+                            chosen = rules
+                            break
+                for pattern, allow in chosen or []:
+                    rows.append((host, pattern, allow))
+            yield pd.DataFrame(rows, columns=["host", "pattern", "allow"])
+
+    return robots.select(F.col(host_col).alias("host"), "rules") \
+                 .mapInPandas(one, "host string, pattern string,"
+                                   " allow boolean")
+
+
 # printable-ASCII chars urllib.parse.quote(safe='/') percent-encodes,
 # except '%' itself (%-bearing URLs are outside the native parity domain
 # and route to the robotparser fill). Replacements only introduce
