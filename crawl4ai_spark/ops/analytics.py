@@ -391,6 +391,127 @@ JOIN h{HITS_ITERS} h ON h.node = n.node
 
 
 # ---------------------------------------------------------------------------
+# SALSA (Lempel & Moran, WWW 2000) over the same click graph — the
+# DEGREE-NORMALIZED sibling of HITS: each half-step divides a node's score
+# by its degree before propagating, which is what defeats the Tightly-Knit
+# Community effect (a dense clique no longer amplifies itself — HITS'
+# known failure mode, the reason LinkedIn/Twitter's production "who to
+# follow" ran SALSA, not HITS). Same bipartite hub/authority structure;
+# the stationary distribution is the random walk that alternates one
+# backward and one forward edge step.
+#
+# Exact-integer scheme (the OPIC share device + the HITS norm device):
+#   share_h(i) = h(i) div outdeg(i)   [integer div — the remainder is
+#   dropped identically in both engines, the OPIC discipline]
+#   a_raw(j)   = Σ_{(i,j)∈E} share_h(i)   (edge multiplicity kept)
+#   a          = a_raw * 1e6 div max(a_raw)     [HITS max-normalization]
+#   share_a(j) = a(j) div indeg(j);  h_raw, h symmetrically.
+#
+# Scale shape per round: identical to a HITS round — two equi-joins on
+# the edge keys + two node aggregates + two 1-row broadcast maxes; the
+# degree tables are node-keyed and broadcast-sized at any realistic node
+# count (they are aggregates, not edge-sized). Nothing here is new
+# shuffle mass over HITS: the div-by-degree runs inside the same
+# projection as the join.
+# ---------------------------------------------------------------------------
+
+SALSA_ITERS = 3
+
+
+def q_events_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA after SALSA_ITERS rounds: salsa_authority_e6 / salsa_hub_e6
+    per node. Distinct from HITS by the per-degree normalization BEFORE
+    propagation (TKC-resistant); max-normalized per half-round so every
+    score stays an exact nonnegative integer cross-engine."""
+    nodes, edges, outdeg = _pr_graph(spark, sf_dir)
+    indeg = edges.groupBy(F.col("dst").alias("node")) \
+                 .agg(F.count("*").alias("di"))
+    h = nodes.withColumn("h", F.lit(1_000_000).cast("long"))
+    a = None
+    for _ in range(SALSA_ITERS):
+        share_h = (h.join(outdeg.withColumnRenamed("src", "node"), "node")
+                    .select(F.col("node").alias("src"),
+                            F.expr("h div d").alias("sh")))
+        a_raw = (edges.join(share_h, "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("sh").alias("s")))
+        a_raw = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("raw"))
+        a = _hits_scale_to_max(a_raw, "a")
+        share_a = (a.join(indeg, "node")
+                    .select(F.col("node").alias("dst"),
+                            F.expr("a div di").alias("sa")))
+        h_raw = (edges.join(share_a, "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("sa").alias("s")))
+        h_raw = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("raw"))
+        h = _hits_scale_to_max(h_raw, "h")
+    return nodes.join(a, "node").join(h, "node").select(
+        F.col("node").cast("long"),
+        F.col("a").cast("long").alias("salsa_authority_e6"),
+        F.col("h").cast("long").alias("salsa_hub_e6"))
+
+
+def _sql_salsa_round(prev_h: str, t: int) -> str:
+    return f"""
+sa{t}_raw AS (
+  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS raw
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst, sum(p.h // od.d) AS s
+             FROM edges e
+             JOIN {prev_h} p ON p.node = e.src
+             JOIN outdeg od ON od.src = e.src
+             GROUP BY e.dst) s ON s.dst = n.node
+), sa{t} AS (
+  SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM sa{t}_raw)
+               AS BIGINT) AS a
+  FROM sa{t}_raw
+), sh{t}_raw AS (
+  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS raw
+  FROM nodes n
+  LEFT JOIN (SELECT e.src, sum(p.a // ind.di) AS s
+             FROM edges e
+             JOIN sa{t} p ON p.node = e.dst
+             JOIN indeg ind ON ind.dst = e.dst
+             GROUP BY e.src) s ON s.src = n.node
+), sh{t} AS (
+  SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM sh{t}_raw)
+               AS BIGINT) AS h
+  FROM sh{t}_raw
+)"""
+
+
+SQL_EVENTS_SALSA = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT src, dst FROM e0 WHERE dst IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), outdeg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), indeg AS (
+  SELECT dst, count(*) AS di FROM edges GROUP BY dst
+), sh0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes
+),{",".join(_sql_salsa_round(f"sh{i}", i + 1) for i in range(SALSA_ITERS))}
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(a.a AS BIGINT) AS salsa_authority_e6,
+       CAST(h.h AS BIGINT) AS salsa_hub_e6
+FROM nodes n
+JOIN sa{SALSA_ITERS} a ON a.node = n.node
+JOIN sh{SALSA_ITERS} h ON h.node = n.node
+"""
+
+
+# ---------------------------------------------------------------------------
 # OPIC — On-line Page Importance Computation (Abiteboul, Preda & Cobena,
 # WWW 2003): the page-importance measure designed FOR crawlers — importance
 # accrues while the crawl runs (cash + history) instead of requiring a
@@ -877,6 +998,7 @@ QUERIES = {
     "events_windowed_counts": q_events_windowed_counts,
     "events_pagerank": q_events_pagerank,
     "events_hits": q_events_hits,
+    "events_salsa": q_events_salsa,
     "events_opic": q_events_opic,
     "events_trustrank": q_events_trustrank,
     "events_labelprop": q_events_labelprop,
@@ -891,6 +1013,7 @@ ORACLES = {
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "events_pagerank": SQL_EVENTS_PAGERANK,
     "events_hits": SQL_EVENTS_HITS,
+    "events_salsa": SQL_EVENTS_SALSA,
     "events_opic": SQL_EVENTS_OPIC,
     "events_trustrank": SQL_EVENTS_TRUSTRANK,
     "events_labelprop": SQL_EVENTS_LABELPROP,

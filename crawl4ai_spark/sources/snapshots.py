@@ -219,12 +219,31 @@ class SnapshotStore:
         os.replace(tmp, path)
 
     # -- read ------------------------------------------------------------------
+    def reset(self, table: str) -> int:
+        """Publish an EMPTY snapshot (no data dirs): the table reads as
+        absent again, but its history stays on disk for vacuum/audit. This
+        is how a non-resume run over a dirty store truncates state tables —
+        without it, append-mode commits would carry the previous crawl's
+        dirs forward and a restarted crawl would silently merge stale
+        results/backoff state into the new one."""
+        prev = self.latest_id(table)
+        sid = 0 if prev is None else prev + 1
+        os.makedirs(self._manifest_dir(table), exist_ok=True)
+        manifest = {"id": sid, "dirs": [], "meta": {}, "schema": None}
+        tmp = self._manifest_path(table, sid) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table, sid))
+        return sid
+
     def read(self, spark: SparkSession, table: str,
              snapshot_id: int | None = None) -> DataFrame | None:
         sid = snapshot_id if snapshot_id is not None else self.latest_id(table)
         if sid is None:
             return None
         m = self._read_manifest(table, sid)
+        if not m["dirs"]:  # reset marker — the table reads as absent
+            return None
         if m.get("schema"):
             # manifest-recorded schema (see commit): no footer-scan
             # inference job; files missing newer columns null-fill, files

@@ -513,3 +513,32 @@ def test_unbounded_max_pages_drains_without_takeordered(spark, pages, tmp_store)
     assert n > 0
     # every reachable page was drained (4 hosts x 15 pages incl. 404 edges)
     assert res.filter(F.col("success")).count() > 0
+
+
+# ---------------------------------------------------------------- T16 -------
+def test_restart_on_dirty_store_equals_fresh(spark, pages, tmp_store):
+    """A NON-resume run over a store that already holds a finished crawl
+    must produce exactly the fresh-store result set. Before the store
+    reset() this bled state two ways: append-mode manifests carried the
+    previous crawl's results dirs forward (generation numbering restarts
+    at 0, so filter(generation == gen) merged old rows into the new
+    crawl's host_state fold) and update_host_state seeded the restart with
+    stale backoff delays — observed as a phantom extra retry row."""
+    import os
+
+    robots = generate_robots(spark, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, n_hosts=N_HOSTS)
+    cfg = CrawlConfig(max_depth=3, max_pages=500, per_host_quota=10)
+
+    root = os.path.join(tmp_store, "restart")
+    res1 = SparkWebEngine(spark, root).run(pages, seeds, robots=robots,
+                                           config=cfg)
+    first = {(r.url, r.generation, r.status_code) for r in res1.collect()}
+
+    eng2 = SparkWebEngine(spark, root)  # same store, resume NOT requested
+    res2 = eng2.run(pages, seeds, robots=robots, config=cfg)
+    second = {(r.url, r.generation, r.status_code) for r in res2.collect()}
+    assert second == first
+    # the restart must also have truncated the backoff table: a fresh
+    # crawl on this corpus tracks hosts only from its OWN 429/503s
+    assert int(eng2.store.meta("frontier").get("generation", -2)) >= 0
