@@ -1471,6 +1471,9 @@ def sniff_mime(df: DataFrame, payload_col: str = "payload") -> DataFrame:
               == F.lit(bytes([0xFF, 0xD8, 0xFF])), "image/jpeg")
         .when(F.expr(f"substring({p}, 5, 4)") == F.lit(b"ftyp"),
               "video/mp4")
+        .when((F.expr(f"substring({p}, 1, 6)") == F.lit(b"GIF87a"))
+              | (F.expr(f"substring({p}, 1, 6)") == F.lit(b"GIF89a")),
+              "image/gif")
         .otherwise("application/octet-stream")
     )
     well_formed = (
@@ -1480,6 +1483,9 @@ def sniff_mime(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(mime == "image/jpeg",
               F.expr(f"substring({p}, length({p}) - 1, 2)")
               == F.lit(bytes([0xFF, 0xD9])))
+        .when(mime == "image/gif",
+              F.expr(f"substring({p}, length({p}), 1)")
+              == F.lit(bytes([0x3B])))
         .otherwise(F.lit(True))
     )
     return df.withColumn("mime", mime).withColumn("well_formed", well_formed)
@@ -1503,6 +1509,240 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL GIF87a decode (r5): from-scratch writer + FULLY GENERAL LZW decoder
+# in the WAV/BMP/PNG/JPEG discipline. The decoder implements the complete
+# GIF-LZW algorithm (variable code width 3..12 bits LSB-first, clear/EOI
+# codes, dictionary growth, the KwKwK self-reference case, extension-block
+# skipping) — generality is proven in tests/test_multimodal_gif.py against
+# an INDEPENDENT greedy LZW compressor. The WRITER, by contrast, emits a
+# degenerate-but-valid stream: a Clear code before every pixel literal, so
+# the dictionary never grows, the code width stays 3 bits, and the encoded
+# length is AFFINE in the pixel count — that is what makes the DuckDB
+# oracle construction-derivable:
+#     codes = 2*npix + 1 (leading Clear, npix literals, npix-1 interleaved
+#             Clears, EOI), data_bytes = (3*codes + 7) div 8
+#     blob  = 38 + data_bytes + ceil(data_bytes/255)
+#             (6 hdr + 7 LSD + 12 GCT(4 entries) + 10 img desc + 1 min-code
+#              + sub-block length prefixes + terminator + trailer)
+# Pixels: index p_j = (doc_id + j) % 4 over a 4-entry palette
+#     palette[c] = ((c*85)%256, (c*60+doc_id)%256, (c*30+2*doc_id)%256)
+# so idx_sum and the decoded RGB pixel_sum replay in pure SQL arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def build_gif(doc_id: int) -> bytes:
+    """GIF87a with a 4-entry global palette and a clear-per-pixel LZW
+    stream (valid for any decoder; affine length for the oracle)."""
+    i = doc_id
+    w, h = 4 + i % 9, 3 + i % 5
+    npix = w * h
+    pal = b"".join(
+        bytes(((c * 85) % 256, (c * 60 + i) % 256, (c * 30 + 2 * i) % 256))
+        for c in range(4))
+    out = bytearray()
+    out += b"GIF87a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes((0xF1, 0, 0))          # GCT present, 4 entries
+    out += pal
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") \
+        + h.to_bytes(2, "little") + b"\x00"
+    out.append(2)                        # LZW min code size
+    # bit-pack LSB-first: Clear(4), p0, Clear, p1, ..., p_last, EOI(5)
+    codes = [4]
+    for j in range(npix):
+        if j:
+            codes.append(4)
+        codes.append((i + j) % 4)
+    codes.append(5)
+    acc = n_acc = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << n_acc
+        n_acc += 3
+        while n_acc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        data.append(acc & 0xFF)
+    for off in range(0, len(data), 255):
+        chunk = data[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)                        # block terminator
+    out.append(0x3B)                     # trailer
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> dict:
+    """General GIF87a/89a parser + full LZW decode of the first image:
+    returns width/height, palette-index list, and the RGB pixel sum.
+    Raises ValueError on malformed framing (truncation detector at the
+    scan side, like parse_png/parse_jpeg)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w_screen = int.from_bytes(payload[6:8], "little")
+    h_screen = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated: no image block")
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            raise ValueError("trailer before image data")
+        if b0 == 0x21:                  # extension: skip sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected block 0x{b0:02x}")
+        break
+    w = int.from_bytes(payload[pos + 4:pos + 6], "little")
+    h = int.from_bytes(payload[pos + 6:pos + 8], "little")
+    ipacked = payload[pos + 8]
+    pos += 9
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    pal = gct
+    if ipacked & 0x80:                  # local color table wins
+        n = 2 << (ipacked & 0x07)
+        pal = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("no color table")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        data += payload[pos:pos + ln]
+        pos += ln
+    # --- general LZW (variable width, clear, EOI, KwKwK) ---
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
+    acc = n_acc = bit = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << n_acc
+        n_acc += 8
+        while n_acc >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_acc -= width
+            bit += width
+            if code == clear:
+                table = table[:(1 << min_code) + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                n_acc = 0
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):     # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            prev = entry
+            # the decoder's table trails the encoder's by exactly one code
+            # (the entry for code k is created while processing code k+1),
+            # so the width bump fires one entry BEFORE the table fills —
+            # the standard GIF "early change at 2^w - 1" decoder rule
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    if len(out) != w * h:
+        raise ValueError(f"decoded {len(out)} pixels, want {w * h}")
+    psum = sum(pal[3 * p] + pal[3 * p + 1] + pal[3 * p + 2] for p in out)
+    return {"width": w, "height": h, "screen": (w_screen, h_screen),
+            "indices": bytes(out), "idx_sum": sum(out), "pixel_sum": psum}
+
+
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF writer→LZW-decoder roundtrip per doc: one Arrow stage builds
+    the real bytes and decodes them back; the oracle replays blob length,
+    index sum, and the decoded RGB pixel sum from the construction
+    arithmetic alone (see module comment for the affine-length scheme)."""
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("idx_sum", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_gif(i)
+                r = parse_gif(blob)
+                rows.append({
+                    "doc_id": i, "n_bytes": len(blob),
+                    "width": r["width"], "height": r["height"],
+                    "idx_sum": r["idx_sum"], "pixel_sum": r["pixel_sum"]})
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema)
+
+
+SQL_MULTIMODAL_GIF = """
+WITH base AS (
+  SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+         (4 + doc_id % 9) * (3 + doc_id % 5) AS npix
+  FROM documents
+), sized AS (
+  SELECT doc_id, w, h, npix,
+         (3 * (2 * npix + 1) + 7) // 8 AS data_bytes
+  FROM base
+), px AS (
+  SELECT s.doc_id,
+         (s.doc_id + j.j) % 4 AS p
+  FROM sized s, unnest(range(s.npix)) j(j)
+), sums AS (
+  SELECT doc_id,
+         CAST(sum(p) AS BIGINT) AS idx_sum,
+         CAST(sum((p * 85) % 256 + (p * 60 + doc_id) % 256
+                  + (p * 30 + 2 * doc_id) % 256) AS BIGINT) AS pixel_sum
+  FROM px GROUP BY doc_id
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(38 + s.data_bytes + (s.data_bytes + 254) // 255 AS BIGINT)
+         AS n_bytes,
+       CAST(s.w AS INT) AS width, CAST(s.h AS INT) AS height,
+       m.idx_sum, m.pixel_sum
+FROM sized s JOIN sums m USING (doc_id)
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
@@ -1510,6 +1750,7 @@ QUERIES = {
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_gif": q_multimodal_gif,
     "mime_sniff": q_mime_sniff,
 }
 ORACLES = {
@@ -1518,6 +1759,7 @@ ORACLES = {
     "multimodal_mp4_frames": SQL_MULTIMODAL_MP4_FRAMES,
     "multimodal_decode_real": SQL_MULTIMODAL_DECODE_REAL,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "multimodal_gif": SQL_MULTIMODAL_GIF,
     "mime_sniff": SQL_MIME_SNIFF,
     # multimodal_decode_stub: rows-only (decode stub is not SQL-expressible)
 }
