@@ -319,11 +319,123 @@ FROM c0 JOIN c{KCORE_ITERS} ON c{KCORE_ITERS}.node = c0.node
 )
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient — the third classic
+# whole-graph statistic next to HyperBall centrality and k-core, and the
+# standard web/social-graph community-density signal (a link farm's
+# signature is a near-clique: triangle density far above its degree would
+# predict).
+#
+# Algorithm: the degree-ordered edge-iterator (the MapReduce-canonical
+# scheme of Suri & Vassilvitskii, WWW 2011). Rank every node by
+# (degree, node); keep each undirected edge only as its low→high arc.
+# Every triangle u≺v≺w is then found EXACTLY once, as the wedge
+# (u→v, u→w) closed by the arc v→w — two self-joins, no dedup pass.
+# The orientation is also the scale device: each wedge list is the
+# out-list of the LOWEST-ranked corner, and degree-ordering bounds
+# oriented out-degree by O(sqrt(m)) — the hub that would explode a naive
+# neighbor join enumerates no wedges at all because every neighbor
+# outranks it.
+#
+# Rank is packed as d * 2^32 + node so the lexicographic compare is one
+# BIGINT comparison in both engines (node ids < 2^32 here; at true web
+# scale widen to a struct compare — semantics identical).
+# cc_e6 = 2*T*1e6 div (d*(d-1)): exact integer in both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient of the
+    (undirected, simplified) events click graph."""
+    nodes, edges0, _ = _pr_graph(spark, sf_dir)
+    ue = _undirected(edges0)
+    deg = ue.groupBy("src").agg(F.count("*").cast("long").alias("d")) \
+            .withColumnRenamed("src", "node")
+    rk = deg.select("node", F.expr("d * 4294967296 + node").alias("rk"))
+    oe = (ue.join(rk.withColumnRenamed("node", "src")
+                    .withColumnRenamed("rk", "rks"), "src")
+            .join(rk.withColumnRenamed("node", "dst")
+                    .withColumnRenamed("rk", "rkd"), "dst")
+            .filter(F.col("rks") < F.col("rkd"))
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                    F.col("rkd").alias("rkv")))
+    e2 = oe.select(F.col("u"), F.col("v").alias("w"),
+                   F.col("rkv").alias("rkw"))
+    wedges = (oe.join(e2, "u")
+                .filter(F.col("rkv") < F.col("rkw"))
+                .select("u", "v", "w"))
+    closing = oe.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    corners = (tri.select(F.col("u").alias("node"))
+               .unionAll(tri.select(F.col("v").alias("node")))
+               .unionAll(tri.select(F.col("w").alias("node"))))
+    cnt = corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_tri"))
+    return (nodes.join(deg, "node", "left").join(cnt, "node", "left")
+            .select(F.col("node").cast("long"),
+                    F.coalesce("d", F.lit(0)).cast("long").alias("degree"),
+                    F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"))
+            .withColumn("cc_e6", F.expr(
+                "CASE WHEN degree >= 2"
+                " THEN 2 * n_tri * 1000000 div (degree * (degree - 1))"
+                " ELSE 0 END").cast("long")))
+
+
+SQL_EVENTS_TRIANGLES = (
+    "WITH " + _SQL_GRAPH + """,
+ue AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+  ) b WHERE src <> dst
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM ue GROUP BY src
+),
+rk AS (SELECT node, d * 4294967296 + node AS rk FROM deg),
+oe AS (
+  SELECT e.src AS u, e.dst AS v, rd.rk AS rkv
+  FROM ue e
+  JOIN rk rs ON rs.node = e.src
+  JOIN rk rd ON rd.node = e.dst
+  WHERE rs.rk < rd.rk
+),
+tri AS (
+  SELECT w1.u, w1.v, w2.v AS w
+  FROM oe w1
+  JOIN oe w2 ON w2.u = w1.u AND w1.rkv < w2.rkv
+  JOIN oe c ON c.u = w1.v AND c.v = w2.v
+),
+corners AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+),
+cnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY node
+)
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+       CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN coalesce(deg.d, 0) >= 2
+                 THEN 2 * coalesce(cnt.n_tri, 0) * 1000000
+                      // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS cc_e6
+FROM nodes n
+LEFT JOIN deg ON deg.node = n.node
+LEFT JOIN cnt ON cnt.node = n.node
+"""
+)
+
+
 QUERIES = {
     "events_harmonic_hyperball": q_events_harmonic_hyperball,
     "events_kcore": q_events_kcore,
+    "events_triangles": q_events_triangles,
 }
 ORACLES = {
     "events_harmonic_hyperball": SQL_EVENTS_HARMONIC_HYPERBALL,
     "events_kcore": SQL_EVENTS_KCORE,
+    "events_triangles": SQL_EVENTS_TRIANGLES,
 }

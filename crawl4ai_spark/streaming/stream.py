@@ -681,6 +681,51 @@ def stream_sitemap_reconcile(spark: SparkSession, sitemap_dir: str,
                         F.expr("verdict IN ('missing', 'stale')")))
 
 
+def stream_decontaminate_gate(spark: SparkSession, docs_dir: str,
+                              bench_grams: list[str]) -> DataFrame:
+    """Streaming benchmark-decontamination admission: the batch-calibrate /
+    stream-apply twin of ``ops/pipelineq.q_decontaminate``. The held-out
+    eval set's distinct word n-grams are computed BATCH-side and broadcast
+    into the stream as one literal array; each arriving corpus document
+    then computes its own distinct grams in-row (the exact batch
+    expression) and counts collisions via ``array_intersect`` — a
+    STATELESS per-row verdict, no streaming aggregate, no state, no
+    shuffle (the C4-gate discipline: when everything the verdict needs
+    lives in the doc's own row, higher-order array expressions replace the
+    join+groupBy). ``accept`` = zero eval-gram overlap — the Lee et al. /
+    GPT-3 contamination rule applied at ingest time. At a benchmark set
+    too large for a literal array, swap the intersect for a broadcast
+    Bloom membership column — the verdict stays row-local either way.
+
+    Streamed (doc_id, n_grams, n_hits) rows are row-identical to the
+    batch query's contaminated set (tested), and accept mirrors its
+    complement over the corpus docs."""
+    from crawl4ai_spark.ops.pipelineq import DECON_BENCH_MOD, DECON_N
+
+    docs = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string,"
+                " n_chars long")
+        .parquet(docs_dir)
+    )
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    bench = F.lit(sorted(bench_grams))
+    return (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.expr(f"size(toks) >= {DECON_N}"))
+        .select("doc_id", F.expr(
+            f"array_distinct(transform(sequence(1, size(toks) - {DECON_N - 1}),"
+            f" i -> array_join(slice(toks, i, {DECON_N}), ' ')))"
+        ).alias("grams"))
+        .select("doc_id",
+                F.size("grams").cast("long").alias("n_grams"),
+                F.size(F.array_intersect("grams", bench))
+                 .cast("long").alias("n_hits"))
+        .withColumn("accept", F.col("n_hits") == 0)
+    )
+
+
 def stream_c4_gate(spark: SparkSession, docs_dir: str) -> DataFrame:
     """Streaming C4 admission: arriving documents pass the full C4 rule
     set (ops/cleanq.py q_c4_clean — injected sentence structure, line

@@ -398,3 +398,44 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path_factory):
             for r in q_dedup_incremental(spark, sf).collect()}
     assert got == want
     assert {v for v, _ in got.values()} == {"exact", "near", "new"}
+
+
+def test_stream_decontaminate_gate_matches_batch(spark, tmp_path_factory):
+    """Streaming contamination verdicts with batch-calibrated eval grams:
+    streamed (n_grams, n_hits) must equal the batch q_decontaminate rows
+    byte-for-byte on the contaminated set, and accept must be exactly its
+    complement over the corpus docs."""
+    import shutil
+
+    from crawl4ai_spark.ops.pipelineq import (
+        DECON_BENCH_MOD, DECON_N, q_decontaminate)
+    from crawl4ai_spark.streaming.stream import stream_decontaminate_gate
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("decon"))
+    shutil.copy(f"{sf}/documents.parquet", f"{d}/documents.parquet")
+
+    batch = {r.doc_id: (r.n_grams, r.n_hits)
+             for r in q_decontaminate(spark, sf).collect()}
+    # calibrate the bench gram set exactly as the batch query does
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from pyspark.sql import functions as F
+    g = (docs.select("doc_id", F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"))
+         .filter(F.expr(f"size(toks) >= {DECON_N}"))
+         .filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+         .select(F.explode(F.expr(
+             f"array_distinct(transform(sequence(1, size(toks) - {DECON_N - 1}),"
+             f" i -> array_join(slice(toks, i, {DECON_N}), ' ')))"))
+             .alias("gram")).distinct())
+    bench_grams = [r.gram for r in g.collect()]
+    assert len(bench_grams) > 100
+
+    out = stream_decontaminate_gate(spark, d, bench_grams)
+    run_stream_to_memory(out, "stream_decon_t")
+    rows = spark.sql("SELECT * FROM stream_decon_t").collect()
+    hit_stream = {r.doc_id: (r.n_grams, r.n_hits) for r in rows if r.n_hits}
+    assert hit_stream == batch
+    accepted = {r.doc_id for r in rows if r.accept}
+    assert accepted and accepted.isdisjoint(batch)
+    assert accepted | set(batch) == {r.doc_id for r in rows}
