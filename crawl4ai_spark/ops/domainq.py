@@ -167,13 +167,87 @@ FROM docs d JOIN rules r USING (domain)
 """
 
 
+# ------------------------------------------------------- concentration Gini
+# Corpus-concentration report: the Gini coefficient of per-domain doc and
+# char counts — the one-number answer to "is this crawl a few mega-hosts
+# in a trench coat?" (the FineWeb/C4 domain-cap rules exist precisely
+# because raw crawls sit near G ≈ 0.7+). Exact integers: with x_1 <= ...
+# <= x_n the sorted per-domain counts,
+#     G_e6 = (2*Σ i*x_i - (n+1)*Σ x_i) * 1e6 div (n * Σ x_i)
+# Σ i*x_i is invariant to tie order (equal x), so the deterministic
+# (count, domain) sort can't diverge cross-engine.
+#
+# Scale shape: the ranking window runs over the DOMAIN AGGREGATE
+# (O(#domains) rows, one partition — fine at 10^8 domains since only two
+# BIGINTs per row survive the groupBy), never over documents.
+# ---------------------------------------------------------------------------
+
+
+def q_domain_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus concentration card: Gini of per-domain doc counts
+    and of per-domain char mass, plus the top-domain share (e6)."""
+    stats = (_docs_with_domain(spark, sf_dir)
+             .groupBy("domain")
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.sum("n_chars").cast("long").alias("n_chars")))
+
+    def gini(col: str) -> F.Column:
+        w = Window.orderBy(F.col(col).asc(), F.col("domain").asc())
+        return F.row_number().over(w).alias(f"i_{col}")
+
+    ranked = stats.withColumn("i_docs", gini("n_docs")) \
+                  .withColumn("i_chars", gini("n_chars"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_domains"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.expr("CAST((2 * sum(i_docs * n_docs)"
+               " - (count(*) + 1) * sum(n_docs)) * 1000000"
+               " div (count(*) * sum(n_docs)) AS BIGINT)")
+        .alias("gini_docs_e6"),
+        F.expr("CAST((2 * sum(i_chars * n_chars)"
+               " - (count(*) + 1) * sum(n_chars)) * 1000000"
+               " div (count(*) * sum(n_chars)) AS BIGINT)")
+        .alias("gini_chars_e6"),
+        F.expr("CAST(max(n_docs) * 1000000 div sum(n_docs) AS BIGINT)")
+        .alias("top_share_e6"))
+
+
+SQL_DOMAIN_GINI = f"""
+WITH {_SQL_DOCS},
+stats AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM docs GROUP BY domain
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY n_docs ASC, domain ASC) AS i_docs,
+         row_number() OVER (ORDER BY n_chars ASC, domain ASC) AS i_chars
+  FROM stats
+)
+SELECT CAST(count(*) AS BIGINT) AS n_domains,
+       CAST(sum(n_docs) AS BIGINT) AS total_docs,
+       CAST((2 * sum(i_docs * n_docs) - (count(*) + 1) * sum(n_docs))
+            * 1000000 // (count(*) * sum(n_docs)) AS BIGINT)
+         AS gini_docs_e6,
+       CAST((2 * sum(i_chars * n_chars) - (count(*) + 1) * sum(n_chars))
+            * 1000000 // (count(*) * sum(n_chars)) AS BIGINT)
+         AS gini_chars_e6,
+       CAST(max(n_docs) * 1000000 // sum(n_docs) AS BIGINT)
+         AS top_share_e6
+FROM ranked
+"""
+
+
 QUERIES = {
     "domain_stats": q_domain_stats,
     "domain_cap": q_domain_cap,
     "domain_gate": q_domain_gate,
+    "domain_gini": q_domain_gini,
 }
 ORACLES = {
     "domain_stats": SQL_DOMAIN_STATS,
     "domain_cap": SQL_DOMAIN_CAP,
     "domain_gate": SQL_DOMAIN_GATE,
+    "domain_gini": SQL_DOMAIN_GINI,
 }

@@ -429,13 +429,96 @@ LEFT JOIN cnt ON cnt.node = n.node
 )
 
 
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): the Pearson correlation of endpoint
+# degrees over edges — the one-number "do hubs link to hubs or to leaves?"
+# diagnostic (the web is famously DISassortative; a crawl of a link farm
+# is not — which makes the sign itself a spam-shape signal). Computed over
+# both orientations of each undirected edge, the standard convention.
+#
+# Exactness device: Newman's r normalizes by sqrt(var_j * var_k), which
+# would not be bit-stable cross-engine — but over the SYMMETRIC arc set
+# (both orientations of every edge) the source- and destination-degree
+# moments are identical (Σk = Σj, Σk² = Σj²), so the sqrt collapses:
+#     num  = M*Σjk − Σj*Σj,   var = M*Σj² − (Σj)²,   r = num / var
+# and r_e6 = num * 1e6 div var is EXACT integer arithmetic in both
+# engines — no sqrt, no float ever. (num*1e6 fits BIGINT up to ~10^12
+# arcs of moderate degree; at the extreme web scale divide var first.)
+# Scale shape: one degree aggregate + one edge-to-degree join + a single
+# global fold — a PageRank half-round's profile.
+# ---------------------------------------------------------------------------
+
+
+def q_events_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row degree-assortativity card of the undirected click graph:
+    exact integer moments + sign-preserved r² in e6."""
+    _, edges0, _ = _pr_graph(spark, sf_dir)
+    ue = _undirected(edges0)
+    deg = ue.groupBy("src").agg(F.count("*").cast("long").alias("d")) \
+            .withColumnRenamed("src", "node")
+    je = (ue.join(deg.withColumnRenamed("node", "src")
+                     .withColumnRenamed("d", "dj"), "src")
+            .join(deg.withColumnRenamed("node", "dst")
+                     .withColumnRenamed("d", "dk"), "dst"))
+    return je.agg(
+        F.count("*").cast("long").alias("m_arcs"),
+        F.sum(F.expr("dj * dk")).cast("long").alias("sum_jk"),
+        F.sum("dj").cast("long").alias("sum_j"),
+        F.sum(F.expr("dj * dj")).cast("long").alias("sum_j2"),
+    ).select(
+        "m_arcs", "sum_jk", "sum_j", "sum_j2",
+        F.expr("CAST(m_arcs * sum_jk - sum_j * sum_j AS BIGINT)")
+        .alias("num"),
+        F.expr("CAST(m_arcs * sum_j2 - sum_j * sum_j AS BIGINT)")
+        .alias("var_j"),
+    ).select(
+        "m_arcs", "sum_jk", "sum_j", "sum_j2", "num", "var_j",
+        # |r| <= 1 so num*1e6 + 2e6*var >= 0: the bias keeps the numerator
+        # nonnegative, where floor (DuckDB //) == truncate (Spark div)
+        F.expr("CAST((num * 1000000 + 2000000 * var_j) div var_j"
+               " - 2000000 AS BIGINT)").alias("r_e6"))
+
+
+SQL_EVENTS_ASSORTATIVITY = (
+    "WITH " + _SQL_GRAPH + """,
+ue AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+  ) b WHERE src <> dst
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM ue GROUP BY src
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_arcs,
+         CAST(sum(j.d * k.d) AS BIGINT) AS sum_jk,
+         CAST(sum(j.d) AS BIGINT) AS sum_j,
+         CAST(sum(j.d * j.d) AS BIGINT) AS sum_j2
+  FROM ue e JOIN deg j ON j.node = e.src JOIN deg k ON k.node = e.dst
+)
+SELECT m_arcs, sum_jk, sum_j, sum_j2,
+       CAST(m_arcs * sum_jk - sum_j * sum_j AS BIGINT) AS num,
+       CAST(m_arcs * sum_j2 - sum_j * sum_j AS BIGINT) AS var_j,
+       CAST(((m_arcs * sum_jk - sum_j * sum_j) * 1000000
+             + 2000000 * (m_arcs * sum_j2 - sum_j * sum_j))
+            // (m_arcs * sum_j2 - sum_j * sum_j) - 2000000 AS BIGINT)
+         AS r_e6
+FROM m
+"""
+)
+
+
 QUERIES = {
     "events_harmonic_hyperball": q_events_harmonic_hyperball,
     "events_kcore": q_events_kcore,
     "events_triangles": q_events_triangles,
+    "events_assortativity": q_events_assortativity,
 }
 ORACLES = {
     "events_harmonic_hyperball": SQL_EVENTS_HARMONIC_HYPERBALL,
     "events_kcore": SQL_EVENTS_KCORE,
     "events_triangles": SQL_EVENTS_TRIANGLES,
+    "events_assortativity": SQL_EVENTS_ASSORTATIVITY,
 }

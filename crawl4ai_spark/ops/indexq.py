@@ -433,12 +433,73 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT {TOPK}
 """
 
 
+# ------------------------------------------------------------- KWIC snippets
+# Query-biased snippet extraction (the result-page half of the search
+# stack): for every document matching the fixed phrase, emit the
+# keyword-in-context window — SNIP_CTX tokens either side of the FIRST
+# match. Pure composition: the phrase-match plan supplies first_pos, the
+# token array supplies the window via one slice — no second scan of the
+# text, no python. Window bounds are clamped identically in both engines
+# (1-based slice, greatest/least), so the snippet strings are byte-exact.
+# Scale shape: the snippet join is doc-keyed against the ALREADY-FILTERED
+# match set (a few rows per million docs), so the token arrays of
+# non-matching documents are never materialized past the match filter.
+# ---------------------------------------------------------------------------
+
+SNIP_CTX = 3
+
+
+def q_index_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = q_index_phrase_match(spark, sf_dir).select("doc_id", "first_pos")
+    d = tbl(spark, sf_dir, "documents")
+    arr = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"),
+                             F.lit(0)).alias("arr"))
+    k = len(PHRASE)
+    return (arr.join(m, "doc_id")
+            .select(F.col("doc_id").cast("long"),
+                    F.col("first_pos").cast("long"),
+                    F.expr(
+                        f"array_join(slice(arr,"
+                        f" CAST(greatest(1, first_pos + 1 - {SNIP_CTX}) AS INT),"
+                        f" CAST(first_pos + 1 - greatest(1, first_pos + 1 - {SNIP_CTX})"
+                        f" + {k + SNIP_CTX} AS INT)), ' ')").alias("snippet")))
+
+
+SQL_INDEX_SNIPPETS = f"""
+WITH toks AS ({_SQL_POSTOKS}),
+m AS (
+  SELECT p0.doc_id, p0.pos AS base
+  FROM toks p0
+{_PHRASE_JOINS}
+  WHERE p0.tok = '{PHRASE[0]}'
+),
+fm AS (
+  SELECT doc_id, min(base) AS first_pos FROM m GROUP BY doc_id
+),
+arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+  FROM documents
+)
+SELECT CAST(fm.doc_id AS BIGINT) AS doc_id,
+       CAST(fm.first_pos AS BIGINT) AS first_pos,
+       array_to_string(
+         list_slice(arr.a,
+                    greatest(1, fm.first_pos + 1 - {SNIP_CTX}),
+                    fm.first_pos + {len(PHRASE) + SNIP_CTX}), ' ')
+         AS snippet
+FROM fm JOIN arr USING (doc_id)
+"""
+
+
 QUERIES = {
     "index_phrase_match": q_index_phrase_match,
     "index_postings_size": q_index_postings_size,
     "index_blockmax": q_index_blockmax,
     "index_ef_size": q_index_ef_size,
     "index_blockmax_topk": q_index_blockmax_topk,
+    "index_snippets": q_index_snippets,
 }
 ORACLES = {
     "index_phrase_match": SQL_INDEX_PHRASE_MATCH,
@@ -446,4 +507,5 @@ ORACLES = {
     "index_blockmax": SQL_INDEX_BLOCKMAX,
     "index_ef_size": SQL_INDEX_EF_SIZE,
     "index_blockmax_topk": SQL_INDEX_BLOCKMAX_TOPK,
+    "index_snippets": SQL_INDEX_SNIPPETS,
 }
