@@ -918,6 +918,114 @@ FROM est e LEFT JOIN exact x ON x.d1 = e.d1 AND x.d2 = e.d2
 
 
 # ---------------------------------------------------------------------------
+# b-bit MinHash (Li & König, WWW 2010): store only the LOWEST b bits of
+# each permutation's minimum — at b=4 the sketch is 16× smaller than the
+# 64-bit minima (8 bytes/doc for 16 perms), the memory scheme that makes
+# billion-doc near-dup sketch tables RAM-resident. The price is collision
+# noise: unrelated minima still agree with probability C = 2^-b, so the
+# collision rate P is debiased by the paper's estimator
+#     J_hat = (P - C) / (1 - C)
+# which in e6 fixed point is exact integer arithmetic:
+#     p_e6   = n_match_b * 1e6 div N_PERMS
+#     est_e6 = greatest(0, p_e6 - 62500) * 1e6 div 937500      (b = 4)
+# (numerator clamped nonnegative, so floor == truncate cross-engine).
+# The query reports, per band-candidate pair, the full-width match count
+# and estimate next to the b-bit ones — the measure-don't-guess check
+# that the 16×-smaller sketch ranks pairs the same way.
+#
+# Scale shape: minima come from the SAME zero-shuffle Arrow stage as the
+# mh2 signature/band path (_mh2_minima); the only shuffles are the band
+# bucket join (shared with dedup_minhash_bands2) and the doc-keyed pair
+# join of 16-row sketch slices — no new asymptotics over the estimate
+# query, just 4-bit payloads where it carried 64-bit ones.
+# ---------------------------------------------------------------------------
+
+BBIT_B = 4
+_BBIT_C_E6 = 1_000_000 >> BBIT_B            # 62_500 at b = 4
+
+
+def q_dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per band-candidate pair: full-width vs b-bit minhash agreement and
+    the debiased b-bit Jaccard estimate (exact e6 integers)."""
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents")
+
+    def sketch(batches):
+        for docs in _mh2_minima(batches):
+            out = []
+            for doc_id, mins in docs:
+                for pi, m in enumerate(mins):
+                    out.append((doc_id, pi, str(int(m)),
+                                int(m) & ((1 << BBIT_B) - 1)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "pi", "mh_full", "mh_b"])
+
+    sk = d.select("doc_id", "text").mapInPandas(
+        sketch, "doc_id long, pi long, mh_full string, mh_b long")
+    cand = q_dedup_minhash_bands2(spark, sf_dir).select("d1", "d2")
+    s1 = sk.select(F.col("doc_id").alias("d1"), "pi",
+                   F.col("mh_full").alias("f1"), F.col("mh_b").alias("b1"))
+    s2 = sk.select(F.col("doc_id").alias("d2"), "pi",
+                   F.col("mh_full").alias("f2"), F.col("mh_b").alias("b2"))
+    return (
+        cand.join(s1, "d1").join(s2, ["d2", "pi"])
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.when(F.col("f1") == F.col("f2"), 1).otherwise(0))
+             .cast("long").alias("n_match_full"),
+             F.sum(F.when(F.col("b1") == F.col("b2"), 1).otherwise(0))
+             .cast("long").alias("n_match_b"))
+        .select(
+            F.col("d1").cast("long"), F.col("d2").cast("long"),
+            "n_match_full", "n_match_b",
+            F.expr(f"CAST(n_match_full * 1000000 div {N_PERMS} AS BIGINT)")
+            .alias("est_full_e6"),
+            F.expr(
+                f"CAST(greatest(0, n_match_b * 1000000 div {N_PERMS}"
+                f" - {_BBIT_C_E6}) * 1000000"
+                f" div {1_000_000 - _BBIT_C_E6} AS BIGINT)")
+            .alias("est_bbit_e6"))
+    )
+
+
+SQL_DEDUP_MINHASH_BBIT = f"""
+WITH sh AS ({_SQL_MH2_SHINGLES}),
+perms AS ({_SQL_MH2_PERMS}),
+mh AS (
+  SELECT doc_id, pi, min({_SQL_MH2_V}) AS mh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, pi
+),
+bands AS (
+  SELECT doc_id, CAST(pi % {N_BANDS} AS BIGINT) AS band,
+         md5(string_agg(pi || '=' || mh, '|' ORDER BY pi)) AS band_key
+  FROM mh GROUP BY doc_id, pi % {N_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
+),
+agg AS (
+  SELECT c.d1, c.d2,
+         CAST(sum(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match_full,
+         CAST(sum(CASE WHEN m1.mh % {1 << BBIT_B} = m2.mh % {1 << BBIT_B}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match_b
+  FROM cand c
+  JOIN mh m1 ON m1.doc_id = c.d1
+  JOIN mh m2 ON m2.doc_id = c.d2 AND m2.pi = m1.pi
+  GROUP BY c.d1, c.d2
+)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       n_match_full, n_match_b,
+       CAST(n_match_full * 1000000 // {N_PERMS} AS BIGINT) AS est_full_e6,
+       CAST(greatest(0, n_match_b * 1000000 // {N_PERMS} - {_BBIT_C_E6})
+            * 1000000 // {1_000_000 - _BBIT_C_E6} AS BIGINT) AS est_bbit_e6
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact duplicate-substring spans (r4): the Lee et al. 2021 "Deduplicating
 # Training Data Makes Language Models Better" primitive — for every doc,
 # the maximal character spans of length >= SPAN_K that appear verbatim in
@@ -1297,6 +1405,7 @@ QUERIES = {
     "dedup_spans_fast128": q_dedup_spans_fast128,
     "clean_dup_spans": q_clean_dup_spans,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "dedup_minhash_bbit": q_dedup_minhash_bbit,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_containment_pairs": q_dedup_containment_pairs,
     "host_mirror_pairs": q_host_mirror_pairs,
@@ -1316,6 +1425,7 @@ ORACLES = {
     "dedup_spans_fast128": SQL_DEDUP_SPANS,  # same output, hash-only shuffle
     "clean_dup_spans": SQL_CLEAN_DUP_SPANS,
     "dedup_minhash_estimate": SQL_DEDUP_MINHASH_ESTIMATE,
+    "dedup_minhash_bbit": SQL_DEDUP_MINHASH_BBIT,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "dedup_containment_pairs": SQL_DEDUP_CONTAINMENT_PAIRS,
     "host_mirror_pairs": _sql_host_mirror(),

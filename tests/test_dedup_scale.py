@@ -83,3 +83,45 @@ def test_capped_join_row_bound(spark, boiler_dir):
     # survive (expected ~100s) — assert we are linear-ish, not quadratic
     assert n_join_rows < 10_000, f"join not skew-capped: {n_join_rows} rows"
     assert SHINGLE_K == 12  # guard: fixture boilerplate is longer than K
+
+
+def test_bbit_minhash_debiased_estimator(spark):
+    """b-bit sketch properties (Li & Konig 2010): low-b-bit agreement is a
+    superset of full-width agreement, the debias formula is applied
+    exactly, and the b-bit estimate tracks the full one from above (the
+    collision floor can only inflate the raw rate). From-spec check over
+    independently recomputed per-pair minima in plain python."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from crawl4ai_spark.ops.dedup import (
+        BBIT_B, MH2_A, MH2_B, MH2_POW, N_PERMS, SHINGLE_K, SHINGLE_STRIDE,
+        q_dedup_minhash_bbit)
+
+    rows = q_dedup_minhash_bbit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+             .to_pandas().set_index("doc_id")["text"].to_dict()
+
+    def minima(text):
+        t = text.lower()
+        hs = set()
+        for i in range(0, len(t) - SHINGLE_K + 1, SHINGLE_STRIDE):
+            h = 0
+            for k, ch in enumerate(t[i:i + SHINGLE_K]):
+                h = (h + ord(ch) * MH2_POW[k]) % (1 << 64)
+            hs.add(h)
+        return [min((MH2_A[pi] * h + MH2_B[pi]) % (1 << 64) for h in hs)
+                for pi in range(N_PERMS)]
+
+    mask = (1 << BBIT_B) - 1
+    c_e6 = 1_000_000 >> BBIT_B
+    for r in rows:
+        m1, m2 = minima(docs[r.d1]), minima(docs[r.d2])
+        n_full = sum(a == b for a, b in zip(m1, m2))
+        n_b = sum((a & mask) == (b & mask) for a, b in zip(m1, m2))
+        assert (r.n_match_full, r.n_match_b) == (n_full, n_b)
+        assert r.n_match_b >= r.n_match_full          # superset property
+        p_e6 = n_b * 1_000_000 // N_PERMS
+        assert r.est_bbit_e6 == max(0, p_e6 - c_e6) * 1_000_000 \
+            // (1_000_000 - c_e6)
+        assert r.est_full_e6 == n_full * 1_000_000 // N_PERMS
