@@ -474,9 +474,13 @@ def q_events_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "m_arcs", "sum_jk", "sum_j", "sum_j2", "num", "var_j",
         # |r| <= 1 so num*1e6 + 2e6*var >= 0: the bias keeps the numerator
-        # nonnegative, where floor (DuckDB //) == truncate (Spark div)
-        F.expr("CAST((num * 1000000 + 2000000 * var_j) div var_j"
-               " - 2000000 AS BIGINT)").alias("r_e6"))
+        # nonnegative, where floor (DuckDB //) == truncate (Spark div).
+        # var = 0 iff the graph is REGULAR (every degree equal — observed:
+        # the 10x scale-probe replica densifies the click graph to
+        # complete); r is undefined there, reported as 0 by convention.
+        F.expr("CAST(CASE WHEN var_j = 0 THEN 0"
+               " ELSE (num * 1000000 + 2000000 * var_j) div var_j"
+               " - 2000000 END AS BIGINT)").alias("r_e6"))
 
 
 SQL_EVENTS_ASSORTATIVITY = (
@@ -501,10 +505,11 @@ m AS (
 SELECT m_arcs, sum_jk, sum_j, sum_j2,
        CAST(m_arcs * sum_jk - sum_j * sum_j AS BIGINT) AS num,
        CAST(m_arcs * sum_j2 - sum_j * sum_j AS BIGINT) AS var_j,
-       CAST(((m_arcs * sum_jk - sum_j * sum_j) * 1000000
-             + 2000000 * (m_arcs * sum_j2 - sum_j * sum_j))
-            // (m_arcs * sum_j2 - sum_j * sum_j) - 2000000 AS BIGINT)
-         AS r_e6
+       CAST(CASE WHEN m_arcs * sum_j2 - sum_j * sum_j = 0 THEN 0
+                 ELSE ((m_arcs * sum_jk - sum_j * sum_j) * 1000000
+                       + 2000000 * (m_arcs * sum_j2 - sum_j * sum_j))
+                      // (m_arcs * sum_j2 - sum_j * sum_j) - 2000000
+            END AS BIGINT) AS r_e6
 FROM m
 """
 )

@@ -48,6 +48,16 @@ FORCE_SUM = {
     "soft404_detect": "hamming",
     "shard_rendezvous": "shard_n * 31 + shard_n1",
     "mime_sniff": "n_bytes",
+    # (r5 session 3 additions)
+    "events_salsa": "salsa_authority_e6 + salsa_hub_e6",
+    "events_triangles": "n_tri * 31 + cc_e6",
+    "events_assortativity": "r_e6",
+    "domain_gini": "gini_docs_e6 + gini_chars_e6",
+    "index_ef_size": "ef_bits + gamma_bits + delta_bits",
+    "index_blockmax_topk": "score_e6",
+    "index_snippets": "length(snippet)",
+    "dedup_minhash_bbit": "est_bbit_e6 * 31 + n_match_full",
+    "multimodal_gif": "pixel_sum",
 }
 
 
