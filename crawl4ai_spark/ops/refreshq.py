@@ -383,6 +383,60 @@ FROM j
 """
 
 
+# ------------------------------------------------ engine refresh bridge
+def refresh_frontier_scores(epochs: list[DataFrame]) -> DataFrame:
+    """Engine bridge (the OPIC two-phase pattern, applied to FRESHNESS):
+    Cho–Garcia-Molina change-rate priorities computed from ACTUAL crawl
+    history → (url, score) rows for ``SparkWebEngine.run(
+    score_overrides=...)`` — a best-first re-crawl then spends its budget
+    on the pages most likely to have changed.
+
+    ``epochs`` is the ordered list of result sets from successive crawls
+    of the same site (``store_validators=True`` runs, so rows carry
+    ``content_md5``; any frame with a ``digest`` column works). Per URL:
+    n_visits = epochs it appeared in, n_changes = digest transitions,
+    λ̂ from the same integer (n, X) table q_refresh_schedule uses
+    (n_visits outside the table's [MIN_VISITS, MAX_VISITS] domain →
+    priority 0 — too little history to schedule on), age = epochs since
+    last visit. score = λ̂ × age (expected changes since last crawl).
+
+    Scale shape: each epoch reduces to (url, digest) before the union;
+    one url-partitioned lag window + one url aggregate — the
+    snapshot_diff profile generalized to N snapshots."""
+    from pyspark.sql.window import Window as _W
+
+    n_ep = len(epochs)
+    frames = []
+    for i, r in enumerate(epochs):
+        if "digest" in r.columns:
+            dig = F.col("digest")
+        elif "content_md5" in r.columns:
+            dig = F.col("content_md5")
+        else:
+            raise ValueError(
+                "epoch frames need content_md5 (store_validators=True) "
+                "or a digest column")
+        frames.append(r.select("url", F.lit(i).alias("epoch"),
+                               dig.alias("digest")))
+    hist = frames[0]
+    for f in frames[1:]:
+        hist = hist.unionByName(f)
+    w = _W.partitionBy("url").orderBy("epoch")
+    ch = (hist.withColumn("prev", F.lag("digest").over(w))
+          .withColumn("changed",
+                      (F.col("prev").isNotNull()
+                       & (F.col("digest") != F.col("prev"))).cast("int")))
+    agg = ch.groupBy("url").agg(
+        F.count("*").alias("n_visits"),
+        F.sum("changed").alias("n_changes"),
+        F.max("epoch").alias("last_epoch"))
+    return (agg.withColumn("lambda_e6", F.expr(_LAMBDA_CASE))
+            .select("url",
+                    ((F.col("lambda_e6")
+                      * (F.lit(n_ep) - F.col("last_epoch"))).cast("double")
+                     / 1e6).alias("score")))
+
+
 QUERIES = {
     "refresh_schedule": q_refresh_schedule,
     "snapshot_diff": q_snapshot_diff,
