@@ -47,6 +47,8 @@ HEADLINE_QUERIES = [
     # r5-continuation additions
     "c4_clean", "cdx_emit", "dedup_canonical_select",
     "politeness_aimd", "index_blockmax",
+    # r5 third-session additions
+    "events_triangles", "index_blockmax_topk", "dedup_minhash_bbit",
 ]
 
 

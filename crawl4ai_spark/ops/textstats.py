@@ -1204,6 +1204,85 @@ FROM m
 """
 
 
+# ----------------------------------------------------- Chao1 richness card
+# Chao1 species-richness estimate (Chao 1984, the bias-corrected
+# small-sample form) over word-trigram types — the "how much vocabulary
+# exists that this crawl has NOT seen yet?" card a corpus-coverage plan
+# reads, next to the Heaps curve (vocab_growth) and the Good-Turing
+# frequency table (text_good_turing):
+#     chao1 = V_obs + f1*(f1-1) / (2*(f2+1))
+# plus the Good-Turing unseen probability mass P0 = f1/N (the chance the
+# NEXT trigram crawled is a new type). Both are exact e6 integers — the
+# estimator is a ratio of singleton/doubleton counts, no libm anywhere.
+# Trigram types, not unigrams: this corpus's 31-token unigram vocabulary
+# saturates instantly (f1 = 0, the estimator degenerates — documented in
+# vocab_growth), while the trigram table has a live tail (f1 ≈ 9.4k at
+# sf0.001).
+#
+# Scale shape: one in-row trigram explode + one type-keyed count + a
+# single global conditional fold — the good_turing plan minus its
+# freq-of-freq window.
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row richness card: observed trigram types, instances,
+    singleton/doubleton counts, Chao1 estimate, unseen mass P0 (e6)."""
+    d = tbl(spark, sf_dir, "documents")
+    arr = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"),
+                             F.lit(0)).alias("toks"))
+    tri = (
+        arr.filter(F.expr("size(toks) >= 3"))
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat(element_at(toks, i), ' ',"
+            " element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+            .alias("g")))
+    counts = tri.groupBy("g").agg(F.count("*").alias("r"))
+    return counts.agg(
+        F.count("*").cast("long").alias("v_obs"),
+        F.sum("r").cast("long").alias("n_instances"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("long").alias("f1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+        .cast("long").alias("f2"),
+    ).select(
+        "v_obs", "n_instances", "f1", "f2",
+        F.expr("CAST(v_obs * 1000000"
+               " + f1 * (f1 - 1) * 1000000 div (2 * (f2 + 1))"
+               " AS BIGINT)").alias("chao1_e6"),
+        F.expr("CAST(f1 * 1000000 div n_instances AS BIGINT)")
+        .alias("p0_e6"))
+
+
+SQL_VOCAB_CHAO1 = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS m
+  FROM documents
+), tri AS (
+  SELECT m[i] || ' ' || m[i+1] || ' ' || m[i+2] AS g
+  FROM toks, unnest(range(1, len(m) - 1)) p(i)
+  WHERE len(m) >= 3
+), c AS (
+  SELECT g, count(*) AS r FROM tri GROUP BY g
+), card AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_obs,
+         CAST(sum(r) AS BIGINT) AS n_instances,
+         CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM c
+)
+SELECT v_obs, n_instances, f1, f2,
+       CAST(v_obs * 1000000
+            + f1 * (f1 - 1) * 1000000 // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1_e6,
+       CAST(f1 * 1000000 // n_instances AS BIGINT) AS p0_e6
+FROM card
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "vocab_build": q_vocab_build,
@@ -1222,6 +1301,7 @@ QUERIES = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "vocab_growth": q_vocab_growth,
     "text_good_turing": q_text_good_turing,
+    "vocab_chao1": q_vocab_chao1,
     "text_readability": q_text_readability,
 }
 ORACLES = {
@@ -1242,5 +1322,6 @@ ORACLES = {
     "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "text_good_turing": SQL_TEXT_GOOD_TURING,
+    "vocab_chao1": SQL_VOCAB_CHAO1,
     "text_readability": SQL_TEXT_READABILITY,
 }

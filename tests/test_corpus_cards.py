@@ -102,3 +102,27 @@ def test_snippets_naive_parity(spark):
     # every snippet must contain the phrase itself
     needle = " ".join(PHRASE)
     assert all(needle in s for _, s in got.values())
+
+
+def test_chao1_naive_parity(spark):
+    """vocab_chao1 vs a from-spec trigram tally: bias-corrected Chao1 and
+    the Good-Turing unseen mass, exact integers."""
+    from collections import Counter
+
+    from crawl4ai_spark.ops.textstats import q_vocab_chao1
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    c: Counter = Counter()
+    for t in df["text"]:
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        for i in range(len(toks) - 2):
+            c[" ".join(toks[i:i + 3])] += 1
+    v, n = len(c), sum(c.values())
+    f1 = sum(1 for x in c.values() if x == 1)
+    f2 = sum(1 for x in c.values() if x == 2)
+    r = q_vocab_chao1(spark, SF).collect()[0]
+    assert (r.v_obs, r.n_instances, r.f1, r.f2) == (v, n, f1, f2)
+    assert r.chao1_e6 == v * 1_000_000 + f1 * (f1 - 1) * 1_000_000 \
+        // (2 * (f2 + 1))
+    assert r.p0_e6 == f1 * 1_000_000 // n
+    # richness must exceed the observed vocabulary (a live singleton tail)
+    assert r.f1 > 0 and r.chao1_e6 > v * 1_000_000
