@@ -295,15 +295,16 @@ class SparkWebEngine:
             start_gen = int(self.store.meta("frontier").get("generation", 0)) + 1
             pages_done = int(self.store.meta("frontier").get("pages_done", 0))
         else:
-            # Fresh start over a possibly-dirty store: truncate every state
-            # table the loop folds into. Without this, append-mode manifests
-            # carry the PREVIOUS crawl's data dirs forward — generation
-            # numbering restarts at 0, so filter(generation == gen) merges
-            # old rows into the new crawl, and update_host_state seeds the
-            # new run with stale backoff state (observed: +1 phantom retry
-            # row on a restarted store).
-            for t in ("results", "host_state", "url_seen",
-                      "metrics", "lineage"):
+            # Fresh start over a possibly-dirty store: truncate the
+            # RUN-SCOPED state tables. Without this, update_host_state
+            # seeds the new run with the previous crawl's backoff state
+            # (observed: +1 phantom retry row on a restarted store) and a
+            # stale seen-filter mislabels this run's URLs. results /
+            # metrics / lineage deliberately accumulate across runs — the
+            # results table IS the CacheMode cross-run cache (ref
+            # cache_context semantics; test_cache_mode) and the logs are
+            # the store's audit trail.
+            for t in ("host_state", "url_seen"):
                 if self.store.latest_id(t) is not None:
                     self.store.reset(t)
             frontier = FR.seeds_to_frontier(seeds)
