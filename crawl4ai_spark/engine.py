@@ -266,6 +266,9 @@ class SparkWebEngine:
         # non-QUEUED (url, retry_count) keys. A generation appends O(delta)
         # rows in a SINGLE commit — it never rewrites the frontier (an
         # Iceberg MERGE-on-read layout; compaction is an offline concern).
+        # resume continues the generation numbering, so its fold reads may
+        # (must) see the whole table; fresh starts scope to their own delta
+        self._results_base: int | None = None
         if resume and self.store.latest_id("frontier") is not None:
             # Heal the commit_unified crash window: if a crash landed between
             # the results manifest rename and the frontier one, the results
@@ -307,6 +310,11 @@ class SparkWebEngine:
             for t in ("host_state", "url_seen"):
                 if self.store.latest_id(t) is not None:
                     self.store.reset(t)
+            # generation numbering restarts at 0 while the results table
+            # keeps the previous crawl's dirs (the CacheMode cache), so
+            # generation-filtered fold reads must see only THIS run's
+            # rows: remember the pre-run snapshot as the delta base
+            self._results_base = self.store.latest_id("results")
             frontier = FR.seeds_to_frontier(seeds)
             self.store.commit("frontier", frontier, meta={"generation": -1, "pages_done": 0})
             frontier = self._read_frontier()
@@ -360,7 +368,8 @@ class SparkWebEngine:
             pending = None
             if n_lim > 0 or hosts_tracked:
                 prev_hs = self.store.read(spark, "host_state")
-                gen_res = self.store.read(spark, "results") \
+                gen_res = self.store.read_since(spark, "results",
+                                                self._results_base) \
                               .filter(F.col("generation") == pgen)
                 hs = POL.update_host_state(
                     prev_hs, gen_res.select("host", "status_code"), pgen)
@@ -541,7 +550,8 @@ class SparkWebEngine:
             # the job entirely
             if n_limited > 0 or hosts_tracked:
                 prev_hs = self.store.read(spark, "host_state")
-                gen_res = self.store.read(spark, "results") \
+                gen_res = self.store.read_since(spark, "results",
+                                                self._results_base) \
                               .filter(F.col("generation") == gen)
                 hs = POL.update_host_state(
                     prev_hs, gen_res.select("host", "status_code"), gen

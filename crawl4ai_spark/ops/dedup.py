@@ -933,11 +933,12 @@ FROM est e LEFT JOIN exact x ON x.d1 = e.d1 AND x.d2 = e.d2
 # and estimate next to the b-bit ones — the measure-don't-guess check
 # that the 16×-smaller sketch ranks pairs the same way.
 #
-# Scale shape: minima come from the SAME zero-shuffle Arrow stage as the
-# mh2 signature/band path (_mh2_minima); the only shuffles are the band
-# bucket join (shared with dedup_minhash_bands2) and the doc-keyed pair
-# join of 16-row sketch slices — no new asymptotics over the estimate
-# query, just 4-bit payloads where it carried 64-bit ones.
+# Scale shape: ONE zero-shuffle Arrow pass computes minima, b-bit slices,
+# AND the LSH band keys per doc (byte-identical to _mh2_band_keys'
+# construction — the corpus is scanned once, not once per consumer); the
+# only shuffles are the band bucket join and the doc-keyed pair join of
+# 16-row sketch slices — no new asymptotics over the estimate query,
+# just 4-bit payloads where it carried 64-bit ones.
 # ---------------------------------------------------------------------------
 
 BBIT_B = 4
@@ -952,18 +953,36 @@ def q_dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
 
     def sketch(batches):
+        md5 = _hashlib.md5
         for docs in _mh2_minima(batches):
             out = []
             for doc_id, mins in docs:
+                # band keys computed HERE so the minima pass runs ONCE —
+                # byte-identical to _mh2_band_keys' construction
+                keys = []
+                for band in range(N_BANDS):
+                    parts = "|".join(
+                        f"{pi}={int(mins[pi])}"
+                        for pi in range(N_PERMS) if pi % N_BANDS == band)
+                    keys.append(md5(parts.encode()).hexdigest())
                 for pi, m in enumerate(mins):
                     out.append((doc_id, pi, str(int(m)),
-                                int(m) & ((1 << BBIT_B) - 1)))
+                                int(m) & ((1 << BBIT_B) - 1),
+                                pi % N_BANDS, keys[pi % N_BANDS]))
             yield pd.DataFrame(
-                out, columns=["doc_id", "pi", "mh_full", "mh_b"])
+                out, columns=["doc_id", "pi", "mh_full", "mh_b",
+                              "band", "band_key"])
 
     sk = d.select("doc_id", "text").mapInPandas(
-        sketch, "doc_id long, pi long, mh_full string, mh_b long")
-    cand = q_dedup_minhash_bands2(spark, sf_dir).select("d1", "d2")
+        sketch, "doc_id long, pi long, mh_full string, mh_b long,"
+                " band long, band_key string").cache()
+    bands = sk.select("doc_id", "band", "band_key").distinct()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2")).distinct())
     s1 = sk.select(F.col("doc_id").alias("d1"), "pi",
                    F.col("mh_full").alias("f1"), F.col("mh_b").alias("b1"))
     s2 = sk.select(F.col("doc_id").alias("d2"), "pi",

@@ -1582,6 +1582,16 @@ def parse_gif(payload: bytes) -> dict:
     scan side, like parse_png/parse_jpeg)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    try:
+        return _parse_gif_body(payload)
+    except IndexError:
+        # running off the end of the byte string anywhere in the walk IS
+        # the truncation signal — surface it under the documented
+        # ValueError contract (the parse_png/parse_jpeg discipline)
+        raise ValueError("truncated GIF payload") from None
+
+
+def _parse_gif_body(payload: bytes) -> dict:
     w_screen = int.from_bytes(payload[6:8], "little")
     h_screen = int.from_bytes(payload[8:10], "little")
     packed = payload[10]
@@ -1637,7 +1647,10 @@ def parse_gif(payload: bytes) -> dict:
     acc = n_acc = bit = 0
     out = bytearray()
     prev: bytes | None = None
+    done = False  # EOI ends the stream — spec says IGNORE any bytes after
     for byte in data:
+        if done:
+            break
         acc |= byte << n_acc
         n_acc += 8
         while n_acc >= width:
@@ -1651,7 +1664,7 @@ def parse_gif(payload: bytes) -> dict:
                 prev = None
                 continue
             if code == eoi:
-                n_acc = 0
+                done = True
                 break
             if prev is None:
                 entry = table[code]

@@ -416,8 +416,20 @@ def refresh_frontier_scores(epochs: list[DataFrame]) -> DataFrame:
             raise ValueError(
                 "epoch frames need content_md5 (store_validators=True) "
                 "or a digest column")
-        frames.append(r.select("url", F.lit(i).alias("epoch"),
-                               dig.alias("digest")))
+        # engine result sets are ATTEMPT LOGS: a url can carry a failed
+        # row (NULL digest) next to its success in the same epoch, and a
+        # restarted store may hold duplicate attempts. Reduce each epoch
+        # to at most ONE (url, digest) observation — successes only where
+        # the frame distinguishes them, then max(digest) as the
+        # deterministic pick — so n_visits counts epochs, not rows, and
+        # the lag window has no within-epoch ties.
+        if "success" in r.columns:
+            r = r.filter(F.col("success"))
+        frames.append(
+            r.filter(dig.isNotNull())
+            .groupBy("url")
+            .agg(F.max(dig).alias("digest"))
+            .select("url", F.lit(i).alias("epoch"), "digest"))
     hist = frames[0]
     for f in frames[1:]:
         hist = hist.unionByName(f)

@@ -236,6 +236,38 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(table, sid))
         return sid
 
+    def read_since(self, spark: SparkSession, table: str,
+                   base_sid: int | None) -> DataFrame | None:
+        """Read only the data dirs added AFTER snapshot ``base_sid`` (None
+        → everything). This is how a restarted (non-resume) run scopes
+        generation-filtered reads to ITS OWN rows: generation numbering
+        restarts at 0 on a fresh start while the results table keeps the
+        previous crawl's dirs (they are the CacheMode cache), so a plain
+        read + filter(generation == g) would merge the old crawl's
+        same-numbered rows back in."""
+        sid = self.latest_id(table)
+        if sid is None:
+            return None
+        m = self._read_manifest(table, sid)
+        dirs = m["dirs"]
+        if base_sid is not None:
+            base = self._read_manifest(table, base_sid)
+            old = set(base["dirs"])
+            dirs = [d for d in dirs if d not in old]
+        if not dirs:
+            return None
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+            df = spark.read.schema(
+                StructType.fromJson(json.loads(m["schema"]))).parquet(*dirs)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if m.get("filter"):
+            df = df.filter(m["filter"])
+            if "event_type" in df.columns:
+                df = df.drop("event_type")
+        return df
+
     def read(self, spark: SparkSession, table: str,
              snapshot_id: int | None = None) -> DataFrame | None:
         sid = snapshot_id if snapshot_id is not None else self.latest_id(table)

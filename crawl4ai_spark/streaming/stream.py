@@ -713,10 +713,16 @@ def stream_decontaminate_gate(spark: SparkSession, docs_dir: str,
     return (
         docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
         .select("doc_id", toks.alias("toks"))
-        .filter(F.expr(f"size(toks) >= {DECON_N}"))
+        # an ADMISSION gate must verdict every arriving doc: documents too
+        # short to form a single n-gram cannot be contaminated, so they
+        # pass with n_grams = 0 rather than silently vanishing (the batch
+        # q_decontaminate reports only contaminated docs, so its
+        # size-filter exclusion is harmless THERE — not here)
         .select("doc_id", F.expr(
-            f"array_distinct(transform(sequence(1, size(toks) - {DECON_N - 1}),"
+            f"CASE WHEN size(toks) >= {DECON_N} THEN"
+            f" array_distinct(transform(sequence(1, size(toks) - {DECON_N - 1}),"
             f" i -> array_join(slice(toks, i, {DECON_N}), ' ')))"
+            f" ELSE array() END"
         ).alias("grams"))
         .select("doc_id",
                 F.size("grams").cast("long").alias("n_grams"),

@@ -551,3 +551,36 @@ def test_restart_on_dirty_store_equals_fresh(spark, pages, tmp_store):
     # the restart must also have truncated the backoff table: a fresh
     # crawl on this corpus tracks hosts only from its OWN 429/503s
     assert int(eng2.store.meta("frontier").get("generation", -2)) >= 0
+
+
+# ---------------------------------------------------------------- T17 -------
+def test_restart_does_not_mix_generations_into_backoff(spark, pages,
+                                                       tmp_store):
+    """Generation numbering restarts at 0 on a fresh (non-resume) run
+    while the results table keeps the previous crawl's dirs, so the
+    host_state fold's filter(generation == g) would merge the OLD crawl's
+    same-numbered rows back in — unless the fold reads only this run's
+    delta (store.read_since). Run 1 rate-limits host0; run 2 (same store,
+    bypass cache so everything refetches) rate-limits host1 only: the
+    rebuilt backoff table must track host1 and NEVER host0."""
+    import os
+
+    seeds = generate_seeds(spark, n_hosts=N_HOSTS)
+    root = os.path.join(tmp_store, "restart_hs")
+
+    cfg1 = CrawlConfig(max_depth=2, max_pages=60, check_robots_txt=False,
+                       cache_mode="bypass", simulate_503_hosts="host0")
+    SparkWebEngine(spark, root).run(pages, seeds, config=cfg1)
+
+    cfg2 = CrawlConfig(max_depth=2, max_pages=60, check_robots_txt=False,
+                       cache_mode="bypass", simulate_503_hosts="host1")
+    eng2 = SparkWebEngine(spark, root)
+    eng2.run(pages, seeds, config=cfg2)
+
+    hs = eng2.store.read(spark, "host_state")
+    assert hs is not None
+    limited = {r.host for r in
+               hs.filter(F.col("fail_count") > 0).collect()}
+    assert any("host1" in h for h in limited)
+    assert not any("host0" in h for h in limited), (
+        "previous run's generation rows leaked into the backoff fold")

@@ -155,3 +155,21 @@ def test_sniff_detects_gif(spark):
     for i in range(6):
         assert got[i] == ("image/gif", True)
     assert got[99] == ("image/gif", False)
+
+
+def test_decoder_ignores_bytes_after_eoi():
+    """The spec says data after EOI is ignored: a padded final sub-block
+    must not be decoded as pixel codes."""
+    pixels = bytes([0, 1, 2, 3] * 10)
+    data = _lzw_compress(pixels, 2) + b"\x55\xaa"   # junk after EOI
+    blob = _wrap_gif(pixels, 40, 1, PAL4, data)
+    assert parse_gif(blob)["indices"] == pixels
+
+
+def test_truncation_inside_subblocks_is_valueerror():
+    """Truncation anywhere — including mid-sub-block — must surface as
+    the documented ValueError, never IndexError."""
+    blob = build_gif(7)
+    for cut in (11, 20, 30, 38, len(blob) - 3):
+        with pytest.raises(ValueError):
+            parse_gif(blob[:cut])

@@ -439,3 +439,25 @@ def test_stream_decontaminate_gate_matches_batch(spark, tmp_path_factory):
     accepted = {r.doc_id for r in rows if r.accept}
     assert accepted and accepted.isdisjoint(batch)
     assert accepted | set(batch) == {r.doc_id for r in rows}
+
+
+def test_stream_decontaminate_gate_verdicts_short_docs(spark,
+                                                       tmp_path_factory):
+    """An admission gate must verdict EVERY arriving corpus doc: one too
+    short to form a single n-gram cannot be contaminated and passes with
+    n_grams = 0 instead of silently vanishing."""
+    from crawl4ai_spark.streaming.stream import stream_decontaminate_gate
+
+    d = str(tmp_path_factory.mktemp("decon_short"))
+    rows = [(1, "tiny doc", "en", "s", 8),
+            (2, "a much longer document with enough words to gram", "en",
+             "s", 48)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite").parquet(d)
+    out = stream_decontaminate_gate(spark, d, ["no such gram here x"])
+    run_stream_to_memory(out, "stream_decon_short_t")
+    got = {r.doc_id: (r.n_grams, r.n_hits, r.accept)
+           for r in spark.sql("SELECT * FROM stream_decon_short_t").collect()}
+    assert got[1] == (0, 0, True)      # short doc: verdicted, accepted
+    assert got[2][0] > 0 and got[2][2]
