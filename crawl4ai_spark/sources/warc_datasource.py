@@ -1,0 +1,92 @@
+"""WARC as a first-class Spark data source (Spark 4 Python DataSource
+API): ``spark.read.format("warc").load("/segments/*.warc")`` — the
+idiomatic-Spark face of the S12 read path, next to the mapInPandas
+helper ``sources.rawpages.pages_from_warc`` (same parser, same output
+schema, byte-identical rows — tested).
+
+Why a DataSource and not just the helper: the format registers into
+Spark's planner, so a WARC directory composes with everything that
+expects ``spark.read`` — schema is declared once, partition planning is
+explicit (ONE partition per segment file, the natural Common-Crawl unit:
+segments are independently parseable ~1 GB archives), and the reader
+runs on executors with no driver-side byte movement. Column pruning
+happens naturally downstream (html is the only wide column and Spark
+drops it right after the scan when unreferenced).
+
+Scale shape: partitions() enumerates segment paths driver-side (cheap —
+paths only); read() parses one segment per task via the from-scratch
+framing parser (``html/warc.py``), which walks plain and
+member-per-record ``.warc.gz`` layouts transparently. Parsing never
+shuffles; a 1000-executor cluster gets file-level parallelism for free.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary,"
+             " text string, lang string")
+
+
+class WarcSegmentPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("format('warc') needs .load(<path or glob>)")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*")
+        self.files = sorted(
+            p for p in _glob.glob(path)
+            if os.path.isfile(p))
+        if not self.files:
+            raise ValueError(f"no WARC segments match {path!r}")
+
+    def partitions(self):
+        # one partition per segment file — the Common-Crawl work unit
+        return [WarcSegmentPartition(p) for p in self.files]
+
+    def read(self, partition: WarcSegmentPartition):
+        # executor-side: parse ONE segment, yield pages rows
+        from crawl4ai_spark.html.warc import parse_warc
+
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        for r in parse_warc(data):
+            if r["warc_type"] != "response":
+                continue
+            ts = _dt.datetime.strptime(
+                r["date"], "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=_dt.timezone.utc)
+            yield (r["uri"], ts, r["payload"], None, None)
+
+
+class WarcDataSource(DataSource):
+    """``spark.dataSource.register(WarcDataSource)`` →
+    ``spark.read.format("warc").load(glob)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return PAGES_DDL
+
+    def reader(self, schema) -> WarcDataSourceReader:
+        return WarcDataSourceReader(self.options)
+
+
+def register_warc_datasource(spark) -> None:
+    spark.dataSource.register(WarcDataSource)
