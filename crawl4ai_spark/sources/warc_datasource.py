@@ -29,6 +29,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -88,5 +89,86 @@ class WarcDataSource(DataSource):
         return WarcDataSourceReader(self.options)
 
 
+WET_DDL = "url string, warc_ts timestamp, text string"
+
+
+class WetDataSourceReader(WarcDataSourceReader):
+    def read(self, partition: WarcSegmentPartition):
+        from crawl4ai_spark.html.warc import parse_warc
+
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        for r in parse_warc(data):
+            if r["warc_type"] != "conversion":
+                continue
+            ts = _dt.datetime.strptime(
+                r["date"], "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=_dt.timezone.utc)
+            yield (r["uri"], ts, r["payload"].decode("utf-8"))
+
+
+class WetDataSource(DataSource):
+    """``spark.read.format("wet")`` — extracted-text segments, the table
+    most corpus pipelines actually start from (they never touch the WARC
+    html at all)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wet"
+
+    def schema(self) -> str:
+        return WET_DDL
+
+    def reader(self, schema) -> WetDataSourceReader:
+        return WetDataSourceReader(self.options)
+
+
+# ----------------------------------------------------------- streaming read
+# ``spark.readStream.format("warc")`` — segment-granular exactly-once
+# streaming: the offset is an index into the SORTED segment listing, so
+# each micro-batch claims the files that appeared since the last one
+# (CC-style drops land as whole new segment files; a file is the atomic
+# publish unit, exactly like Spark's built-in file source). partitions()
+# hands each claimed file to its own task — the batch reader's
+# partition-per-segment shape carried into Structured Streaming.
+
+
+class _WarcStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("format('warc') needs .load(<path or glob>)")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*")
+        self.glob = path
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            p for p in _glob.glob(self.glob) if os.path.isfile(p))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._listing())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._listing()
+        return [WarcSegmentPartition(p)
+                for p in files[start["idx"]:end["idx"]]]
+
+    def read(self, partition: WarcSegmentPartition):
+        return WarcDataSourceReader.read(self, partition)  # same rows
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class WarcStreamingDataSource(WarcDataSource):
+    def streamReader(self, schema) -> _WarcStreamReader:
+        return _WarcStreamReader(self.options)
+
+
 def register_warc_datasource(spark) -> None:
-    spark.dataSource.register(WarcDataSource)
+    spark.dataSource.register(WarcStreamingDataSource)
+    spark.dataSource.register(WetDataSource)

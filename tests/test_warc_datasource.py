@@ -77,3 +77,58 @@ def test_format_warc_empty_glob_raises(spark, tmp_path):
     with pytest.raises(Exception):
         spark.read.format("warc") \
             .load(str(tmp_path / "nothing" / "*.warc")).collect()
+
+
+def test_readstream_warc_picks_up_new_segments(spark, tmp_path):
+    """spark.readStream.format('warc'): the offset walks the sorted
+    segment listing, so segments landing between micro-batches arrive
+    exactly once — the CC-drop ingestion shape."""
+    d = str(tmp_path / "stream_segs")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "seg-00000.warc"), "wb") as f:
+        f.write(build_warc([
+            {"uri": "https://s.example/1", "body": b"one", "status": 200,
+             "content_type": "text/html"}], date=DATE))
+
+    register_warc_datasource(spark)
+    q = (spark.readStream.format("warc").load(os.path.join(d, "*.warc"))
+         .writeStream.format("memory").queryName("warc_stream_t")
+         .trigger(processingTime="0 seconds")
+         .start())
+    try:
+        q.processAllAvailable()
+        first = {r.url for r in
+                 spark.sql("SELECT * FROM warc_stream_t").collect()}
+        assert first == {"https://s.example/1"}
+
+        with open(os.path.join(d, "seg-00001.warc"), "wb") as f:
+            f.write(build_warc([
+                {"uri": "https://s.example/2", "body": b"two",
+                 "status": 200, "content_type": "text/html"}], date=DATE))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM warc_stream_t").collect()
+        assert {r.url for r in rows} \
+            == {"https://s.example/1", "https://s.example/2"}
+        assert len(rows) == 2  # exactly once per record
+    finally:
+        q.stop()
+
+
+def test_format_wet_matches_helper(spark, tmp_path):
+    from crawl4ai_spark.html.warc import build_wet
+    from crawl4ai_spark.sources.rawpages import texts_from_wet
+
+    d = str(tmp_path / "wet")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "seg.warc.wet"), "wb") as f:
+        f.write(build_wet([
+            {"uri": "https://w.example/1", "text": "extracted text one"},
+            {"uri": "https://w.example/2", "text": "and two"}],
+            date=DATE))
+    glob = os.path.join(d, "*.wet")
+    register_warc_datasource(spark)
+    ds = sorted((r.url, r.text) for r in
+                spark.read.format("wet").load(glob).collect())
+    helper = sorted((r.url, r.text) for r in
+                    texts_from_wet(spark, glob).collect())
+    assert ds == helper and len(ds) == 2
