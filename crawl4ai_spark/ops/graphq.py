@@ -515,15 +515,132 @@ FROM m
 )
 
 
+# ---------------------------------------------------------------------------
+# Modularity of the label-propagation communities (Newman & Girvan 2004):
+# the quality score that tells you whether the LPA labels mean anything —
+#     Q = Σ_c [ e_c/m − (d_c/2m)² ]
+# over the SIMPLE undirected graph (the triangles/assortativity edge
+# convention). Exactness device: fold the per-community fractions into ONE
+# rational before dividing —
+#     Q_e6 = (M·Σ in_arcs_c − Σ d_c²) * 1e6 div M²     (M = 2m arcs)
+# (in_arcs_c counts both directions of each intra-community edge, so
+# in_arcs_c/M == e_c/m), with the nonnegative-bias trick for the possibly
+# negative numerator. Per-community rows expose the decomposition
+# (n_nodes, in-arc count, total degree); the global Q rides a 1-row
+# broadcast onto every row.
+# Scale shape: community labels join the node-keyed degree table and the
+# edge table once each; everything else is two aggregates. No window.
+# ---------------------------------------------------------------------------
+
+
+def q_events_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity decomposition of the labelprop partition
+    + the global Q (exact e6) repeated on every row."""
+    from crawl4ai_spark.ops.analytics import q_events_labelprop
+
+    comm = q_events_labelprop(spark, sf_dir) \
+        .select("node", "community")
+    _, edges0, _ = _pr_graph(spark, sf_dir)
+    ue = _undirected(edges0)
+    deg = ue.groupBy("src").agg(F.count("*").cast("long").alias("d")) \
+            .withColumnRenamed("src", "node")
+    nd = comm.join(deg, "node", "left") \
+             .select("node", "community",
+                     F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+    arcs = (ue.join(nd.select(F.col("node").alias("src"),
+                              F.col("community").alias("cs")), "src")
+              .join(nd.select(F.col("node").alias("dst"),
+                              F.col("community").alias("cd")), "dst"))
+    in_arcs = (arcs.filter(F.col("cs") == F.col("cd"))
+               .groupBy(F.col("cs").alias("community"))
+               .agg(F.count("*").cast("long").alias("in_arcs")))
+    per_c = (nd.groupBy("community")
+             .agg(F.count("*").cast("long").alias("n_nodes"),
+                  F.sum("d").cast("long").alias("d_tot"))
+             .join(in_arcs, "community", "left")
+             .select("community", "n_nodes", "d_tot",
+                     F.coalesce("in_arcs", F.lit(0)).cast("long")
+                     .alias("in_arcs")))
+    glob = per_c.agg(
+        F.sum("d_tot").cast("long").alias("m_arcs"),
+        F.sum("in_arcs").cast("long").alias("sum_in"),
+        F.sum(F.expr("d_tot * d_tot")).cast("long").alias("sum_d2"))
+    return (per_c.crossJoin(F.broadcast(glob))
+            .select("community", "n_nodes", "in_arcs", "d_tot",
+                    # numerator can be negative: bias keeps it nonneg so
+                    # DuckDB floor == Spark truncate
+                    F.expr(
+                        "CAST(((m_arcs * sum_in - sum_d2) * 1000000"
+                        " + 2000000 * m_arcs * m_arcs)"
+                        " div (m_arcs * m_arcs) - 2000000 AS BIGINT)")
+                    .alias("q_e6")))
+
+
+SQL_EVENTS_MODULARITY = (
+    "WITH " + _SQL_GRAPH + """,
+ue AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+  ) b WHERE src <> dst
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM ue GROUP BY src
+),
+comm AS (SELECT node, community FROM (__LABELPROP__)),
+nd AS (
+  SELECT c.node, c.community, CAST(coalesce(deg.d, 0) AS BIGINT) AS d
+  FROM comm c LEFT JOIN deg ON deg.node = c.node
+),
+ia AS (
+  SELECT s.community, CAST(count(*) AS BIGINT) AS in_arcs
+  FROM ue e
+  JOIN nd s ON s.node = e.src
+  JOIN nd t ON t.node = e.dst
+  WHERE s.community = t.community
+  GROUP BY s.community
+),
+per_c AS (
+  SELECT nd.community,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(nd.d) AS BIGINT) AS d_tot,
+         CAST(coalesce(max(ia.in_arcs), 0) AS BIGINT) AS in_arcs
+  FROM nd LEFT JOIN ia ON ia.community = nd.community
+  GROUP BY nd.community
+),
+gmom AS (
+  SELECT CAST(sum(d_tot) AS BIGINT) AS m_arcs,
+         CAST(sum(in_arcs) AS BIGINT) AS sum_in,
+         CAST(sum(d_tot * d_tot) AS BIGINT) AS sum_d2
+  FROM per_c
+)
+SELECT p.community, p.n_nodes, p.in_arcs, p.d_tot,
+       CAST(((g.m_arcs * g.sum_in - g.sum_d2) * 1000000
+             + 2000000 * g.m_arcs * g.m_arcs)
+            // (g.m_arcs * g.m_arcs) - 2000000 AS BIGINT) AS q_e6
+FROM per_c p, gmom g
+"""
+)
+
+
+def _sql_modularity() -> str:
+    from crawl4ai_spark.ops.analytics import SQL_EVENTS_LABELPROP
+    return SQL_EVENTS_MODULARITY.replace("__LABELPROP__",
+                                         SQL_EVENTS_LABELPROP)
+
+
 QUERIES = {
     "events_harmonic_hyperball": q_events_harmonic_hyperball,
     "events_kcore": q_events_kcore,
     "events_triangles": q_events_triangles,
     "events_assortativity": q_events_assortativity,
+    "events_modularity": q_events_modularity,
 }
 ORACLES = {
     "events_harmonic_hyperball": SQL_EVENTS_HARMONIC_HYPERBALL,
     "events_kcore": SQL_EVENTS_KCORE,
     "events_triangles": SQL_EVENTS_TRIANGLES,
     "events_assortativity": SQL_EVENTS_ASSORTATIVITY,
+    "events_modularity": _sql_modularity(),
 }

@@ -53,3 +53,35 @@ def test_triangles_match_bruteforce(spark):
     assert sum(t for _, t, _ in got.values()) > 0
     # global invariant: corner counts sum to 3x the triangle total
     assert sum(t for _, t, _ in got.values()) % 3 == 0
+
+
+def test_modularity_matches_naive(spark):
+    """events_modularity vs a from-spec Q computation over the same
+    (oracled) labelprop partition and the naive undirected edge set."""
+    from crawl4ai_spark.ops.analytics import q_events_labelprop
+    from crawl4ai_spark.ops.graphq import q_events_modularity
+
+    adj = _undirected_adj()
+    comm = {r.node: r.community
+            for r in q_events_labelprop(spark, SF).collect()}
+    deg = {v: len(nbrs) for v, nbrs in adj.items()}
+    m_arcs = sum(deg.values())
+    per = {}
+    for v in adj:
+        c = comm[v]
+        n, d, ia = per.get(c, (0, 0, 0))
+        per[c] = (n + 1, d + deg[v],
+                  ia + sum(1 for u in adj[v] if comm[u] == c))
+    sum_in = sum(ia for _, _, ia in per.values())
+    sum_d2 = sum(d * d for _, d, _ in per.values())
+    want_q = ((m_arcs * sum_in - sum_d2) * 1_000_000
+              + 2_000_000 * m_arcs * m_arcs) // (m_arcs * m_arcs) \
+        - 2_000_000
+    rows = q_events_modularity(spark, SF).collect()
+    got = {r.community: (r.n_nodes, r.d_tot, r.in_arcs) for r in rows}
+    assert got == per
+    assert {r.q_e6 for r in rows} == {want_q}
+    # the near-complete synthetic click graph has NO community structure:
+    # Q sits at ~0 (measured -0.0199) — which is exactly the diagnosis
+    # the operator exists to report. Bound it away from both extremes.
+    assert -100_000 < want_q < 100_000
