@@ -58,6 +58,8 @@ FORCE_SUM = {
     "index_snippets": "length(snippet)",
     "dedup_minhash_bbit": "est_bbit_e6 * 31 + n_match_full",
     "multimodal_gif": "pixel_sum",
+    "events_modularity": "q_e6 * 31 + in_arcs",
+    "vocab_chao1": "chao1_e6",
 }
 
 
